@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.tables.Tables
+import Oracle._
+
+/** Relational operator pack — SURVEY.md §2.2 (filters), §2.3 (joins),
+  * §2.4 (aggregations), §2.5 (windows), §2.7 (set ops), §2.8 (scalars),
+  * exercised over the driver's TPC-H-ish tables so every operator has a
+  * DuckDB-checkable oracle.
+  *
+  * Scale posture: all aggregates are partial-aggregable (map-side combine);
+  * joins keep the small side (customer/orders subsets, dimension tables)
+  * broadcastable; top-k is `orderBy.limit(k)` which Spark executes as
+  * per-partition TakeOrdered without a global sort.
+  */
+object RelationalPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A6-style multi-aggregate groupBy (reference: status/language stats,
+    // chunks_backend.py:1044-1121). Exact integer-scaled money sums.
+    "q1_pricing_summary" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("long")).as("sum_qty"),
+          moneySum($"l_extendedprice").cast("double").as("sum_base_price"),
+          moneySum($"l_extendedprice" * (lit(1) - $"l_discount"), 4)
+            .cast("double").as("sum_disc_price"),
+          moneyAvg($"l_quantity").cast("double").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A1 distinct counts: countDistinct (reference nunique/value_counts).
+    "q2_status_counts" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct($"o_custkey").as("n_customers"),
+          moneySum($"o_totalprice").cast("double").as("sum_total"))
+    }),
+
+    // J1-style join + agg + top-k (W2). Dimension side (filtered customer)
+    // broadcasts; lineitem never leaves the executors.
+    "q3_top_revenue_orders" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey")
+        .agg(moneySum($"l_extendedprice" * (lit(1) - $"l_discount"), 4)
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey".asc)
+        .limit(10)
+    }),
+
+    // W1/W2 rank-per-group: reference reassigns rank after every rerank
+    // stage (search.py:1049); here as row_number over a window.
+    "q4_top_orders_per_customer" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+        .filter($"o_custkey" <= 100)
+    }),
+
+    // W3 max-normalization window (search.py:1709-1715: score/max(score)).
+    "q5_normalized_scores" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"event_type" === "purchase")
+        .withColumn("norm_value", $"value" / max($"value").over(Window.partitionBy()))
+        .select($"event_id", $"value", $"norm_value")
+        .orderBy($"event_id")
+        .limit(100)
+    }),
+
+    // J3/J4 anti-join (unembedded/changed detection re-expressed).
+    "q6_customers_without_orders" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_nationkey")
+        .orderBy($"c_custkey")
+    }),
+
+    // Semi-join (EXISTS): orders having a returned line.
+    "q7_orders_with_returns" -> ((s, d) => {
+      import s.implicits._
+      val returned = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+      Tables.orders(s, d)
+        .join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // J6 range/interval join (blame↔chunk line-range join analog):
+    // equi-key + non-equi time-range predicate.
+    "q8_shipped_within_30d" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      li.join(ord, $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          moneySum($"l_extendedprice").cast("double").as("sum_price"))
+    }),
+
+    // §2.7 set op: UNION of two projections (Cypher UNION analog).
+    "q9_union_entities" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+        .select($"c_nationkey".as("nationkey"), lit("customer").as("kind"))
+      val sup = Tables.supplier(s, d)
+        .select($"s_nationkey".as("nationkey"), lit("supplier").as("kind"))
+      c.unionByName(sup)
+        .groupBy($"nationkey", $"kind").agg(count(lit(1)).as("n"))
+    }),
+
+    // A18 time-bucketed aggregation (story-phase analog): daily buckets.
+    "q10_daily_event_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          moneySum($"value").cast("double").as("sum_value"))
+    }),
+
+    // W4 exponential time-decay weighting (knowledge_graph.py:180-220
+    // semantics: 0.5^(age_days/half_life)), per-row, deterministic.
+    "q11_time_decay" -> ((s, d) => {
+      import s.implicits._
+      val asOf = lit("2024-02-01").cast("date")
+      Tables.events(s, d)
+        .withColumn("age_days", datediff(asOf, to_date($"ts")))
+        .withColumn("decayed",
+          round($"value" * pow(lit(0.5), $"age_days" / lit(7.0)), 6))
+        .select($"event_id", $"age_days", $"decayed")
+        .orderBy($"event_id")
+        .limit(200)
+    }),
+
+    // §2.8 scalar functions: JSON extraction (props parse), string ops,
+    // conditional classification (smells-style when/otherwise rules).
+    "q12_json_and_case" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("bucket",
+          when($"k" < 25, "low").when($"k" < 75, "mid").otherwise("high"))
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n"), sum($"k".cast("long")).as("sum_k"))
+    }),
+
+    // P2/P9 predicate pack: IN-list + between + LIKE pushdown shapes.
+    "q13_filtered_parts" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3") &&
+          $"p_size".between(5, 25) && $"p_type".like("%ECONOMY%"))
+        .select($"p_partkey", $"p_name", $"p_brand", $"p_size")
+        .orderBy($"p_partkey")
+    }),
+
+    // Multi-way dim join through the star schema (region→nation→customer
+    // →orders→lineitem), revenue by region: the canonical broadcast chain.
+    "q14_revenue_by_region" -> ((s, d) => {
+      import s.implicits._
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(moneySum($"l_extendedprice" * (lit(1) - $"l_discount"), 4)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(${moneySumSql("l_extendedprice")} AS DOUBLE) AS sum_base_price,
+         |  CAST(${moneySumSql("l_extendedprice * (1 - l_discount)", 4)} AS DOUBLE) AS sum_disc_price,
+         |  CAST(${moneyAvgSql("l_quantity")} AS DOUBLE) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_status_counts" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  CAST(${moneySumSql("o_totalprice")} AS DOUBLE) AS sum_total
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q3_top_revenue_orders" ->
+      s"""SELECT l_orderkey,
+         |  CAST(${moneySumSql("l_extendedprice * (1 - l_discount)", 4)} AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q4_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 AND o_custkey <= 100""".stripMargin,
+
+    "q5_normalized_scores" ->
+      """SELECT event_id, value, value / (MAX(value) OVER ()) AS norm_value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "q6_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_orders_with_returns" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q8_shipped_within_30d" ->
+      s"""SELECT COUNT(*) AS n_lines,
+         |  CAST(${moneySumSql("l_extendedprice")} AS DOUBLE) AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= o_orderdate
+         |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY""".stripMargin,
+
+    "q9_union_entities" ->
+      """SELECT nationkey, kind, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier)
+        |GROUP BY nationkey, kind""".stripMargin,
+
+    "q10_daily_event_stats" ->
+      s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+         |  CAST(${moneySumSql("value")} AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q11_time_decay" ->
+      """SELECT event_id,
+        |  CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') AS INTEGER) AS age_days,
+        |  round(value * pow(0.5, date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') / 7.0), 6) AS decayed
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "q12_json_and_case" ->
+      """SELECT event_type,
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) < 25 THEN 'low'
+        |       WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) < 75 THEN 'mid'
+        |       ELSE 'high' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q13_filtered_parts" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND p_size BETWEEN 5 AND 25 AND p_type LIKE '%ECONOMY%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q14_revenue_by_region" ->
+      s"""SELECT r_name,
+         |  CAST(${moneySumSql("l_extendedprice * (1 - l_discount)", 4)} AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name""".stripMargin)
+}
