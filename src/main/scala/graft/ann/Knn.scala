@@ -1,0 +1,83 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash, VectorFunctions}
+
+/** Approximate/exact nearest-neighbor search over an embedding column.
+  *
+  * - `bruteForceTopK`: exact cosine top-k. The query side is a handful of
+  *   rows → broadcast; the corpus never shuffles; final top-k is a
+  *   TakeOrdered (no global sort). This is the correctness oracle for
+  *   every approximate variant (reference falls back to exact scan the
+  *   same way, `core/vectors_backend.py:793-804`).
+  * - `hyperplaneBucketTopK`: sign-LSH scale path — bucket corpus + query
+  *   by the sign pattern of dot products with `nBits` pseudo-random
+  *   hyperplanes (derived deterministically from the portable hash), probe
+  *   matching buckets only. At 100 TB the corpus is written partitioned by
+  *   bucket so a probe prunes partitions at the scan.
+  * - IVF (KMeans centroid) variant lives in graft.ann.Ivf.
+  */
+object Knn {
+
+  /** Exact top-k neighbors for each query row.
+    * queries: (qid, qvec); corpus: (id, vec). Output: (qid, id, sim, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", VectorFunctions.cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * maps hash60 to a value in [-1, 1). Used to build sign-LSH buckets.
+    */
+  private def planeComponent(bit: Int, dim: Column): Column =
+    (PortableHash.hash60(concat(lit(bit.toString), lit("_"), dim.cast("string")),
+      lit("plane")).cast("double") / lit((1L << 59).toDouble)) - lit(1.0)
+
+  /** Sign-LSH bucket id of a vector column (nBits-bit int). */
+  def signBucket(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      // dot(vec, plane_b) computed via the positional aggregate
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(b, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: probe only corpus rows in the query's bucket.
+    * Falls back to fewer results when a bucket is sparse (recall/speed
+    * trade governed by nBits).
+    */
+  def hyperplaneBucketTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nBits: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", signBucket(col("vec"), nBits))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+      .withColumn("bucket", signBucket(col("qvec"), nBits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", VectorFunctions.cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rank"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash, VectorFunctions}
+import graft.text.TextFunctions
+
+/** Deduplication operators for the large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB): nothing here collects to the driver.
+  *   - exact dedup is one hash-partitioned groupBy on the fingerprint;
+  *   - MinHash shuffles (doc × numHashes) rows, LSH banding shuffles
+  *     (doc × bands) rows, candidate pairing is a per-bucket self-join —
+  *     the whole point of LSH is that buckets are tiny, so the join
+  *     never quadratically explodes the way all-pairs Jaccard would;
+  *   - SimHash is one explode + two groupBys, all partial-aggregable;
+  *   - all-pairs variants (ngramJaccardPairs / embeddingNearDupPairs) are
+  *     the *verification* primitives — at scale you run them only on the
+  *     LSH candidate set, which is what `minhashNearDupPairs` does.
+  */
+object Dedup {
+  import PortableHash.hash60
+  import TextFunctions._
+
+  /** Exact-duplicate groups by normalized-content sha256.
+    * Output: (fingerprint, n_docs, min_doc_id).
+    */
+  def exactDupGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), fingerprintSha(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc_id"))
+
+  /** (id, shingle) exploded distinct word-k-shingles, docs with < k tokens
+    * dropped (they have no k-shingle).
+    */
+  def docShingles(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
+
+  /** MinHash signatures, long form: (doc_id, h, v) where v = min over the
+    * doc's shingles of hash60(h, shingle), h = 0..numHashes-1.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
+      .select(col("doc_id"), col("h"), hash60(col("h"), col("shingle")).as("hv"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(col("hv")).as("v"))
+
+  /** LSH banding of a long-form signature: (doc_id, band, band_val) where
+    * band_val is the ','-joined signature slice, ordered by h.
+    */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("band", (col("h") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("h"), col("v")))),
+          s => s.getField("v").cast("string"))).as("band_val"))
+
+  /** Candidate pairs (a < b) sharing at least one LSH bucket. */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val l = bands.select(col("band"), col("band_val"), col("doc_id").as("a"))
+    val r = bands.select(col("band"), col("band_val"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for the given pairs.
+    * `pairs` must have columns (a, b); result adds `jaccard`.
+    */
+  def jaccardOfPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .join(pairs, Seq("a", "b"), "left_semi")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
+    * pairs → exact-Jaccard verify → threshold.
+    */
+  def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, numHashes: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val sh = docShingles(docs, textCol, idCol, k)
+    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
+    jaccardOfPairs(cands, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 60-bit SimHash per doc: bit i set iff sum over tokens of
+    * tf * (bit_i(hash60(0, token)) ? 1 : -1) is positive.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("hv", hash60(col("tok"), 0))
+    tf
+      .select(col("doc_id"), col("tf"), col("hv"),
+        explode(sequence(lit(0), lit(59))).as("i"))
+      .withColumn("sign",
+        when(expr("shiftrightunsigned(hv, i) % 2") === 1,
+          col("tf")).otherwise(-col("tf")))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("sign")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("w") > 0,
+        pow(lit(2.0), col("i")).cast("long")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Pairs within a SimHash Hamming radius (verification primitive; at scale
+    * gate it behind bucketing on simhash prefixes).
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val l = sims.select(col("doc_id").as("a"), col("simhash").as("sa"))
+    val r = sims.select(col("doc_id").as("b"), col("simhash").as("sb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs above a similarity threshold
+    * (all-pairs verification primitive; the scale path buckets by IVF
+    * cluster or random-hyperplane LSH first — see graft.ann).
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minSim: Double): DataFrame = {
+    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select(col("a"), col("b"), col("sim"))
+  }
+}

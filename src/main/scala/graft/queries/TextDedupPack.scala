@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ann.Knn
+import graft.dedup.Dedup
+import graft.functions.{PortableHash, VectorFunctions}
+import graft.tables.Tables
+import graft.text.TextFunctions
+
+/** Training-data-pipeline pack: text analysis, dedup family, similarity
+  * search — the SURVEY §7 "beyond the reference" operators, each with a
+  * DuckDB oracle built from the same shared constants/SQL mirrors as the
+  * Spark implementation.
+  */
+object TextDedupPack {
+  import TextFunctions._
+
+  val ShingleK = 3
+  val NumHashes = 12
+  val RowsPerBand = 2
+
+  private val subwordPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens, BPE-ish subword regex count,
+    // chars-per-token BPE estimate.
+    "t1_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit(subwordPat), lit(0)))
+            .as("n_subwords"),
+          ceil(col("n_chars") / 4.0).cast("long").as("est_bpe"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
+
+    // Per-language corpus profile (A1-style stats over documents).
+    "t2_lang_profile" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
+    }),
+
+    // Quality scoring: length/punctuation/stopword heuristics → 0-100.
+    "t3_quality_scores" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+        .withColumn("norm", normalize(col("text")))
+        .withColumn("toks", split(col("norm"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("alpha_chars",
+          length(regexp_replace(col("norm"), " ", "")))
+        .withColumn("punct_ratio",
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double") /
+            length(col("text")))
+        .withColumn("stop_ratio",
+          markerHits(col("toks"), LangMarkers.head._2).cast("double") / col("n_tok"))
+      doc.select(
+        col("doc_id"),
+        round(lit(100.0) * (
+          lit(0.25) * least(col("n_tok") / 100.0, lit(1.0)) +
+          lit(0.25) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.25) * least(col("alpha_chars").cast("double") / col("n_tok") / 8.0, lit(1.0)) +
+          lit(0.25) * least(col("stop_ratio") * 5.0, lit(1.0))), 6).as("quality"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    }),
+
+    // Language-ID heuristic vs the labeled lang column (confusion counts).
+    "t4_langid_confusion" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("predicted", langId(tokens(col("text"))))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Document fingerprinting: sha256 + portable 60-bit rolling-style hash.
+    "t5_fingerprints" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          fingerprintSha(col("text")).as("fp_sha"),
+          fingerprint60(col("text")).as("fp60"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
+
+    // Exact dedup groups (hash-groupBy on normalized-content sha256).
+    "d1_exact_dedup" -> ((s, d) => {
+      Dedup.exactDupGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("n_docs").desc, col("fingerprint"))
+        .limit(50)
+    }),
+
+    // MinHash signatures (long form) — the checkable core of MinHash+LSH.
+    "d2_minhash_sigs" -> ((s, d) => {
+      val sh = Dedup.docShingles(Tables.documents(s, d), "text", "doc_id", ShingleK)
+        .filter(col("doc_id") <= 20)
+      Dedup.minhashSignatures(sh, NumHashes)
+    }),
+
+    // Full MinHash → LSH band → candidate → exact-Jaccard verify pipeline.
+    "d3_lsh_near_dups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.docShingles(docs, "text", "doc_id", ShingleK)
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBands(Dedup.minhashSignatures(sh, NumHashes), RowsPerBand))
+      Dedup.jaccardOfPairs(cands, sh)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+
+    // SimHash 60-bit fingerprints.
+    "d4_simhash" -> ((s, d) => {
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
+
+    // SimHash Hamming-nearest pairs.
+    "d5_simhash_pairs" -> ((s, d) => {
+      val sims = Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+      Dedup.simhashPairs(sims, maxHamming = 60)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .orderBy(col("hamming"), col("a"), col("b"))
+        .limit(50)
+    }),
+
+    // Embedding-cosine near-dup: top pairs by similarity.
+    "d6_embedding_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          minSim = -1.0)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
+    // Brute-force cosine top-k (the ANN correctness oracle).
+    "a1_knn_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      Knn.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+        .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
+    // Sign-LSH bucketed ANN (scale path; rows-only check — recall vs the
+    // brute-force oracle is asserted in ScalaTest instead).
+    "a2_knn_bucketed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      Knn.hyperplaneBucketTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+          10, nBits = 4)
+        .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
+    }))
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val normDoc = normalizeSql("text")
+  private val toksCte =
+    s"tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks FROM documents)"
+  private val shCte =
+    s"""sh AS (SELECT doc_id, unnest(${shinglesSql("toks", ShingleK)}) AS shingle
+       |  FROM tok WHERE len(toks) >= $ShingleK)""".stripMargin
+  private val mhCte =
+    s"""mh AS (SELECT doc_id, CAST(h AS INTEGER) AS h,
+       |    min(${PortableHash.hash60Sql("h", "shingle")}) AS v
+       |  FROM (SELECT doc_id, shingle, unnest(range(0, $NumHashes)) AS h FROM sh)
+       |  GROUP BY doc_id, h)""".stripMargin
+
+  private val cosSql = VectorFunctions.cosineSql("e.embedding", "q.qvec")
+
+  def oracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${tokensSql("text")}) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '$subwordPat')) AS INTEGER) AS n_subwords,
+         |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe
+         |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "t2_lang_profile" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(len(${tokensSql("text")})) AS DOUBLE) / COUNT(*) AS avg_tokens
+         |FROM documents GROUP BY lang""".stripMargin,
+
+    "t3_quality_scores" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    len(string_split($normDoc, ' ')) AS n_tok,
+         |    len(replace($normDoc, ' ', '')) AS alpha_chars,
+         |    CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / len(text) AS punct_ratio,
+         |    CAST(${markerHitsSql(s"string_split($normDoc, ' ')", LangMarkers.head._2)} AS DOUBLE)
+         |      / len(string_split($normDoc, ' ')) AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, round(100.0 * (
+         |    0.25 * least(n_tok / 100.0, 1.0) +
+         |    0.25 * (1.0 - punct_ratio) +
+         |    0.25 * least(CAST(alpha_chars AS DOUBLE) / n_tok / 8.0, 1.0) +
+         |    0.25 * least(stop_ratio * 5.0, 1.0)), 6) AS quality
+         |FROM f ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "t4_langid_confusion" ->
+      s"""SELECT lang, ${langIdSql(tokensSql("text"))} AS predicted, COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "t5_fingerprints" ->
+      s"""SELECT doc_id, ${fingerprintShaSql("text")} AS fp_sha,
+         |  ${fingerprint60Sql("text")} AS fp60
+         |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "d1_exact_dedup" ->
+      s"""SELECT ${fingerprintShaSql("text")} AS fingerprint,
+         |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+         |FROM documents GROUP BY 1
+         |ORDER BY n_docs DESC, fingerprint LIMIT 50""".stripMargin,
+
+    "d2_minhash_sigs" ->
+      s"""WITH $toksCte,
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks", ShingleK)}) AS shingle
+         |  FROM tok WHERE doc_id <= 20 AND len(toks) >= $ShingleK),
+         |$mhCte
+         |SELECT doc_id, h, v FROM mh""".stripMargin,
+
+    "d3_lsh_near_dups" ->
+      s"""WITH $toksCte, $shCte, $mhCte,
+         |bands AS (SELECT doc_id, CAST(h // $RowsPerBand AS INTEGER) AS band,
+         |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY h) AS band_val
+         |  FROM mh GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+         |  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |  JOIN cand c ON c.a = s1.doc_id AND c.b = s2.doc_id
+         |  GROUP BY s1.doc_id, s2.doc_id)
+         |SELECT c.a, c.b,
+         |  round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |    / (na.n + nb.n - COALESCE(i.i, 0)), 6) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+         |JOIN sizes na ON na.doc_id = c.a
+         |JOIN sizes nb ON nb.doc_id = c.b
+         |ORDER BY jaccard DESC, c.a, c.b LIMIT 100""".stripMargin,
+
+    "d4_simhash" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok) GROUP BY doc_id, tok),
+         |th AS (SELECT doc_id, tf, ${PortableHash.hash60Sql("0", "tok")} AS hv FROM tf),
+         |bits AS (SELECT doc_id, i,
+         |    SUM(CASE WHEN (hv >> i) & 1 = 1 THEN tf ELSE -tf END) AS w
+         |  FROM (SELECT doc_id, tf, hv, unnest(range(0, 60)) AS i FROM th)
+         |  GROUP BY doc_id, i)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+         |    AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "d5_simhash_pairs" -> {
+      val d4 = // per-doc simhash CTE body reused
+        s"""WITH $toksCte,
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok) GROUP BY doc_id, tok),
+           |th AS (SELECT doc_id, tf, ${PortableHash.hash60Sql("0", "tok")} AS hv FROM tf),
+           |bits AS (SELECT doc_id, i,
+           |    SUM(CASE WHEN (hv >> i) & 1 = 1 THEN tf ELSE -tf END) AS w
+           |  FROM (SELECT doc_id, tf, hv, unnest(range(0, 60)) AS i FROM th)
+           |  GROUP BY doc_id, i),
+           |sims AS (SELECT doc_id,
+           |  CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+           |    AS simhash
+           |  FROM bits GROUP BY doc_id)""".stripMargin
+      s"""$d4
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+         |ORDER BY hamming, a, b LIMIT 50""".stripMargin
+    },
+
+    "d6_embedding_neardup" ->
+      s"""SELECT x.vec_id AS a, y.vec_id AS b,
+         |  round(${VectorFunctions.cosineSql("x.embedding", "y.embedding")}, 6) AS sim
+         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |ORDER BY sim DESC, a, b LIMIT 50""".stripMargin,
+
+    "a1_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+         |    FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |scored AS (SELECT q.qid, e.vec_id AS id, $cosSql AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |ranked AS (SELECT qid, id, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+         |      AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT qid, id, round(sim, 6) AS sim, rank
+         |FROM ranked WHERE rank <= 10""".stripMargin)
+}

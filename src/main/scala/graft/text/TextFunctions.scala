@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Text-analysis primitives for the training-data pipeline: normalization,
+  * tokenization, shingling, quality features, language-ID scoring, and
+  * document fingerprints. Everything is a Column expression (codegen'd,
+  * distributed); every function has a DuckDB SQL mirror so results are
+  * oracle-checkable.
+  *
+  * Reference semantics: tokenizer/quality heuristics generalize
+  * mcp-vector-search's BM25 tokenizer (`core/bm25_backend.py:297-375`) and
+  * result-quality scoring (`core/models.py:470-506`); fingerprints
+  * generalize its sha256 chunk ids (`core/models.py:292-303`).
+  */
+object TextFunctions {
+
+  /** Language marker lexicons for the n-gram/stopword language-ID heuristic.
+    * Order is the deterministic tie-break (first wins).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("a", "the", "and", "fast", "slow", "small", "key", "value"),
+    "de" -> Seq("der", "die", "das", "und", "schnell"),
+    "fr" -> Seq("le", "la", "les", "et", "vite"),
+    "es" -> Seq("el", "los", "las", "y", "rapido"),
+    "zh" -> Seq("de", "shi", "he"))
+
+  /** lower → strip non-alphanumerics → collapse runs of spaces → trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  def normalizeSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  def tokensSql(e: String): String = s"string_split(${normalizeSql(e)}, ' ')"
+
+  /** Distinct word k-shingles (space-joined k-grams of tokens). Callers must
+    * pre-filter docs with fewer than k tokens (Spark's `sequence` would
+    * otherwise generate a descending range).
+    */
+  def shingles(toks: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  def shinglesSql(toksExpr: String, k: Int): String =
+    s"list_distinct(list_transform(range(1, len($toksExpr) - ${k - 2}), " +
+      s"i -> array_to_string($toksExpr[i:i+${k - 1}], ' ')))"
+
+  /** Marker-hit count for one language over a token array. */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(m => lit(m)): _*)))
+
+  def markerHitsSql(toksExpr: String, markers: Seq[String]): String = {
+    val inList = markers.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter($toksExpr, t -> t IN ($inList)))"
+  }
+
+  /** Predicted language: argmax marker hits, ties broken by LangMarkers
+    * order, 'und' (undetermined) when no marker matches at all.
+    */
+  def langId(toks: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight means earlier languages take precedence on ties:
+    // the first `when` that matches wins.
+  }
+
+  def langIdSql(toksExpr: String): String = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerHitsSql(toksExpr, ms) }
+    val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+    val cases = scores.map { case (lang, sc) =>
+      s"WHEN ($sc) = ($best) AND ($best) > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 'und' END)"
+  }
+
+  /** sha256 hex fingerprint of the normalized text (exact-dup key). */
+  def fingerprintSha(text: Column): Column = sha2(normalize(text), 256)
+
+  def fingerprintShaSql(e: String): String = s"sha256(${normalizeSql(e)})"
+
+  /** 60-bit rolling-hash-style fingerprint (portable across engines). */
+  def fingerprint60(text: Column): Column =
+    PortableHash.hash60(normalize(text), seed = 0)
+
+  def fingerprint60Sql(e: String): String =
+    PortableHash.hash60Sql("0", normalizeSql(e))
+}
