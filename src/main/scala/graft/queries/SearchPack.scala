@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.search.{Bm25, Fusion}
+import graft.tables.Tables
+import graft.text.TextFunctions
+
+/** Search-pipeline pack: BM25 scoring, hybrid RRF fusion, heuristic
+  * rerank — the reference's retrieval stages (SURVEY §2.4 A3/A4, §2.6
+  * Q7/Q8/Q15) exercised over the documents/embeddings tables with full
+  * DuckDB oracles.
+  */
+object SearchPack {
+
+  /** Fixed benchmark query; 'table' duplicated to exercise query-term
+    * multiset weighting (rank_bm25 counts duplicates).
+    */
+  val Query: Seq[String] = Seq("fast", "table", "scan", "merge", "table")
+  val Alpha = 0.5
+
+  private def docTokens = {
+    val t = TextFunctions.tokens(col("text"))
+    filter(t, tok => !tok.rlike("^[0-9]+$"))
+  }
+
+  private val docTokensSql =
+    s"list_filter(${TextFunctions.tokensSql("text")}, t -> NOT regexp_matches(t, '^[0-9]+$$'))"
+
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val postings = Bm25.postings(docs, "doc_id", docTokens)
+    Bm25.score(s, postings, Query)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q7/A3: BM25 top-k for a fixed query.
+    "b1_bm25_topk" -> ((s, d) => {
+      bm25Scores(s, d)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Q8/A4: hybrid RRF — vector ranks (query = embedding of vec_id 0)
+    // fused with BM25 ranks, max-normalized.
+    "h1_hybrid_rrf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val sims = emb.crossJoin(broadcast(qvec))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"),
+          VectorFunctions.cosine(col("embedding"), col("qvec")).as("sim"))
+      val vRanks = Fusion.ranked(sims, "id", "sim", 50)
+      val bScores = bm25Scores(s, d)
+        .select(col("id"), round(col("score"), 6).as("score"))
+      val kRanks = Fusion.ranked(bScores, "id", "score", 50)
+      Fusion.rrf(vRanks, kRanks, Alpha)
+        .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("id"))
+        .limit(20)
+    }),
+
+    // Q15: heuristic rerank — content/metadata boosts over BM25 scores.
+    "h2_heuristic_boost" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      bm25Scores(s, d)
+        .join(docs, col("id") === col("doc_id"))
+        .withColumn("boost",
+          when(col("text").contains("fast table"), 0.15).otherwise(0.0) +
+            when(col("text").contains("spark"), 0.05).otherwise(0.0) +
+            when(col("source") === "src1", 0.08).otherwise(0.0) +
+            when(col("n_chars") > 400, -0.02).otherwise(0.0))
+        .select(col("doc_id"),
+          round(col("score") * 0.8 + col("boost"), 6).as("final_score"))
+        .orderBy(col("final_score").desc, col("doc_id"))
+        .limit(20)
+    }))
+
+  def oracles: Map[String, String] = {
+    val bm25Ctes = Bm25.scoreSqlCtes("documents", "doc_id", docTokensSql, Query)
+
+    Map(
+      "b1_bm25_topk" ->
+        s"""WITH $bm25Ctes
+           |SELECT id AS doc_id, round(score, 6) AS score FROM bm25
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      "h1_hybrid_rrf" ->
+        s"""WITH $bm25Ctes,
+           |qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |sims AS (SELECT e.vec_id AS id,
+           |    ${VectorFunctions.cosineSql("e.embedding", "qv.qvec")} AS sim
+           |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+           |vr AS (SELECT id, rank FROM (SELECT id,
+           |    CAST(row_number() OVER (ORDER BY sim DESC, id) AS INTEGER) AS rank
+           |  FROM sims) WHERE rank <= 50),
+           |ks AS (SELECT id, round(score, 6) AS score FROM bm25),
+           |kr AS (SELECT id, rank FROM (SELECT id,
+           |    CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rank
+           |  FROM ks) WHERE rank <= 50),
+           |${Fusion.rrfSql(Alpha)}
+           |SELECT id, round(rrf_score, 6) AS rrf_score FROM rrf
+           |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin,
+
+      "h2_heuristic_boost" ->
+        s"""WITH $bm25Ctes
+           |SELECT d.doc_id,
+           |  round(b.score * 0.8 +
+           |    (CASE WHEN contains(d.text, 'fast table') THEN 0.15 ELSE 0.0 END +
+           |     CASE WHEN contains(d.text, 'spark') THEN 0.05 ELSE 0.0 END +
+           |     CASE WHEN d.source = 'src1' THEN 0.08 ELSE 0.0 END +
+           |     CASE WHEN d.n_chars > 400 THEN -0.02 ELSE 0.0 END), 6)
+           |    AS final_score
+           |FROM bm25 b JOIN documents d ON b.id = d.doc_id
+           |ORDER BY final_score DESC, d.doc_id LIMIT 20""".stripMargin)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword scoring as a fully declarative DataFrame pipeline.
+  *
+  * Semantics: rank_bm25's BM25Okapi as used by the reference
+  * (`core/bm25_backend.py:53-200`): k1=1.5, b=0.75, and the epsilon
+  * floor for negative IDFs (idf < 0 → epsilon * average_idf over the
+  * vocabulary). Everything is joins + aggregations over three derived
+  * tables — postings(id, term, tf), doc_stats(id, dl), term idf — so
+  * Catalyst plans it, partial aggregation applies, and the index tables
+  * can be persisted as Parquet (bucketed by term hash at scale) instead
+  * of a pickled in-memory object (reference `bm25_backend.py:202-267`).
+  *
+  * The corpus-level scalars (N, avgdl, average_idf) stay as 1-row
+  * DataFrames cross-joined in (broadcast), keeping the whole plan lazy:
+  * no driver-side action is needed to build or query the index.
+  */
+object Bm25 {
+  val K1 = 1.5
+  val B = 0.75
+  val Epsilon = 0.25
+
+  /** postings: (id, term, tf) from an (id, tokens) input. */
+  def postings(docs: DataFrame, idCol: String, toksCol: Column): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(toksCol).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** doc_stats: (id, dl) — document length in tokens. */
+  def docStats(postings: DataFrame): DataFrame =
+    postings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+
+  /** 1-row corpus stats: (n, avgdl). Exact: integer sums, one division. */
+  def corpusStats(docStats: DataFrame): DataFrame =
+    docStats.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+  /** term idf table with the BM25Okapi epsilon floor: (term, idf). */
+  def termIdf(postings: DataFrame, corpus: DataFrame): DataFrame = {
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val raw = dfreq.crossJoin(broadcast(corpus))
+      .withColumn("idf_raw",
+        log(col("n") - col("df") + 0.5) - log(col("df") + 0.5))
+    val avg = raw.agg((sum(col("idf_raw")) / count(lit(1))).as("avg_idf"))
+    raw.crossJoin(broadcast(avg))
+      .withColumn("idf",
+        when(col("idf_raw") < 0, lit(Epsilon) * col("avg_idf"))
+          .otherwise(col("idf_raw")))
+      .select(col("term"), col("idf"))
+  }
+
+  /** Score every document against a tokenized query (multiset: duplicate
+    * query terms count twice, as in rank_bm25). Output: (id, score).
+    */
+  def score(spark: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, queryTokens: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val ds = docStats(postings)
+    val corpus = corpusStats(ds)
+    val idf = termIdf(postings, corpus)
+    val q = queryTokens.groupBy(identity).map { case (t, os) => (t, os.size) }
+      .toSeq.toDF("term", "qtf")
+    postings
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .join(ds, Seq("id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib",
+        col("qtf") * col("idf") * (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).as("score"))
+  }
+
+  // ---- DuckDB SQL mirror (for oracle checks) --------------------------
+
+  /** CTE chain scoring `queryTokens` over docs(idExpr, toksExpr) — same
+    * math, same names. Caller appends the final SELECT over `bm25`.
+    */
+  def scoreSqlCtes(fromTable: String, idExpr: String, toksExpr: String,
+      queryTokens: Seq[String]): String = {
+    val qvals = queryTokens.groupBy(identity).map { case (t, os) => (t, os.size) }
+      .toSeq.sorted.map { case (t, n) => s"('$t', $n)" }.mkString(", ")
+    s"""p0 AS (SELECT $idExpr AS id, unnest($toksExpr) AS term FROM $fromTable),
+       |postings AS (SELECT id, term, COUNT(*) AS tf FROM p0 GROUP BY id, term),
+       |doc_stats AS (SELECT id, SUM(tf) AS dl FROM postings GROUP BY id),
+       |corpus AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM doc_stats),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+       |raw AS (SELECT term, df, ln(n - df + 0.5) - ln(df + 0.5) AS idf_raw
+       |  FROM dfreq CROSS JOIN corpus),
+       |avg_idf AS (SELECT SUM(idf_raw) / COUNT(*) AS avg_idf FROM raw),
+       |idf AS (SELECT term,
+       |    CASE WHEN idf_raw < 0 THEN $Epsilon * avg_idf ELSE idf_raw END AS idf
+       |  FROM raw CROSS JOIN avg_idf),
+       |q(term, qtf) AS (VALUES $qvals),
+       |bm25 AS (SELECT p.id,
+       |    SUM(q.qtf * idf.idf * (p.tf * ($K1 + 1)) /
+       |        (p.tf + $K1 * (1 - $B + $B * ds.dl / c.avgdl))) AS score
+       |  FROM postings p
+       |  JOIN q ON q.term = p.term
+       |  JOIN idf ON idf.term = p.term
+       |  JOIN doc_stats ds ON ds.id = p.id
+       |  CROSS JOIN corpus c
+       |  GROUP BY p.id)""".stripMargin
+  }
+}
