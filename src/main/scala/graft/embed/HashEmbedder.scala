@@ -1,0 +1,57 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.text.TextFunctions
+
+/** Deterministic embedding (SURVEY §7 design stance): a seeded hash-n-gram
+  * featurizer — HashingTF-style bucket projection of word unigrams +
+  * bigrams, L2-normalized — so cosine results are exactly reproducible
+  * and oracle-checkable. Swapping in a real model later means replacing
+  * this object behind the same (id, text) → (id, vector) contract
+  * (reference's pluggable embedding functions, `embeddings.py:1078-1113`).
+  *
+  * Fully relational: explode n-grams → bucket via the portable hash →
+  * per-(id, bucket) integer counts → dense array + normalize. Integer
+  * counts make the vector exactly order-independent, so the embedding of
+  * a chunk is identical no matter how the corpus is partitioned — safe
+  * at any scale, and identical for a 1-row query DataFrame.
+  *
+  * Context enrichment (reference `core/context_builder.py`, the 35-49%
+  * retrieval win): prepend a "path | language | name" header to the text
+  * before featurizing — done by `contextText`.
+  */
+object HashEmbedder {
+  val Dim = 64
+
+  def contextText(path: Column, language: Column, name: Column, content: Column): Column =
+    concat_ws(" | ", path, language, name, content)
+
+  /** (id, vector array<float>[Dim]) from (idCol, textCol). */
+  def embed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = docs.select(
+      col(idCol).as("id"),
+      explode(array_compact(concat(
+        toks,
+        // word bigrams (zip_with pads the tail with null → compacted away)
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))))).as("gram"))
+    val buckets = grams
+      .withColumn("bucket", pmod(PortableHash.hash60(col("gram"), 7), lit(Dim)).cast("int"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("w"))
+    val dense = buckets
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w")))).as("m"))
+      .withColumn("raw", transform(sequence(lit(0), lit(Dim - 1)),
+        i => coalesce(col("m")(i), lit(0L)).cast("double")))
+      .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("vector", transform(col("raw"),
+        x => when(col("norm") > 0, x / col("norm")).otherwise(0.0).cast("float")))
+      .select(col("id"), col("vector"))
+    dense
+  }
+}

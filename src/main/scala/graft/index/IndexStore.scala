@@ -1,0 +1,87 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed chunks/vectors tables + the incremental set algebra
+  * (SURVEY §2.1 S4-S7, §2.3 J3-J5, §1.3).
+  *
+  * The reference mutates rows in place (embedding_status state machine,
+  * DELETE ... IN batches, UPDATE file_path on moves). Re-expressed here
+  * as idempotent snapshot algebra over immutable tables: every "update"
+  * is an anti-join + union + atomic overwrite of the affected partition
+  * set. That is the only pattern that scales: at 100 TB there is no
+  * row-level UPDATE, only partition rewrite, and every operation below
+  * is a pure DataFrame → DataFrame function until the final write.
+  */
+object IndexStore {
+
+  def write(df: DataFrame, path: String, partitions: Int = 0): Unit = {
+    val out = if (partitions > 0) df.repartition(partitions) else df
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Upsert semantics of `vectors_backend.py:482-677` (delete same ids,
+    * then append) without the delete: keep stored rows whose key is not
+    * in the incoming batch, union the batch.
+    */
+  def upsert(stored: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    stored.join(incoming.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(incoming)
+
+  /** Delete-by-file-set (`chunks_backend.py:943-1007`): one anti-join, no
+    * IN-batching needed.
+    */
+  def deleteByFiles(stored: DataFrame, staleFiles: DataFrame): DataFrame =
+    stored.join(staleFiles.select("file_path").distinct(), Seq("file_path"), "left_anti")
+
+  /** Change detection (J4, `indexer.py:581-639`): disk files whose hash is
+    * absent or different in the stored table. Output = disk rows to
+    * (re)index.
+    */
+  def changedFiles(disk: DataFrame, stored: DataFrame): DataFrame = {
+    val storedHash = stored.select(col("file_path"),
+      col("file_hash").as("stored_hash")).distinct()
+    disk.join(storedHash, Seq("file_path"), "left")
+      .filter(col("stored_hash").isNull || col("stored_hash") =!= col("file_hash"))
+      .drop("stored_hash")
+  }
+
+  /** Deleted files (stored paths no longer on disk). */
+  def deletedFiles(disk: DataFrame, stored: DataFrame): DataFrame =
+    stored.select("file_path").distinct()
+      .join(disk.select("file_path").distinct(), Seq("file_path"), "left_anti")
+
+  /** File-move detection (J5, `indexer.py:594-618`): a stored path that
+    * vanished whose hash reappears at a new disk path. Output:
+    * (old_path, new_path, file_hash) — apply as a metadata-only path
+    * rewrite (S7), skipping re-embedding.
+    */
+  def movedFiles(disk: DataFrame, stored: DataFrame): DataFrame = {
+    val gone = deletedFiles(disk, stored)
+      .join(stored.select(col("file_path"), col("file_hash")).distinct(), Seq("file_path"))
+      .select(col("file_path").as("old_path"), col("file_hash"))
+    val fresh = changedFiles(disk, stored)
+      .select(col("file_path").as("new_path"), col("file_hash"))
+    gone.join(fresh, Seq("file_hash"))
+      .select(col("old_path"), col("new_path"), col("file_hash"))
+  }
+
+  /** In-place path rewrite for moves (S7 semantics) as a column rewrite. */
+  def applyMoves(stored: DataFrame, moves: DataFrame): DataFrame =
+    stored
+      .join(moves.select(col("old_path").as("file_path"), col("new_path")),
+        Seq("file_path"), "left")
+      .withColumn("file_path", coalesce(col("new_path"), col("file_path")))
+      .drop("new_path")
+
+  /** Unembedded chunks (J3, `vectors_backend.py:1355-1397`): in chunks
+    * table but not in vectors table — this replaces the reference's
+    * embedding_status state machine entirely.
+    */
+  def unembedded(chunks: DataFrame, vectors: DataFrame): DataFrame =
+    chunks.join(vectors.select("chunk_id").distinct(), Seq("chunk_id"), "left_anti")
+}

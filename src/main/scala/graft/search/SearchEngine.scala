@@ -1,0 +1,190 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunker
+import graft.core.FileRecord
+import graft.embed.HashEmbedder
+import graft.functions.VectorFunctions
+import graft.index.IndexStore
+import graft.ingest.FileDiscovery
+
+/** End-to-end engine facade — the reference's `SemanticIndexer` +
+  * `SemanticSearchEngine` (SURVEY §3.1/§3.2) as one lazily-composed
+  * DataFrame pipeline per query.
+  *
+  * Index side: discovery scan → flatMap chunker → hash-featurizer embed →
+  * chunks/vectors Parquet. The reference's producer/consumer asyncio
+  * pipeline, process pools, and memory monitor all collapse into Spark
+  * stage pipelining (SURVEY §3.2 note).
+  *
+  * Search side: vector = cosine + threshold + top-k over the vectors
+  * table; keyword = 3-pass tokenizer + BM25; hybrid = RRF fusion with
+  * identifier-aware alpha; then the heuristic boost stage (Q15) and
+  * optional driver-side MMR finisher on the collected top-N.
+  */
+class SearchEngine(spark: SparkSession) {
+  import spark.implicits._
+
+  /** Index a repository root into chunks+vectors DataFrames. */
+  def buildIndex(root: String): (DataFrame, DataFrame) = {
+    val files = FileDiscovery.discover(spark, root)
+    val chunks = files.flatMap(Chunker.chunkFile _).toDF()
+    val enriched = chunks.withColumn("ctx",
+      HashEmbedder.contextText(col("file_path"), col("language"), col("name"), col("content")))
+    val vectors = HashEmbedder.embed(enriched, "chunk_id", "ctx")
+      .withColumnRenamed("id", "chunk_id")
+    // vectors table is denormalized for join-free search
+    // (vectors_backend.py:52 "avoid JOINs")
+    val denorm = vectors.join(
+      chunks.select("chunk_id", "file_path", "content", "language",
+        "start_line", "end_line", "chunk_type", "name"), Seq("chunk_id"))
+    (chunks, denorm)
+  }
+
+  def indexRepo(root: String, chunksPath: String, vectorsPath: String): Unit = {
+    val (chunks, vectors) = buildIndex(root)
+    IndexStore.write(chunks, chunksPath)
+    IndexStore.write(vectors, vectorsPath)
+  }
+
+  /** Incremental reindex: only changed files re-chunk/re-embed, deletes
+    * and moves handled by set algebra (SURVEY §7 step 3).
+    */
+  def incrementalIndex(root: String, chunksPath: String, vectorsPath: String): Unit = {
+    val disk = FileDiscovery.discover(spark, root).toDF()
+    val stored = IndexStore.read(spark, chunksPath)
+    val storedVec = IndexStore.read(spark, vectorsPath)
+
+    val moves = IndexStore.movedFiles(disk, stored).cache()
+    val movedNew = moves.select(col("new_path")).distinct()
+    val changed = IndexStore.changedFiles(disk, stored)
+      .join(movedNew, col("file_path") === col("new_path"), "left_anti")
+    val deleted = IndexStore.deletedFiles(disk, stored)
+      .join(moves.select(col("old_path")), col("file_path") === col("old_path"), "left_anti")
+
+    val changedFiles = changed.as[FileRecord]
+    val newChunks = changedFiles.flatMap(Chunker.chunkFile _).toDF()
+    val enriched = newChunks.withColumn("ctx",
+      HashEmbedder.contextText(col("file_path"), col("language"), col("name"), col("content")))
+    val newVectors = HashEmbedder.embed(enriched, "chunk_id", "ctx")
+      .withColumnRenamed("id", "chunk_id")
+      .join(newChunks.select("chunk_id", "file_path", "content", "language",
+        "start_line", "end_line", "chunk_type", "name"), Seq("chunk_id"))
+
+    val changedPaths = changed.select("file_path")
+    val keptChunks = IndexStore.applyMoves(
+      IndexStore.deleteByFiles(
+        IndexStore.deleteByFiles(stored, deleted), changedPaths), moves)
+    val keptVectors = IndexStore.applyMoves(
+      IndexStore.deleteByFiles(
+        IndexStore.deleteByFiles(storedVec, deleted), changedPaths), moves)
+
+    val outChunks = keptChunks.unionByName(newChunks).cache()
+    val outVectors = keptVectors.unionByName(newVectors).cache()
+    outChunks.count(); outVectors.count() // materialize before overwrite
+    IndexStore.write(outChunks, chunksPath)
+    IndexStore.write(outVectors, vectorsPath)
+    moves.unpersist()
+  }
+
+  /** Embed a query string with the exact corpus featurizer (1-row plan). */
+  def embedQuery(query: String): Array[Float] = {
+    val df = Seq((0L, query)).toDF("id", "text")
+    HashEmbedder.embed(df, "id", "text")
+      .select("vector").as[Array[Float]].head()
+  }
+
+  /** Vector search over a vectors DataFrame. */
+  def vectorSearch(vectors: DataFrame, query: String, limit: Int,
+      threshold: Option[Double] = None): DataFrame = {
+    val q = QueryProcessor.preprocess(query)
+    val th = threshold.getOrElse(QueryProcessor.adaptiveThreshold(q))
+    val qvec = typedlit(embedQuery(q))
+    val scored = vectors
+      .withColumn("similarity_score", VectorFunctions.cosine(col("vector"), qvec))
+      .filter(col("similarity_score") >= th)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("similarity_score").desc, col("chunk_id"))))
+      .filter(col("rank") <= limit)
+  }
+
+  /** BM25 keyword search over chunks (corpus = content + 2×name +
+    * file_path + chunk_type, `bm25_backend.py:88-122`).
+    */
+  def keywordSearch(chunks: DataFrame, query: String, limit: Int): DataFrame = {
+    val tokenizeUdf = udf((s: String) => Tokenizer.tokenize(s))
+    val corpus = chunks.withColumn("bm25_text",
+      concat_ws(" ", col("content"), col("name"), col("name"),
+        col("file_path"), col("chunk_type")))
+    val postings = Bm25.postings(
+      corpus.withColumn("toks", tokenizeUdf(col("bm25_text"))), "chunk_id", col("toks"))
+    val qToks = Tokenizer.tokenize(QueryProcessor.preprocess(query))
+    Bm25.score(spark, postings, qToks)
+      .withColumnRenamed("id", "chunk_id")
+      .filter(col("score") > 0) // P7 zero-score filter
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("chunk_id"))))
+      .filter(col("rank") <= limit)
+  }
+
+  /** Hybrid search: RRF fusion of vector + keyword ranks, alpha lowered
+    * for identifier-shaped queries (Q3), heuristic boost (Q15).
+    */
+  def hybridSearch(vectors: DataFrame, chunks: DataFrame, query: String,
+      limit: Int): DataFrame = {
+    val alpha = QueryProcessor.hybridAlpha(query)
+    val v = vectorSearch(vectors, query, limit * 2, threshold = Some(0.0))
+      .select(col("chunk_id").as("id"), col("rank"))
+    val k = keywordSearch(chunks, query, limit * 2)
+      .select(col("chunk_id").as("id"), col("rank"))
+    val fused = Fusion.rrf(v, k, alpha)
+      .withColumnRenamed("id", "chunk_id")
+      .join(vectors, Seq("chunk_id"), "left")
+    boost(fused, query, "rrf_score")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("boosted").desc, col("chunk_id"))))
+      .filter(col("rank") <= limit)
+  }
+
+  /** Heuristic rerank boosts (Q15, `core/result_ranker.py:7-208`):
+    * exact identifier +0.15, filename hit +0.08, function chunk +0.05,
+    * class +0.03, test-path penalty −0.02; capped at 1.0.
+    */
+  def boost(results: DataFrame, query: String, scoreCol: String): DataFrame = {
+    val q = query.toLowerCase
+    results.withColumn("boosted", least(lit(1.0),
+      col(scoreCol) +
+        when(lower(col("name")) === q, 0.15).otherwise(0.0) +
+        when(lower(col("file_path")).contains(q), 0.08).otherwise(0.0) +
+        when(col("chunk_type") === "function", 0.05).otherwise(0.0) +
+        when(col("chunk_type") === "class", 0.03).otherwise(0.0) -
+        when(col("file_path").rlike("(^|/)tests?/"), 0.02).otherwise(0.0)))
+  }
+
+  /** Code-to-code search (Q16): use a chunk's content as the query. */
+  def searchSimilar(vectors: DataFrame, chunkId: String, limit: Int): DataFrame = {
+    val content = vectors.filter(col("chunk_id") === chunkId)
+      .select("content").as[String].head()
+    vectorSearch(vectors, content, limit + 1, threshold = Some(0.0))
+      .filter(col("chunk_id") =!= chunkId)
+  }
+
+  /** MMR diversity finisher (Q11): collect top-3k candidates, greedy-pick
+    * k diverse results driver-side.
+    */
+  def mmrFinish(results: DataFrame, k: Int, lambda: Double = 0.7): Seq[Mmr.Candidate] = {
+    val cands = results
+      .select(col("chunk_id"), col("similarity_score"), col("vector"))
+      .limit(3 * k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        Mmr.Candidate(i.toLong, r.getDouble(1), r.getSeq[Float](2).toArray)
+      }
+    Mmr.rerank(cands.toSeq, lambda, k)
+  }
+}

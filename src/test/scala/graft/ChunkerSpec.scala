@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.chunk.Chunker
+import graft.core.FileRecord
+
+class ChunkerSpec extends AnyFunSuite {
+
+  private def rec(path: String, lang: String, content: String) =
+    FileRecord(path, lang, Chunker.sha256Hex(content),
+      new java.sql.Timestamp(0L), content.length.toLong, content)
+
+  private val py = rec("/repo/a.py", "python", Seq(
+    "import os",
+    "",
+    "class Widget:",
+    "    \"\"\"A widget.\"\"\"",
+    "",
+    "    def render(self, x):",
+    "        \"\"\"Render the widget.\"\"\"",
+    "        if x > 0:",
+    "            return x",
+    "        return 0",
+    "",
+    "def main():",
+    "    w = Widget()",
+    "    return w.render(1)",
+    "").mkString("\n"))
+
+  test("python: classes, methods, functions extracted with parents") {
+    val chunks = Chunker.chunkFile(py)
+    val byName = chunks.map(c => c.name -> c).toMap
+    assert(byName.contains("Widget") && byName.contains("render") && byName.contains("main"))
+    assert(byName("render").chunk_type == "method")
+    assert(byName("render").parent_name == "Widget")
+    assert(byName("render").hierarchy_path == "Widget.render")
+    assert(byName("main").chunk_type == "function")
+    assert(byName("main").parent_name == "")
+    assert(byName("Widget").chunk_type == "class")
+  }
+
+  test("line ranges are 1-based inclusive and within file") {
+    val chunks = Chunker.chunkFile(py)
+    chunks.foreach { c =>
+      assert(c.start_line >= 1 && c.end_line >= c.start_line)
+    }
+    val render = chunks.find(_.name == "render").get
+    assert(render.start_line == 6 && render.end_line == 10)
+  }
+
+  test("chunk ids deterministic") {
+    val a = Chunker.chunkFile(py).map(_.chunk_id)
+    val b = Chunker.chunkFile(py).map(_.chunk_id)
+    assert(a == b)
+    assert(a.distinct.size == a.size)
+  }
+
+  test("docstring and complexity extracted") {
+    val chunks = Chunker.chunkFile(py)
+    val render = chunks.find(_.name == "render").get
+    assert(render.docstring == "Render the widget.")
+    assert(render.complexity == 2) // 1 + one `if`
+  }
+
+  test("calls and imports extracted") {
+    val chunks = Chunker.chunkFile(py)
+    val main = chunks.find(_.name == "main").get
+    assert(main.calls.contains("Widget"))
+    val header = chunks.find(_.name == "<module>").get
+    assert(header.imports.contains("os"))
+  }
+
+  test("markdown: header sections with hierarchy") {
+    val md = rec("/repo/g.md", "markdown",
+      "# Top\n\nintro\n\n## Sub One\n\nbody\n\n### Deep\n\nmore\n\n## Sub Two\n\nend\n")
+    val chunks = Chunker.chunkFile(md)
+    val names = chunks.map(_.name)
+    assert(names == Seq("Top", "Sub One", "Deep", "Sub Two"))
+    assert(chunks.find(_.name == "Deep").get.parent_name == "Sub One")
+    assert(chunks.forall(_.chunk_type == "doc_section"))
+  }
+
+  test("javascript: functions, arrows, classes") {
+    val js = rec("/repo/s.js", "javascript",
+      """import { x } from "./x";
+        |export function alpha(a) {
+        |  return a + 1;
+        |}
+        |const beta = (b) => b * 2;
+        |export class Gamma {
+        |  delta() { return 3; }
+        |}
+        |""".stripMargin)
+    val chunks = Chunker.chunkFile(js)
+    val names = chunks.map(_.name)
+    assert(names.contains("alpha") && names.contains("beta") && names.contains("Gamma"))
+  }
+
+  test("unknown language falls back to fixed windows") {
+    val txt = rec("/repo/big.txt", "text", (1 to 100).map(i => s"line $i").mkString("\n"))
+    val chunks = Chunker.chunkFile(txt)
+    assert(chunks.size == 3)
+    assert(chunks.head.start_line == 1 && chunks.head.end_line == 40)
+    assert(chunks.last.end_line == 100)
+  }
+}
