@@ -1,0 +1,195 @@
+package graft.analyze
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph.Kg
+
+/** Code-quality + repo analytics (SURVEY §2.4 A8-A16, A18) as pure
+  * aggregations over the chunks table / KG edges. Everything partial-
+  * aggregable; the only iterative piece (dead-code reachability) reuses
+  * the KG frontier join.
+  */
+object Analytics {
+
+  /** A10 coupling: efferent (imports out), afferent (imported by),
+    * instability I = Ce/(Ca+Ce), letter grades.
+    */
+  def coupling(chunks: DataFrame): DataFrame = {
+    val fileImports = chunks
+      .select(col("file_path"), explode(col("imports")).as("module"))
+      .distinct()
+    // afferent: how many *other files* import a module that maps to this
+    // file's basename (heuristic module→file resolution, as the
+    // reference's import resolution is heuristic too, coupling.py:761-900)
+    val ce = fileImports.groupBy("file_path")
+      .agg(countDistinct("module").as("efferent"))
+    val basename = chunks.select(col("file_path")).distinct()
+      .withColumn("modname",
+        regexp_extract(col("file_path"), "([^/]+?)\\.[a-z]+$", 1))
+    val ca = fileImports.as("fi")
+      .join(basename.as("b"),
+        col("fi.module").endsWith(col("b.modname")) &&
+          col("fi.file_path") =!= col("b.file_path"))
+      .groupBy(col("b.file_path").as("file_path"))
+      .agg(countDistinct(col("fi.file_path")).as("afferent"))
+    basename.select("file_path")
+      .join(ce, Seq("file_path"), "left")
+      .join(ca, Seq("file_path"), "left")
+      .na.fill(0L, Seq("efferent", "afferent"))
+      .withColumn("instability",
+        when(col("efferent") + col("afferent") === 0, 0.0)
+          .otherwise(col("efferent").cast("double") /
+            (col("efferent") + col("afferent"))))
+      .withColumn("grade",
+        when(col("instability") <= 0.2, "A")
+          .when(col("instability") <= 0.4, "B")
+          .when(col("instability") <= 0.6, "C")
+          .when(col("instability") <= 0.8, "D").otherwise("F"))
+  }
+
+  /** A11 import-cycle detection: 3-color DFS on the (small) module-level
+    * import graph, driver-side after aggregation — edge count is
+    * O(files·avg imports), metadata-scale even for huge repos; the
+    * distributed part is the aggregation producing it.
+    */
+  def importCycles(chunks: DataFrame, maxEdges: Int = 200000): Seq[Seq[String]] = {
+    val edges = chunks
+      .select(col("file_path"), explode(col("imports")).as("module"))
+      .distinct()
+      .limit(maxEdges)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byModule = edges.groupBy(_._1.replaceAll(""".*/""", "")
+      .replaceAll("""\.[a-z]+$""", ""))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val fileOfModule = byModule.view.mapValues(_.head._1).toMap
+    val cycles = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+    val color = scala.collection.mutable.Map.empty[String, Int] // 0 white 1 grey 2 black
+    def dfs(file: String, stack: List[String]): Unit = {
+      color(file) = 1
+      for (m <- adj.getOrElse(file, Array.empty[String]);
+           nf <- fileOfModule.get(m) if nf != file) {
+        color.getOrElse(nf, 0) match {
+          case 0 => dfs(nf, nf :: stack)
+          case 1 => cycles += (nf :: stack).reverse.dropWhile(_ != nf)
+          case _ =>
+        }
+      }
+      color(file) = 2
+    }
+    adj.keys.toSeq.sorted.foreach(f => if (color.getOrElse(f, 0) == 0) dfs(f, List(f)))
+    cycles.toSeq
+  }
+
+  /** A12 code smells: threshold rules → exploded (chunk_id, smell,
+    * severity) rows (`analysis/collectors/smells.py` semantics).
+    */
+  def smells(chunks: DataFrame): DataFrame = {
+    val nLines = col("end_line") - col("start_line") + 1
+    val nParams = size(split(regexp_extract(col("signature"), "\\(([^)]*)\\)", 1), ","))
+    val rules = array(
+      when(nLines > 50, struct(lit("long_method").as("smell"), lit("major").as("severity"))),
+      when(col("complexity") > 10, struct(lit("high_complexity").as("smell"), lit("critical").as("severity"))),
+      when(col("complexity") > 5 && col("complexity") <= 10, struct(lit("moderate_complexity").as("smell"), lit("minor").as("severity"))),
+      when(nParams > 5, struct(lit("too_many_params").as("smell"), lit("major").as("severity"))),
+      when(col("docstring") === "" && col("chunk_type").isin("function", "method", "class") && nLines > 10,
+        struct(lit("missing_docstring").as("smell"), lit("info").as("severity"))))
+    chunks
+      .withColumn("s", explode(array_compact(rules)))
+      .select(col("chunk_id"), col("file_path"), col("name"),
+        col("s.smell"), col("s.severity"))
+  }
+
+  /** A14 complexity hotspots: top-N chunks/files by complexity. */
+  def hotspots(chunks: DataFrame, n: Int): DataFrame =
+    chunks
+      .filter(col("chunk_type").isin("function", "method", "class"))
+      .orderBy(col("complexity").desc, col("chunk_id"))
+      .select("file_path", "name", "chunk_type", "complexity", "token_count")
+      .limit(n)
+
+  /** A9 Halstead metrics per chunk from token classes (operators ~
+    * punctuation/keywords, operands ~ identifiers/literals).
+    */
+  def halstead(chunks: DataFrame): DataFrame = {
+    val ops = regexp_extract_all(col("content"),
+      lit("""[-+*/%=<>!&|^~]+|\b(if|else|for|while|return|def|class)\b"""), lit(0))
+    val operands = regexp_extract_all(col("content"), lit("""\b[A-Za-z_]\w*\b|\b\d+\b"""), lit(0))
+    chunks.select(col("chunk_id"), col("name"), ops.as("ops"), operands.as("opnds"))
+      .withColumn("n1", size(array_distinct(col("ops"))))
+      .withColumn("n2", size(array_distinct(col("opnds"))))
+      .withColumn("bigN1", size(col("ops")))
+      .withColumn("bigN2", size(col("opnds")))
+      .withColumn("vocabulary", col("n1") + col("n2"))
+      .withColumn("length", col("bigN1") + col("bigN2"))
+      .withColumn("volume",
+        when(col("vocabulary") > 0,
+          col("length") * log2(col("vocabulary"))).otherwise(0.0))
+      .withColumn("difficulty",
+        when(col("n2") > 0, col("n1") / lit(2.0) * col("bigN2") / col("n2"))
+          .otherwise(0.0))
+      .withColumn("effort", col("volume") * col("difficulty"))
+      .drop("ops", "opnds")
+  }
+
+  /** A16 directory rollups: recursive per-directory totals via path-prefix
+    * explode (`core/directory_index.py` semantics, no recursion needed).
+    */
+  def directoryRollups(chunks: DataFrame): DataFrame = {
+    val parts = split(col("file_path"), "/")
+    val prefixes = transform(
+      sequence(lit(1), size(parts) - 1),
+      i => concat_ws("/", slice(parts, lit(1), i)))
+    val exploded = chunks.withColumn("dir", explode(prefixes))
+    val totals = exploded.groupBy(col("dir")).agg(
+      countDistinct(col("file_path")).as("file_count"),
+      count(lit(1)).as("total_chunks"))
+    val langHist = exploded
+      .groupBy(col("dir"), col("language")).agg(count(lit(1)).as("n"))
+      .groupBy(col("dir"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("language"), col("n"))))).as("languages"))
+    totals.join(langHist, Seq("dir"))
+      .withColumn("depth", size(split(col("dir"), "/")))
+  }
+
+  /** A13 dead-code reachability: entry points → CALLS-closure → the rest
+    * is dead, with confidence by entity kind
+    * (`analysis/dead_code.py:108-500`).
+    */
+  def deadCode(chunks: DataFrame, kg: Kg.KgTables): DataFrame = {
+    val entries = kg.vertices
+      .filter(col("label").isin("function", "method", "class"))
+      .filter(
+        col("name").rlike("^(main|test_|Test)") ||
+          col("name").isin("__init__", "__main__", "setup", "run") ||
+          col("file_path").rlike("(^|/)tests?/"))
+      .select("id")
+    val callEdges = kg.edges.filter(col("rel_type").isin("CALLS", "CONTAINS"))
+    val reached = Kg.minDist(callEdges, entries, maxHops = 8).select("id")
+    kg.vertices
+      .filter(col("label").isin("function", "method", "class"))
+      .join(reached, Seq("id"), "left_anti")
+      .withColumn("confidence",
+        when(col("label") === "method", 0.6).otherwise(0.8))
+      .select("id", "name", "label", "file_path", "confidence")
+  }
+
+  /** A18 story phases: commits bucketed into fixed time windows with
+    * per-phase stats (`story/analyzer.py:417-594` semantics).
+    */
+  def storyPhases(commits: DataFrame, nPhases: Int = 5): DataFrame = {
+    val w = Window.orderBy(col("ts"))
+    commits
+      .withColumn("phase", ntile(nPhases).over(w))
+      .groupBy("phase")
+      .agg(
+        min("ts").as("phase_start"),
+        max("ts").as("phase_end"),
+        count(lit(1)).as("n_commits"),
+        countDistinct("author").as("n_authors"),
+        sum("files_changed").as("files_changed"))
+  }
+}
