@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.chunk.Chunker
+import graft.core.FileRecord
+import graft.embed.HashEmbedder
+import graft.index.IndexStore
+import graft.ingest.FileDiscovery
+
+/** Streaming incremental reindex (SURVEY §2.9 ST1-ST5).
+  *
+  * The reference watches the filesystem with watchdog callbacks, a 2s
+  * debounce buffer, and per-event mutation of the stores
+  * (`core/watcher.py`). Spark-first: change notifications become an
+  * event *stream* (file_path, event_type, ts); each micro-batch is
+  * debounced relationally (last event per file wins — exactly the
+  * reference's coalescing buffer) and applied as one idempotent
+  * set-algebra transaction (delete → rechunk → re-embed → upsert) via
+  * `foreachBatch`. The trigger interval IS the debounce window.
+  */
+object WatchStream {
+
+  final case class FileEvent(file_path: String, event_type: String, ts: Timestamp)
+
+  /** ST1 (new-file flavor): stream of file records for files appearing
+    * under `root` — Structured Streaming's file source only surfaces new
+    * files, so modify/delete flows use the event-stream entry instead.
+    */
+  def newFileStream(spark: SparkSession, root: String): DataFrame =
+    spark.readStream
+      .format("text").option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        input_file_name().as("file_path"),
+        col("value").as("content"),
+        current_timestamp().as("ts"))
+
+  /** ST2 debounce: last event per file within the micro-batch
+    * (watcher.py:88-120 "collect pending changes, flush after quiet").
+    */
+  def latestEventPerFile(batch: DataFrame): DataFrame =
+    batch.groupBy(col("file_path"))
+      .agg(max_by(col("event_type"), col("ts")).as("event_type"))
+
+  /** ST3: apply one debounced micro-batch to the chunks/vectors tables. */
+  def applyBatch(spark: SparkSession, batch: DataFrame,
+      chunksPath: String, vectorsPath: String): Unit = {
+    val events = latestEventPerFile(batch).cache()
+    try {
+      val deleted = events.filter(col("event_type") === "deleted")
+        .select("file_path")
+      val touched = events.filter(col("event_type").isin("created", "modified"))
+        .select("file_path").collect().map(_.getString(0)).filter(p =>
+          new java.io.File(p).isFile)
+
+      import spark.implicits._
+      val records: Seq[FileRecord] = touched.toSeq.map { p =>
+        val content = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        val ext = p.replaceAll(""".*\.""", "").toLowerCase
+        FileRecord(p,
+          FileDiscovery.LanguageByExtension.getOrElse(ext, "text"),
+          Chunker.sha256Hex(content), new Timestamp(System.currentTimeMillis()),
+          content.length.toLong, content)
+      }
+      val newChunks = records.toDS().flatMap(Chunker.chunkFile _).toDF()
+      val enriched = newChunks.withColumn("ctx", HashEmbedder.contextText(
+        col("file_path"), col("language"), col("name"), col("content")))
+      val newVectors = HashEmbedder.embed(enriched, "chunk_id", "ctx")
+        .withColumnRenamed("id", "chunk_id")
+        .join(newChunks.select("chunk_id", "file_path", "content", "language",
+          "start_line", "end_line", "chunk_type", "name"), Seq("chunk_id"))
+
+      val touchedDf = touched.toSeq.toDF("file_path")
+      val stored = IndexStore.read(spark, chunksPath)
+      val storedVec = IndexStore.read(spark, vectorsPath)
+      val outChunks = IndexStore
+        .deleteByFiles(IndexStore.deleteByFiles(stored, deleted), touchedDf)
+        .unionByName(newChunks).cache()
+      val outVectors = IndexStore
+        .deleteByFiles(IndexStore.deleteByFiles(storedVec, deleted), touchedDf)
+        .unionByName(newVectors).cache()
+      outChunks.count(); outVectors.count() // materialize before overwrite
+      IndexStore.write(outChunks, chunksPath)
+      IndexStore.write(outVectors, vectorsPath)
+    } finally events.unpersist()
+  }
+
+  /** Wire an event stream into the debounced reindex sink. The trigger
+    * period plays the role of the reference's 2 s debounce window.
+    */
+  def start(events: DataFrame, chunksPath: String, vectorsPath: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          applyBatch(batch.sparkSession, batch, chunksPath, vectorsPath)
+        }
+      }
+      .start()
+
+  /** ST4 search-triggered staleness check (`core/auto_indexer.py`):
+    * count changed files cheaply; caller reindexes when under threshold.
+    */
+  def staleFileCount(spark: SparkSession, root: String, chunksPath: String): Long = {
+    val disk = FileDiscovery.discover(spark, root).toDF()
+    val stored = IndexStore.read(spark, chunksPath)
+    IndexStore.changedFiles(disk, stored).count() +
+      IndexStore.deletedFiles(disk, stored).count()
+  }
+
+  /** Windowed event-rate analytics with watermarking (the reference has
+    * no late-data semantics — this is the Spark-native upgrade for the
+    * story/analytics stream at scale).
+    */
+  def eventRates(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}
