@@ -28,11 +28,14 @@ object Knn {
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
     val scored = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        VectorFunctions.norm2(col(vecCol)).as("n2"))
       .crossJoin(broadcast(
-        queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))))
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+          VectorFunctions.norm2(col(qvecCol)).as("qn2"))))
       .filter(col("id") =!= col("qid"))
-      .withColumn("sim", VectorFunctions.cosine(col("vec"), col("qvec")))
+      .withColumn("sim", VectorFunctions.cosinePre(
+        col("vec"), col("qvec"), col("n2"), col("qn2")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -41,19 +44,21 @@ object Knn {
   }
 
   /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * maps hash60 to a value in [-1, 1). Used to build sign-LSH buckets.
+    * hash60 mapped to [-1, 1). Computed driver-side — the planes are
+    * plan-time constants, so no per-row hashing.
     */
-  private def planeComponent(bit: Int, dim: Column): Column =
-    (PortableHash.hash60(concat(lit(bit.toString), lit("_"), dim.cast("string")),
-      lit("plane")).cast("double") / lit((1L << 59).toDouble)) - lit(1.0)
+  def planeComponent(bit: Int, dim: Int): Double =
+    PortableHash.hash60Local(s"${bit}_$dim", "plane").toDouble /
+      (1L << 59).toDouble - 1.0
 
-  /** Sign-LSH bucket id of a vector column (nBits-bit int). */
-  def signBucket(vec: Column, nBits: Int): Column = {
+  /** Sign-LSH bucket id of a vector column (nBits-bit int). Plane vectors
+    * are literal arrays; each bit costs one zip_with fold per row.
+    */
+  def signBucket(vec: Column, nBits: Int, dim: Int): Column = {
     val bits = (0 until nBits).map { b =>
-      // dot(vec, plane_b) computed via the positional aggregate
+      val plane = typedlit((0 until dim).map(i => planeComponent(b, i)))
       val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(b, i)),
+        zip_with(vec, plane, (x, p) => x.cast("double") * p),
         lit(0.0d), (acc, x) => acc + x)
       when(dot > 0, lit(1L << b)).otherwise(lit(0L))
     }
@@ -66,11 +71,11 @@ object Knn {
     */
   def hyperplaneBucketTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nBits: Int): DataFrame = {
+      k: Int, nBits: Int, dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", signBucket(col("vec"), nBits))
+      .withColumn("bucket", signBucket(col("vec"), nBits, dim))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
-      .withColumn("bucket", signBucket(col("qvec"), nBits))
+      .withColumn("bucket", signBucket(col("qvec"), nBits, dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim", VectorFunctions.cosine(col("vec"), col("qvec")))

@@ -145,10 +145,14 @@ object Dedup {
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minSim: Double): DataFrame = {
-    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // squared norms precomputed once per row (N rows), not per pair (N²)
+    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"),
+      VectorFunctions.norm2(col(vecCol)).as("na2"))
+    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      VectorFunctions.norm2(col(vecCol)).as("nb2"))
     l.join(r, col("a") < col("b"))
-      .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
+      .withColumn("sim", VectorFunctions.cosinePre(
+        col("va"), col("vb"), col("na2"), col("nb2")))
       .filter(col("sim") >= minSim)
       .select(col("a"), col("b"), col("sim"))
   }

@@ -36,4 +36,17 @@ object PortableHash {
   def hash60Sql(seedExpr: String, valueExpr: String): String =
     s"CAST(md5_number_lower(concat(CAST($seedExpr AS VARCHAR), ':', $valueExpr)) " +
       s"% 1152921504606846976::UBIGINT AS BIGINT)"
+
+  /** Driver-side Scala mirror of hash60 — for plan-time constants
+    * (e.g. LSH hyperplanes) and tests. Must stay bit-identical to the
+    * Column version.
+    */
+  def hash60Local(seed: String, value: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$value".getBytes("UTF-8"))
+    var v = 0L
+    var i = 15
+    while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    v & Mask60
+  }
 }

@@ -18,12 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential float32 dot product of two array<float> columns. */
-  def dotF(a: Column, b: Column): Column =
+  /** Sequential float32 dot product of two array<float> columns, as the
+    * codegen'd native FloatDot expression (registered lazily per session,
+    * invoked through the public `call_function` API).
+    */
+  def dotF(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fdot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+    call_function("graft_fdot", a, b)
+  }
+
+  /** Reference HOF implementation of the same fold (kept for parity
+    * testing against FloatDot — must stay bit-identical).
+    */
+  def dotFHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x * y),
       lit(0.0f),
       (acc, x) => acc + x)
+
+  /** Cosine from precomputed squared norms (already cast to double):
+    * identical arithmetic shape to `cosineSql` — dot cast double over
+    * sqrt of the product — so precomputation changes cost, not bits.
+    */
+  def cosinePre(a: Column, b: Column, na2: Column, nb2: Column): Column =
+    dotF(a, b).cast("double") / sqrt(na2 * nb2)
+
+  /** Squared-norm column (float dot cast double), for precomputation. */
+  def norm2(v: Column): Column = dotF(v, v).cast("double")
 
   /** Cosine similarity in double, from float32 dots. */
   def cosine(a: Column, b: Column): Column =
