@@ -1,0 +1,101 @@
+package graft.ann
+
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) ANN index — the reference's LanceDB IVF_SQ path
+  * (`core/vectors_backend.py:1264-1353`, query `:793-804`) re-expressed
+  * as data layout + query shape:
+  *
+  *  - build: MLlib KMeans (seeded, deterministic) over a sample →
+  *    centroid table (tiny, broadcast); corpus assigned to nearest
+  *    centroid → at rest, write the vectors table PARTITIONED BY
+  *    cluster_id so a probe prunes partitions at the parquet scan;
+  *  - query: rank centroids by distance to the query, keep `nprobes`,
+  *    exact cosine only over rows in those clusters, top-k.
+  *
+  * Sizing mirrors the reference: k = clamp(√N, 16, 512) capped at
+  * N/4096, index skipped entirely below 4096 rows (brute force wins,
+  * BASELINE.md "ANN index build threshold").
+  */
+object Ivf {
+
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, k: Int)
+
+  def clusterCount(n: Long): Int = {
+    val byRoot = math.sqrt(n.toDouble).toInt
+    val byMin = (n / 4096L).toInt
+    math.max(1, math.min(math.min(math.max(byRoot, 16), 512), math.max(byMin, 1)))
+  }
+
+  /** Build the index: assign every row to its nearest centroid.
+    * Output `assigned` = corpus + cluster_id; `centroids` = (cluster_id,
+    * centroid array<float>). Deterministic via fixed seed.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      seed: Long = 42L, kOverride: Option[Int] = None): IvfIndex = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val n = base.count()
+    if (n < 4096 && kOverride.isEmpty) {
+      // below threshold: single cluster (degenerates to brute force)
+      val assigned = base.withColumn("cluster_id", lit(0))
+      val centroids = base.limit(1)
+        .select(lit(0).as("cluster_id"), col("vec").as("centroid"))
+      return IvfIndex(assigned, centroids, 1)
+    }
+    val k = kOverride.getOrElse(clusterCount(n))
+    val withFeatures = base.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("vec")))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20).setFeaturesCol("features")
+      .fit(withFeatures)
+    val assigned = model.transform(withFeatures)
+      .withColumnRenamed("prediction", "cluster_id")
+      .drop("features")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("cluster_id", "centroid")
+    IvfIndex(assigned, centroids, k)
+  }
+
+  /** Persist partitioned by cluster so probes prune at the scan. */
+  def write(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cluster_id").parquet(s"$path/vectors")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query: prune to the `nprobes` nearest clusters, exact cosine top-k
+    * inside them. `refine` over-fetch (reference refine_factor) happens
+    * naturally since scoring inside probed clusters is already exact.
+    */
+  def topK(index: IvfIndex, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, nprobes: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    // rank centroids per query (centroid table is tiny: k ≤ 512 rows)
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cluster_id").asc)
+    val probes = index.centroids.crossJoin(broadcast(q))
+      .withColumn("cdist", VectorFunctions.l2sqF(col("centroid"), col("qvec")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobes)
+      .select(col("qid"), col("qvec"), col("cluster_id"))
+    // scan only probed clusters (partition pruning when read from disk)
+    val scored = index.assigned
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", VectorFunctions.cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rank"))
+  }
+}

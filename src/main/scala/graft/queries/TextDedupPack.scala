@@ -153,6 +153,18 @@ object TextDedupPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // IVF ANN: KMeans centroids -> nprobe cluster pruning -> exact top-k
+    // (rows-only check: KMeans isn't SQL-expressible; recall vs brute
+    // force is asserted in IvfSpec).
+    "a3_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      val idx = graft.ann.Ivf.build(emb, "vec_id", "embedding",
+        kOverride = Some(8))
+      graft.ann.Ivf.topK(idx, q, "vec_id", "embedding", 10, nprobes = 2)
+        .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
     // Sign-LSH bucketed ANN (scale path; rows-only check — recall vs the
     // brute-force oracle is asserted in ScalaTest instead).
     "a2_knn_bucketed" -> ((s, d) => {

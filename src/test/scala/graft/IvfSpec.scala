@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.{Ivf, Knn}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clustered synthetic corpus: 8 well-separated centers ±small noise —
+    * the regime where IVF must recover exact-search results.
+    */
+  private def clusteredCorpus(nPerCluster: Int, dim: Int = 16) = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, dim)(rnd.nextFloat() * 10 - 5)
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until nPerCluster
+    } yield {
+      val v = centers(c).map(x => x + rnd.nextFloat() * 0.2f - 0.1f)
+      ((c * nPerCluster + i).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cluster count sizing mirrors the reference clamp") {
+    assert(Ivf.clusterCount(5000) == 1)       // N/4096 cap → single partition
+    assert(Ivf.clusterCount(65536) == 16)     // N/4096 = 16 caps sqrt = 256
+    assert(Ivf.clusterCount(100000) == 24)    // N/4096 = 24 caps sqrt(100k) = 316
+    assert(Ivf.clusterCount(10000000) == 512) // sqrt clamp cap 512
+  }
+
+  test("small corpora degenerate to a single cluster (brute force)") {
+    val idx = Ivf.build(clusteredCorpus(10), "vec_id", "embedding")
+    assert(idx.k == 1)
+    assert(idx.assigned.select("cluster_id").distinct().count() == 1)
+  }
+
+  test("ivf recall equals brute force on separated clusters, nprobes=1") {
+    val corpus = clusteredCorpus(600).cache()
+    val queries = corpus.filter(col("vec_id").isin(5L, 1200L, 3000L))
+    val idx = Ivf.build(corpus, "vec_id", "embedding", kOverride = Some(8))
+    assert(idx.k == 8)
+
+    val brute = Knn.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.topK(idx, queries, "vec_id", "embedding", 10, nprobes = 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
+  test("probing fewer clusters scans fewer rows") {
+    val corpus = clusteredCorpus(600).cache()
+    val queries = corpus.filter(col("vec_id") === 5L)
+    val idx = Ivf.build(corpus, "vec_id", "embedding", kOverride = Some(8))
+    val probed = idx.centroids.crossJoin(
+        broadcast(queries.select(col("embedding").as("qvec"))))
+      .count()
+    assert(probed == idx.k) // centroid table stays tiny → broadcast side
+    val hits = Ivf.topK(idx, queries, "vec_id", "embedding", 10, nprobes = 1)
+    assert(hits.count() == 10)
+  }
+}
