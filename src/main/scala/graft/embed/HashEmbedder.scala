@@ -54,4 +54,34 @@ object HashEmbedder {
       .select(col("id"), col("vector"))
     dense
   }
+
+  /** S12 embedding cache: a Parquet KV table keyed by sha2(text). Cached
+    * rows skip featurization (a left join, not an LRU — the reference's
+    * disk cache `embeddings.py:284-404` re-expressed); misses are embedded
+    * and appended back. With a real model behind the Embedder contract
+    * this is the operator that saves the GPU pass.
+    */
+  def embedWithCache(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, cachePath: String): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+      sha2(col(textCol), 256).as("content_sha"))
+    val cache: DataFrame =
+      try spark.read.parquet(cachePath)
+      catch {
+        case _: Throwable => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "content_sha STRING, vector ARRAY<FLOAT>"))
+      }
+    val hits = keyed.join(cache, Seq("content_sha")).select(col("id"), col("vector"))
+    val misses = keyed.join(cache.select("content_sha"), Seq("content_sha"), "left_anti")
+    val fresh = embed(misses, "id", "text")
+    val freshKeyed = fresh.join(keyed.select(col("id"), col("content_sha")), Seq("id"))
+    val updated = cache.unionByName(
+        freshKeyed.select(col("content_sha"), col("vector")))
+      .dropDuplicates("content_sha").cache()
+    updated.count()
+    updated.write.mode("overwrite").parquet(cachePath)
+    hits.unionByName(fresh)
+  }
 }

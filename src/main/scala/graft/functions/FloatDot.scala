@@ -38,6 +38,11 @@ case class FloatDot(left: Expression, right: Expression)
 
   override def dataType: DataType = FloatType
 
+  /** Nullable regardless of child nullability: a null *element* inside a
+    * non-null array still nullifies the fold.
+    */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_fdot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -56,15 +61,19 @@ case class FloatDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("fdotN")
+      val acc = ctx.freshName("fdotAcc")
+      val isNull = ctx.freshName("fdotNull")
+      val i = ctx.freshName("fdotI")
       s"""
-         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |float graft_acc = 0.0f;
-         |boolean graft_null = false;
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  if ($a.isNullAt(graft_i) || $b.isNullAt(graft_i)) { graft_null = true; break; }
-         |  graft_acc += $a.getFloat(graft_i) * $b.getFloat(graft_i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |float $acc = 0.0f;
+         |boolean $isNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $isNull = true; break; }
+         |  $acc += $a.getFloat($i) * $b.getFloat($i);
          |}
-         |if (graft_null) { ${ev.isNull} = true; } else { ${ev.value} = graft_acc; }
+         |if ($isNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |""".stripMargin
     })
 

@@ -24,6 +24,23 @@ object IndexStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S4 compaction: rewrite a table into ~targetBytes files (the
+    * reference compacts every ~20k appended rows,
+    * `chunks_backend.py:553-605`; here it is one repartition rewrite,
+    * to be scheduled after heavy append phases).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val size = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val parts = math.max(1, (size / targetBytes).toInt)
+    val df = spark.read.parquet(path).repartition(parts).cache()
+    df.count()
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    df.unpersist()
+  }
+
   /** Upsert semantics of `vectors_backend.py:482-677` (delete same ids,
     * then append) without the delete: keep stored rows whose key is not
     * in the incoming batch, union the batch.

@@ -22,6 +22,13 @@ object SearchPack {
   val Query: Seq[String] = Seq("fast", "table", "scan", "merge", "table")
   val Alpha = 0.5
 
+  /** Expansion variants of "fast table scan" via the synonym groups
+    * (graft.search.QueryProcessor.expand), tokenized.
+    */
+  val ExpansionVariants: Seq[Seq[String]] =
+    graft.search.QueryProcessor.expand("fast table scan")
+      .map(_.split(" ").toSeq)
+
   private def docTokens = {
     val t = TextFunctions.tokens(col("text"))
     filter(t, tok => !tok.rlike("^[0-9]+$"))
@@ -62,6 +69,23 @@ object SearchPack {
       Fusion.rrf(vRanks, kRanks, Alpha)
         .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"))
         .orderBy(col("rrf_score").desc, col("id"))
+        .limit(20)
+    }),
+
+    // A5 variant merge: expansion variants scored independently, each
+    // doc keeps its best score (search.py:297-349), via BM25 so the
+    // whole thing is oracle-checkable.
+    "a5_variant_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val postings = Bm25.postings(docs, "doc_id", docTokens)
+      val scored = ExpansionVariants.zipWithIndex.map { case (v, _) =>
+        Bm25.score(s, postings, v)
+      }
+      scored.reduce(_ unionByName _)
+        .groupBy(col("id"))
+        .agg(max(col("score")).as("score"))
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     }),
 
@@ -106,6 +130,11 @@ object SearchPack {
            |${Fusion.rrfSql(Alpha)}
            |SELECT id, round(rrf_score, 6) AS rrf_score FROM rrf
            |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin,
+
+      "a5_variant_merge" ->
+        s"""WITH ${Bm25.multiScoreSqlCtes("documents", "doc_id", docTokensSql, ExpansionVariants)}
+           |SELECT id AS doc_id, round(score, 6) AS score FROM merged
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
       "h2_heuristic_boost" ->
         s"""WITH $bm25Ctes

@@ -79,6 +79,30 @@ object Bm25 {
 
   // ---- DuckDB SQL mirror (for oracle checks) --------------------------
 
+  /** Multi-variant CTE chain: q carries a variant tag, bm25 scores per
+    * (id, variant); `merged` keeps each id's best score across variants
+    * (A5 variant merge). Caller appends the final SELECT over `merged`.
+    */
+  def multiScoreSqlCtes(fromTable: String, idExpr: String, toksExpr: String,
+      variants: Seq[Seq[String]]): String = {
+    val qvals = variants.zipWithIndex.flatMap { case (toks, vi) =>
+      toks.groupBy(identity).map { case (t, os) => s"($vi, '$t', ${os.size})" }
+    }.mkString(", ")
+    val base = scoreSqlCtes(fromTable, idExpr, toksExpr, variants.head)
+    val prefix = base.substring(0, base.indexOf("q(term, qtf) AS"))
+    s"""${prefix}q(variant, term, qtf) AS (VALUES $qvals),
+       |bm25v AS (SELECT p.id, q.variant,
+       |    SUM(q.qtf * idf.idf * (p.tf * ($K1 + 1)) /
+       |        (p.tf + $K1 * (1 - $B + $B * ds.dl / c.avgdl))) AS score
+       |  FROM postings p
+       |  JOIN q ON q.term = p.term
+       |  JOIN idf ON idf.term = p.term
+       |  JOIN doc_stats ds ON ds.id = p.id
+       |  CROSS JOIN corpus c
+       |  GROUP BY p.id, q.variant),
+       |merged AS (SELECT id, MAX(score) AS score FROM bm25v GROUP BY id)""".stripMargin
+  }
+
   /** CTE chain scoring `queryTokens` over docs(idExpr, toksExpr) — same
     * math, same names. Caller appends the final SELECT over `bm25`.
     */

@@ -40,7 +40,8 @@ class SearchEngine(spark: SparkSession) {
     // (vectors_backend.py:52 "avoid JOINs")
     val denorm = vectors.join(
       chunks.select("chunk_id", "file_path", "content", "language",
-        "start_line", "end_line", "chunk_type", "name"), Seq("chunk_id"))
+        "start_line", "end_line", "chunk_type", "name", "hierarchy_path"),
+      Seq("chunk_id"))
     (chunks, denorm)
   }
 
@@ -171,6 +172,94 @@ class SearchEngine(spark: SparkSession) {
       .select("content").as[String].head()
     vectorSearch(vectors, content, limit + 1, threshold = Some(0.0))
       .filter(col("chunk_id") =!= chunkId)
+  }
+
+  /** A5 variant merge: search every expansion variant, keep each chunk's
+    * best similarity across variants (`search.py:297-349` groupBy-max).
+    */
+  def searchWithExpansion(vectors: DataFrame, query: String, limit: Int): DataFrame = {
+    val variants = QueryProcessor.expand(query)
+    val perVariant = variants.map(v =>
+      vectorSearch(vectors, v, limit * 2, threshold = Some(0.0))
+        .select(col("chunk_id"), col("similarity_score")))
+    perVariant.reduce(_ unionByName _)
+      .groupBy(col("chunk_id"))
+      .agg(max(col("similarity_score")).as("similarity_score"))
+      .join(vectors, Seq("chunk_id"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("similarity_score").desc, col("chunk_id"))))
+      .filter(col("rank") <= limit)
+  }
+
+  /** Q10 cross-encoder stage, deterministic proxy scorer: lexical-overlap
+    * ratio through a sigmoid (the reference's stage is a pluggable model
+    * scorer producing [0,1] via sigmoid, `core/reranker.py:22-173`; the
+    * pipeline position and blend are what we preserve).
+    */
+  def rerankProxy(results: DataFrame, query: String, scoreCol: String,
+      keepTopN: Int): DataFrame = {
+    val qToks = Tokenizer.tokenize(QueryProcessor.preprocess(query))
+      .distinct.map(t => lit(t))
+    if (qToks.isEmpty) return results
+    val contentToks = split(lower(col("content")), "\\W+")
+    val overlap = qToks.map(t =>
+      when(array_contains(contentToks, t), 1).otherwise(0))
+      .reduce(_ + _)
+    val ratio = overlap.cast("double") / qToks.length
+    val proxy = lit(1.0) / (lit(1.0) + exp(-(ratio * 6 - 3))) // sigmoid
+    results
+      .withColumn("rerank_score", col(scoreCol) * 0.5 + proxy * 0.5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rerank_score").desc, col("chunk_id"))))
+      .filter(col("rank") <= keepTopN)
+  }
+
+  /** Q12 KG boost: +0.02 per 1-hop related entity whose name contains a
+    * query term, re-sorted (`search.py:885-936`).
+    */
+  def kgBoost(results: DataFrame, kg: graft.graph.Kg.KgTables, query: String,
+      scoreCol: String): DataFrame = {
+    val qTerms = Tokenizer.tokenize(QueryProcessor.preprocess(query)).distinct
+    if (qTerms.isEmpty) return results.withColumn("kg_boosted", col(scoreCol))
+    val entityId = concat(col("file_path"), lit("::"), col("hierarchy_path"))
+    val related = kg.edges.select(col("src").as("eid"), col("dst").as("nbr"))
+      .unionByName(kg.edges.select(col("dst").as("eid"), col("src").as("nbr")))
+      .join(kg.vertices.select(col("id").as("nbr"), col("name").as("nbr_name")),
+        Seq("nbr"))
+    val termHit = qTerms.map(t => when(lower(col("nbr_name")).contains(t), 1)
+      .otherwise(0)).reduce(_ + _) > 0
+    val boosts = related.filter(termHit)
+      .groupBy(col("eid"))
+      .agg((count(lit(1)) * 0.02).as("kg_boost"))
+    results
+      .join(boosts, entityId === col("eid"), "left")
+      .drop("eid")
+      .withColumn("kg_boosted",
+        col(scoreCol) + coalesce(col("kg_boost"), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("kg_boosted").desc, col("chunk_id"))))
+  }
+
+  /** Q14 result enhancement + P6 stale filter: attach surrounding context
+    * lines from the current file content; rows whose file vanished are
+    * flagged (and can be filtered), `core/result_enhancer.py:14-197`.
+    */
+  def enhance(results: DataFrame, files: DataFrame, contextLines: Int = 3): DataFrame = {
+    val fileLines = files.select(col("file_path"),
+      split(col("content"), "\n").as("all_lines"))
+    results
+      .join(fileLines, Seq("file_path"), "left")
+      .withColumn("file_missing", col("all_lines").isNull)
+      .withColumn("context_before",
+        when(col("all_lines").isNotNull && col("start_line") > 1,
+          slice(col("all_lines"),
+            greatest(col("start_line") - contextLines, lit(1)),
+            least(lit(contextLines), col("start_line") - 1)))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("context_after",
+        when(col("all_lines").isNotNull, slice(col("all_lines"),
+          col("end_line") + 1, lit(contextLines))))
+      .drop("all_lines")
   }
 
   /** MMR diversity finisher (Q11): collect top-3k candidates, greedy-pick
