@@ -1,0 +1,143 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Multimodal columns for the training-data pipeline: image/audio/video
+  * as opaque `binary` columns with typed metadata, processed in batch
+  * shape via `mapPartitions` (the JVM analog of pandas-batched UDFs: one
+  * iterator per partition, no per-row scheduling, codec state reused
+  * across a partition).
+  *
+  * The actual codecs are STUBBED (`FakeCodec`) — this container has no
+  * image/audio libraries — with deterministic fakes so every pipeline
+  * stage is testable end-to-end. The Spark-side contracts are real:
+  * schemas, partitioning, batch iteration, explode shapes, and the
+  * feature→embedding→ANN handoff. Swapping FakeCodec for JavaCV/libpng
+  * changes only the function bodies.
+  *
+  * Scale posture: media rows are large — repartition by media_id before
+  * decode so a partition holds a bounded byte volume; features and
+  * embeddings are small rows that flow into the standard dedup/ANN
+  * operators (graft.dedup, graft.ann).
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String, // image | audio | video
+      uri: String,
+      media: Array[Byte],
+      meta: Map[String, String])
+
+  final case class ImageInfo(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      brightness: Double)
+
+  /** STUB CODEC — deterministic fakes standing in for real decoders.
+    * Every function is pure in the input bytes.
+    */
+  object FakeCodec {
+    /** ??? real impl: javax.imageio / libpng. Fake: dims from header bytes. */
+    def imageDims(bytes: Array[Byte]): (Int, Int, Int) = {
+      val w = 16 + (math.abs(bytes.headOption.getOrElse(0.toByte).toInt) % 240)
+      val h = 16 + (math.abs(bytes.lift(1).getOrElse(0.toByte).toInt) % 240)
+      (w, h, 3)
+    }
+
+    /** ??? real impl: pixel decode + mean. Fake: mean of payload bytes. */
+    def brightness(bytes: Array[Byte]): Double =
+      if (bytes.isEmpty) 0.0
+      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length / 255.0
+
+    /** ??? real impl: resample. Fake: deterministic truncate/repeat to
+      * exactly `targetBytes`.
+      */
+    def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+      if (bytes.isEmpty) new Array[Byte](targetBytes)
+      else Array.tabulate(targetBytes)(i => bytes(i % bytes.length))
+
+    /** ??? real impl: container demux. Fake: fixed-size byte frames. */
+    val FrameBytes = 256
+    def frames(bytes: Array[Byte]): Iterator[Array[Byte]] =
+      bytes.grouped(FrameBytes)
+
+    /** ??? real impl: PCM windowed RMS. Fake: per-window mean energy. */
+    def audioEnergy(bytes: Array[Byte], windows: Int): Array[Double] = {
+      if (bytes.isEmpty) return Array.fill(windows)(0.0)
+      val size = math.max(1, bytes.length / windows)
+      (0 until windows).map { w =>
+        val slice = bytes.slice(w * size, math.min((w + 1) * size, bytes.length))
+        if (slice.isEmpty) 0.0
+        else slice.map(b => (b & 0xff).toDouble).sum / slice.length / 255.0
+      }.toArray
+    }
+  }
+
+  /** Deterministic synthetic media fixture (seeded from media_id). */
+  def synthesize(spark: SparkSession, n: Int, kind: String,
+      bytesPerItem: Int = 2048): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val rnd = new scala.util.Random(PortableHash.hash60Local(kind, id.toString))
+      val bytes = new Array[Byte](bytesPerItem)
+      rnd.nextBytes(bytes)
+      MediaRecord(id, kind, s"synthetic://$kind/$id", bytes,
+        Map("codec" -> "fake", "bytes" -> bytesPerItem.toString))
+    }
+  }
+
+  /** Image decode + feature extraction, batch-shaped: one FakeCodec
+    * "session" per partition (where a real codec would allocate buffers
+    * once), iterator in / iterator out.
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codecs would initialize here, once per partition
+      it.map { m =>
+        val (w, h, c) = FakeCodec.imageDims(m.media)
+        ImageInfo(m.media_id, w, h, c, FakeCodec.brightness(m.media))
+      }
+    }
+  }
+
+  /** Resize: binary→binary with meta update, partition-preserving. */
+  def resizeImages(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        m.copy(
+          media = FakeCodec.resize(m.media, targetBytes),
+          meta = m.meta + ("resized" -> targetBytes.toString))
+      }
+    }
+  }
+
+  /** Video frame sampling: explode every nth frame →
+    * (media_id, frame_idx, frame binary).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyNth: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      FakeCodec.frames(m.media).zipWithIndex.collect {
+        case (f, i) if i % everyNth == 0 => (m.media_id, i, f)
+      }
+    }.toDF("media_id", "frame_idx", "frame")
+  }
+
+  /** Audio → fixed-width energy feature vector (as float array, ready
+    * for the ANN/dedup operators).
+    */
+  def audioFeatures(media: Dataset[MediaRecord], windows: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(m => (m.media_id, FakeCodec.audioEnergy(m.media, windows).map(_.toFloat).toSeq))
+    }.toDF("media_id", "features")
+  }
+}
