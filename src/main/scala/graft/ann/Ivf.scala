@@ -52,7 +52,7 @@ object Ivf {
     val withFeatures = base.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("vec")))
     val model = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(20).setFeaturesCol("features")
+      .setK(k).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
       .fit(withFeatures)
     val assigned = model.transform(withFeatures)
       .withColumnRenamed("prediction", "cluster_id")

@@ -43,16 +43,38 @@ object Dedup {
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
 
-  /** MinHash signatures, long form: (doc_id, h, v) where v = min over the
-    * doc's shingles of hash60(h, shingle), h = 0..numHashes-1.
+  /** Universal-hash family for MinHash: one base md5 hash per shingle,
+    * then h_i(x) = (a_i * (base % 2^30) + b_i) mod P — the standard
+    * (a·x+b) mod p construction, so the per-shingle cost is one md5
+    * plus numHashes multiply-adds instead of numHashes md5 chains.
+    * Coefficients are plan-time constants from hash60Local, and every
+    * operation is exact 64-bit integer math (portable to the DuckDB
+    * oracle: a_i < 2^30, base < 2^30 → product < 2^60, no overflow).
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+  val MinhashP: Long = 1073741789L // largest prime < 2^30
+  val MinhashM: Long = 1L << 30
+
+  def minhashA(i: Int): Long =
+    PortableHash.hash60Local("mha", i.toString) % (MinhashP - 1) + 1
+  def minhashB(i: Int): Long =
+    PortableHash.hash60Local("mhb", i.toString) % MinhashP
+
+  /** MinHash signatures, long form: (doc_id, h, v) where v = min over the
+    * doc's shingles of the h-th universal hash of the shingle.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aLit = typedlit((0 until numHashes).map(minhashA))
+    val bLit = typedlit((0 until numHashes).map(minhashB))
     sh
-      .select(col("doc_id"), col("shingle"),
+      .withColumn("base", pmod(hash60(col("shingle"), 0), lit(MinhashM)))
+      .select(col("doc_id"), col("base"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
-      .select(col("doc_id"), col("h"), hash60(col("h"), col("shingle")).as("hv"))
+      .withColumn("hv",
+        pmod(element_at(aLit, col("h") + 1) * col("base") +
+          element_at(bLit, col("h") + 1), lit(MinhashP)))
       .groupBy(col("doc_id"), col("h"))
       .agg(min(col("hv")).as("v"))
+  }
 
   /** LSH banding of a long-form signature: (doc_id, band, band_val) where
     * band_val is the ','-joined signature slice, ordered by h.

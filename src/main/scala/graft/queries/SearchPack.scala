@@ -78,12 +78,7 @@ object SearchPack {
     "a5_variant_merge" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val postings = Bm25.postings(docs, "doc_id", docTokens)
-      val scored = ExpansionVariants.zipWithIndex.map { case (v, _) =>
-        Bm25.score(s, postings, v)
-      }
-      scored.reduce(_ unionByName _)
-        .groupBy(col("id"))
-        .agg(max(col("score")).as("score"))
+      Bm25.scoreVariants(s, postings, ExpansionVariants)
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)

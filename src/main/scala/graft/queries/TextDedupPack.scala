@@ -183,11 +183,16 @@ object TextDedupPack {
   private val shCte =
     s"""sh AS (SELECT doc_id, unnest(${shinglesSql("toks", ShingleK)}) AS shingle
        |  FROM tok WHERE len(toks) >= $ShingleK)""".stripMargin
+  private val abVals = (0 until NumHashes)
+    .map(i => s"($i, ${graft.dedup.Dedup.minhashA(i)}, ${graft.dedup.Dedup.minhashB(i)})")
+    .mkString(", ")
   private val mhCte =
-    s"""mh AS (SELECT doc_id, CAST(h AS INTEGER) AS h,
-       |    min(${PortableHash.hash60Sql("h", "shingle")}) AS v
-       |  FROM (SELECT doc_id, shingle, unnest(range(0, $NumHashes)) AS h FROM sh)
-       |  GROUP BY doc_id, h)""".stripMargin
+    s"""ab(h, a, b) AS (VALUES $abVals),
+       |mh AS (SELECT doc_id, CAST(ab.h AS INTEGER) AS h,
+       |    CAST(min((ab.a * (${PortableHash.hash60Sql("0", "shingle")} % ${graft.dedup.Dedup.MinhashM})
+       |      + ab.b) % ${graft.dedup.Dedup.MinhashP}) AS BIGINT) AS v
+       |  FROM sh CROSS JOIN ab
+       |  GROUP BY doc_id, ab.h)""".stripMargin
 
   private val cosSql = VectorFunctions.cosineSql("e.embedding", "q.qvec")
 

@@ -77,6 +77,34 @@ object Bm25 {
       .agg(sum(col("contrib")).as("score"))
   }
 
+  /** Multi-variant scoring in ONE pass over the postings (A5 variant
+    * merge): the query table carries a variant tag, scores aggregate per
+    * (id, variant), and each id keeps its best variant score. One join
+    * instead of one scoring pipeline per variant.
+    */
+  def scoreVariants(spark: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, variants: Seq[Seq[String]]): DataFrame = {
+    import spark.implicits._
+    val ds = docStats(postings)
+    val corpus = corpusStats(ds)
+    val idf = termIdf(postings, corpus)
+    val q = variants.zipWithIndex.flatMap { case (toks, vi) =>
+      toks.groupBy(identity).map { case (t, os) => (vi, t, os.size) }
+    }.toDF("variant", "term", "qtf")
+    postings
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .join(ds, Seq("id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib",
+        col("qtf") * col("idf") * (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"), col("variant"))
+      .agg(sum(col("contrib")).as("vscore"))
+      .groupBy(col("id"))
+      .agg(max(col("vscore")).as("score"))
+  }
+
   // ---- DuckDB SQL mirror (for oracle checks) --------------------------
 
   /** Multi-variant CTE chain: q carries a variant tag, bm25 scores per
