@@ -21,6 +21,22 @@ object IndexStore {
     out.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Overwrite `path` with a plan that may READ from `path`: write to a
+    * staging dir first, then swap. Depending on `.cache()` retention to
+    * make read-and-overwrite safe is a race (the write job may recompute
+    * a partition from the source being deleted); staging + rename makes
+    * the update atomic-ish and self-consistent regardless of caching.
+    */
+  def overwriteSafe(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "._staging")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(hp, true)
+    fs.rename(staging, hp)
+    spark.catalog.refreshByPath(path)
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

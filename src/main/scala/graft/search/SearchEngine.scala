@@ -55,6 +55,10 @@ class SearchEngine(spark: SparkSession) {
     * and moves handled by set algebra (SURVEY §7 step 3).
     */
   def incrementalIndex(root: String, chunksPath: String, vectorsPath: String): Unit = {
+    // drop any stale file-listing/relation caches for the three roots
+    Seq(root, chunksPath, vectorsPath).foreach { p =>
+      try spark.catalog.refreshByPath(p) catch { case _: Throwable => }
+    }
     val disk = FileDiscovery.discover(spark, root).toDF()
     val stored = IndexStore.read(spark, chunksPath)
     val storedVec = IndexStore.read(spark, vectorsPath)
@@ -73,7 +77,8 @@ class SearchEngine(spark: SparkSession) {
     val newVectors = HashEmbedder.embed(enriched, "chunk_id", "ctx")
       .withColumnRenamed("id", "chunk_id")
       .join(newChunks.select("chunk_id", "file_path", "content", "language",
-        "start_line", "end_line", "chunk_type", "name"), Seq("chunk_id"))
+        "start_line", "end_line", "chunk_type", "name", "hierarchy_path"),
+        Seq("chunk_id"))
 
     val changedPaths = changed.select("file_path")
     val keptChunks = IndexStore.applyMoves(
@@ -83,11 +88,10 @@ class SearchEngine(spark: SparkSession) {
       IndexStore.deleteByFiles(
         IndexStore.deleteByFiles(storedVec, deleted), changedPaths), moves)
 
-    val outChunks = keptChunks.unionByName(newChunks).cache()
-    val outVectors = keptVectors.unionByName(newVectors).cache()
-    outChunks.count(); outVectors.count() // materialize before overwrite
-    IndexStore.write(outChunks, chunksPath)
-    IndexStore.write(outVectors, vectorsPath)
+    val outChunks = keptChunks.unionByName(newChunks)
+    val outVectors = keptVectors.unionByName(newVectors)
+    IndexStore.overwriteSafe(spark, outChunks, chunksPath)
+    IndexStore.overwriteSafe(spark, outVectors, vectorsPath)
     moves.unpersist()
   }
 

@@ -51,6 +51,9 @@ object WatchStream {
   /** ST3: apply one debounced micro-batch to the chunks/vectors tables. */
   def applyBatch(spark: SparkSession, batch: DataFrame,
       chunksPath: String, vectorsPath: String): Unit = {
+    Seq(chunksPath, vectorsPath).foreach { p =>
+      try spark.catalog.refreshByPath(p) catch { case _: Throwable => }
+    }
     val events = latestEventPerFile(batch).cache()
     try {
       val deleted = events.filter(col("event_type") === "deleted")
@@ -75,20 +78,20 @@ object WatchStream {
       val newVectors = HashEmbedder.embed(enriched, "chunk_id", "ctx")
         .withColumnRenamed("id", "chunk_id")
         .join(newChunks.select("chunk_id", "file_path", "content", "language",
-          "start_line", "end_line", "chunk_type", "name"), Seq("chunk_id"))
+          "start_line", "end_line", "chunk_type", "name", "hierarchy_path"),
+          Seq("chunk_id"))
 
       val touchedDf = touched.toSeq.toDF("file_path")
       val stored = IndexStore.read(spark, chunksPath)
       val storedVec = IndexStore.read(spark, vectorsPath)
       val outChunks = IndexStore
         .deleteByFiles(IndexStore.deleteByFiles(stored, deleted), touchedDf)
-        .unionByName(newChunks).cache()
+        .unionByName(newChunks)
       val outVectors = IndexStore
         .deleteByFiles(IndexStore.deleteByFiles(storedVec, deleted), touchedDf)
-        .unionByName(newVectors).cache()
-      outChunks.count(); outVectors.count() // materialize before overwrite
-      IndexStore.write(outChunks, chunksPath)
-      IndexStore.write(outVectors, vectorsPath)
+        .unionByName(newVectors)
+      IndexStore.overwriteSafe(spark, outChunks, chunksPath)
+      IndexStore.overwriteSafe(spark, outVectors, vectorsPath)
     } finally events.unpersist()
   }
 

@@ -51,6 +51,24 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall")
   }
 
+  test("disk round-trip: partitioned layout returns identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf")
+    val corpus = clusteredCorpus(600).cache()
+    val queries = corpus.filter(col("vec_id").isin(5L, 1200L))
+    val idx = Ivf.build(corpus, "vec_id", "embedding", kOverride = Some(8))
+    Ivf.write(idx, dir.toString)
+    // layout on disk is cluster-partitioned → probe prunes partitions
+    val dirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.getName.startsWith("cluster_id=")).map(_.getName).sorted
+    assert(dirs.length == 8)
+    val mem = Ivf.topK(idx, queries, "vec_id", "embedding", 10, nprobes = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val disk = graft.ann.IvfDisk.topK(spark, dir.toString, queries,
+      "vec_id", "embedding", 10, nprobes = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(mem == disk)
+  }
+
   test("probing fewer clusters scans fewer rows") {
     val corpus = clusteredCorpus(600).cache()
     val queries = corpus.filter(col("vec_id") === 5L)
