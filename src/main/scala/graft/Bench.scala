@@ -30,10 +30,22 @@ object Bench {
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Reference harness semantics (BASELINE.md): 3 runs per query, report
+    // the median. Queries whose first run exceeds 5s run once (bounded
+    // total wall time); the first run already reflects steady state
+    // because of the warmup above.
+    def once(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = once(fn)
+      val times =
+        if (first > 5.0) Seq(first)
+        else Seq(first, once(fn), once(fn)).sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -244,6 +244,43 @@ class SearchEngine(spark: SparkSession) {
         Window.orderBy(col("kg_boosted").desc, col("chunk_id"))))
   }
 
+  /** Q13 code-vector enrichment: a second, code-shaped embedding space
+    * (identifiers/signature/calls only — the reference's CodeT5+ 256-d
+    * table, `search.py:1069-1228`) built with the same featurizer over a
+    * different text view.
+    */
+  def buildCodeVectors(chunks: DataFrame): DataFrame = {
+    val codeText = chunks.withColumn("code_text",
+      concat_ws(" ", col("name"), col("hierarchy_path"), col("signature"),
+        concat_ws(" ", col("calls"))))
+    HashEmbedder.embed(codeText, "chunk_id", "code_text")
+      .withColumnRenamed("id", "chunk_id")
+  }
+
+  /** Boost results also retrieved by the code-vector space (+0.15 for
+    * chunks in both top sets, reference semantics).
+    */
+  def codeVectorEnrich(results: DataFrame, codeVectors: DataFrame,
+      query: String, scoreCol: String, limit: Int): DataFrame = {
+    val qvec = typedlit(
+      HashEmbedder.embed(
+        Seq((0L, QueryProcessor.preprocess(query))).toDF("id", "text"),
+        "id", "text").select("vector").as[Array[Float]].head())
+    val codeTop = codeVectors
+      .withColumn("csim", VectorFunctions.cosine(col("vector"), qvec))
+      .withColumn("crank", row_number().over(
+        Window.orderBy(col("csim").desc, col("chunk_id"))))
+      .filter(col("crank") <= limit)
+      .select(col("chunk_id"), lit(0.15).as("code_boost"))
+    results
+      .join(codeTop, Seq("chunk_id"), "left")
+      .withColumn("enriched_score",
+        col(scoreCol) + coalesce(col("code_boost"), lit(0.0)))
+      .drop("code_boost")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("enriched_score").desc, col("chunk_id"))))
+  }
+
   /** Q14 result enhancement + P6 stale filter: attach surrounding context
     * lines from the current file content; rows whose file vanished are
     * flagged (and can be filtered), `core/result_enhancer.py:14-197`.
