@@ -87,12 +87,17 @@ object RelationalPack {
     }),
 
     // J3/J4 anti-join (unembedded/changed detection re-expressed).
+    // Filtered to first-year orders so the result is non-degenerate
+    // (every customer has SOME order in this synthetic data).
     "q6_customers_without_orders" -> ((s, d) => {
       import s.implicits._
+      val early = Tables.orders(s, d)
+        .filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(early, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name", $"c_nationkey")
         .orderBy($"c_custkey")
+        .limit(300)
     }),
 
     // Semi-join (EXISTS): orders having a returned line.
@@ -236,8 +241,9 @@ object RelationalPack {
 
     "q6_customers_without_orders" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY c_custkey LIMIT 300""".stripMargin,
 
     "q7_orders_with_returns" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders

@@ -161,13 +161,41 @@ class SearchEngine(spark: SparkSession) {
     */
   def boost(results: DataFrame, query: String, scoreCol: String): DataFrame = {
     val q = query.toLowerCase
+    // boilerplate penalty (core/boilerplate.py:86-200): license headers,
+    // generated files, trivial getters — pushed down, not filtered out
+    val boilerplate =
+      col("content").rlike("(?i)(licensed under|auto-generated|do not edit|generated by)") ||
+        col("file_path").rlike("(?i)(_pb2\\.|\\.generated\\.|/migrations/)")
     results.withColumn("boosted", least(lit(1.0),
       col(scoreCol) +
         when(lower(col("name")) === q, 0.15).otherwise(0.0) +
         when(lower(col("file_path")).contains(q), 0.08).otherwise(0.0) +
         when(col("chunk_type") === "function", 0.05).otherwise(0.0) +
         when(col("chunk_type") === "class", 0.03).otherwise(0.0) -
-        when(col("file_path").rlike("(^|/)tests?/"), 0.02).otherwise(0.0)))
+        when(col("file_path").rlike("(^|/)tests?/"), 0.02).otherwise(0.0) -
+        when(boilerplate, 0.15).otherwise(0.0)))
+  }
+
+  /** Q17 search_by_context: description + focus areas concatenated into
+    * the query (`search.py:485-519`).
+    */
+  def searchByContext(vectors: DataFrame, chunks: DataFrame,
+      description: String, focusAreas: Seq[String], limit: Int): DataFrame =
+    hybridSearch(vectors, chunks, (description +: focusAreas).mkString(" "), limit)
+
+  /** Q18 search_with_context: results + query analysis + related-query
+    * suggestions (`search.py:521-569`).
+    */
+  def searchWithContext(vectors: DataFrame, chunks: DataFrame,
+      query: String, limit: Int): (DataFrame, Map[String, Any]) = {
+    val results = hybridSearch(vectors, chunks, query, limit)
+    val analysis = Map[String, Any](
+      "preprocessed" -> QueryProcessor.preprocess(query),
+      "threshold" -> QueryProcessor.adaptiveThreshold(query),
+      "is_identifier" -> QueryProcessor.isIdentifierQuery(query),
+      "alpha" -> QueryProcessor.hybridAlpha(query),
+      "related_queries" -> QueryProcessor.expand(query).drop(1))
+    (results, analysis)
   }
 
   /** Code-to-code search (Q16): use a chunk's content as the query. */
