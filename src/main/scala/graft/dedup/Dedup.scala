@@ -102,9 +102,13 @@ object Dedup {
     */
   def jaccardOfPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
-      .join(pairs, Seq("a", "b"), "left_semi")
+    // route the shingle join THROUGH the candidate pairs (pairs ⋈ shA ⋈
+    // shB-on-(b,shingle)) — row volume is Σ|A∩candidates' shingles|, not
+    // the full shingle self-join blowup that a shared shingle across
+    // thousands of docs would produce
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -136,17 +140,21 @@ object Dedup {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("hv", hash60(col("tok"), 0))
-    tf
-      .select(col("doc_id"), col("tf"), col("hv"),
-        explode(sequence(lit(0), lit(59))).as("i"))
-      .withColumn("sign",
-        when(expr("shiftrightunsigned(hv, i) % 2") === 1,
-          col("tf")).otherwise(-col("tf")))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("sign")).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("w") > 0,
-        pow(lit(2.0), col("i")).cast("long")).otherwise(0L)).as("simhash"))
+    // one aggregate column per bit instead of a 60x row explosion:
+    // weight_i > 0  ⟺  2*Σ tf·bit_i > Σ tf  (all-integer, exact — the
+    // values match the exploded formulation bit for bit, so the DuckDB
+    // oracle formulation stays valid)
+    val bitSums = (0 until 60).map { i =>
+      sum(col("tf") * expr(s"shiftrightunsigned(hv, $i) % 2")).as(s"w$i")
+    }
+    val aggs = (sum(col("tf")).as("s")) +: bitSums
+    tf.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("simhash",
+        (0 until 60).map(i =>
+          when(col(s"w$i") * 2 > col("s"), lit(1L << i)).otherwise(0L))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
   }
 
   /** Pairs within a SimHash Hamming radius (verification primitive; at scale
