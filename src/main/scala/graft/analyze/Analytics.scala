@@ -177,6 +177,16 @@ object Analytics {
       .select("id", "name", "label", "file_path", "confidence")
   }
 
+  /** S10/A18 contributor stats (`story/extractor.py:316-385`). */
+  def contributorStats(commits: DataFrame): DataFrame =
+    commits.groupBy(col("author"))
+      .agg(
+        count(lit(1)).as("n_commits"),
+        sum(col("insertions")).as("insertions"),
+        sum(col("deletions")).as("deletions"),
+        min(col("ts")).as("first_commit"),
+        max(col("ts")).as("last_commit"))
+
   /** A18 story phases: commits bucketed into fixed time windows with
     * per-phase stats (`story/analyzer.py:417-594` semantics).
     */

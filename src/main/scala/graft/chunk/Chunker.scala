@@ -171,12 +171,33 @@ object Chunker {
       .map(_.group(1).trim.split("\n").head.trim).getOrElse("")
   }
 
+  /** Extract a leading YAML-ish frontmatter block (--- ... ---) as its
+    * own doc_section chunk (`kg_builder.py:2609-2640` parses frontmatter
+    * for Document nodes/tags; we keep the raw block on a chunk so the KG
+    * builder can mine it).
+    */
+  private def frontmatterChunk(f: FileRecord, lines: Array[String]): Option[CodeChunk] = {
+    if (lines.isEmpty || lines(0).trim != "---") return None
+    val end = lines.indexWhere(_.trim == "---", 1)
+    if (end < 0) return None
+    val content = lines.slice(0, end + 1).mkString("\n")
+    Some(CodeChunk(
+      chunk_id = chunkId(f.file_path, "doc_section", "<frontmatter>", 1, end + 1, content),
+      file_path = f.file_path, file_hash = f.file_hash, content = content,
+      language = f.language, start_line = 1, end_line = end + 1,
+      chunk_type = "doc_section", name = "<frontmatter>", parent_name = "",
+      hierarchy_path = "<frontmatter>", docstring = "", signature = "",
+      complexity = 1, token_count = tokenCount(content),
+      calls = Nil, imports = Nil, inherits_from = Nil))
+  }
+
   private def markdownChunks(f: FileRecord, lines: Array[String]): Seq[CodeChunk] = {
+    val fm = frontmatterChunk(f, lines)
     val headers = lines.zipWithIndex.collect {
       case (MdHeader(hashes, title), i) => (i, hashes.length, title)
     }
-    if (headers.isEmpty) return windowChunks(f, lines)
-    headers.zipWithIndex.map { case ((line, level, title), hi) =>
+    if (headers.isEmpty) return fm.toSeq ++ windowChunks(f, lines)
+    fm.toSeq ++ headers.zipWithIndex.map { case ((line, level, title), hi) =>
       val next = headers.drop(hi + 1).find(_._2 <= level).map(_._1)
         .getOrElse(lines.length)
       var end = next - 1

@@ -126,8 +126,13 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int, numHashes: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    val sh = docShingles(docs, textCol, idCol, k)
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
+    // sh feeds signatures + both sides of the intersection join, and
+    // bands feed both sides of the bucket self-join — cache the small
+    // intermediates instead of recomputing the subtree per branch
+    // (Catalyst does not CSE across self-joins)
+    val sh = docShingles(docs, textCol, idCol, k).cache()
+    val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand).cache()
+    val cands = lshCandidates(bands)
     jaccardOfPairs(cands, sh).filter(col("jaccard") >= minJaccard)
   }
 

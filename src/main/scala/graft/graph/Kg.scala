@@ -76,11 +76,38 @@ object Kg {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), lit("INHERITS").as("rel_type"))
 
+    // frontmatter tags (kg_builder.py:2609-2640): `tags: [a, b]` in a
+    // markdown <frontmatter> chunk → Tag vertices + file -HAS_TAG-> tag
+    val tagEdges = chunks
+      .filter(col("name") === "<frontmatter>")
+      .select(col("file_path").as("src"),
+        explode(split(regexp_extract(col("content"),
+          "(?m)^tags:\\s*\\[([^\\]]*)\\]", 1), ",")).as("dst"))
+      .select(col("src"), trim(col("dst")).as("dst"),
+        lit("HAS_TAG").as("rel_type"))
+      .filter(col("dst") =!= "")
+    val tagVertices = tagEdges.select(col("dst")).distinct()
+      .select(col("dst").as("id"), lit("tag").as("label"),
+        col("dst").as("name"), lit("").as("file_path"), lit("").as("parent_name"))
+
     val edges = containsFile.unionByName(containsClass).unionByName(calls)
-      .unionByName(imports).unionByName(inherits)
+      .unionByName(imports).unionByName(inherits).unionByName(tagEdges)
       .withColumn("weight", lit(1.0))
       .dropDuplicates("src", "dst", "rel_type")
-    KgTables(vertices, edges)
+    KgTables(vertices.unionByName(tagVertices).dropDuplicates("id"), edges)
+  }
+
+  /** Multi-tag AND filter (`knowledge_graph.py:3104-3124`): nodes that
+    * carry EVERY tag in `tags` via HAS_TAG edges.
+    */
+  def tagFilterAnd(edges: DataFrame, tags: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    edges
+      .filter(c("rel_type") === "HAS_TAG" && c("dst").isin(tags: _*))
+      .groupBy(c("src").as("id"))
+      .agg(countDistinct(c("dst")).as("n_tags"))
+      .filter(c("n_tags") === tags.distinct.length)
+      .select("id")
   }
 
   /** 1-hop neighbors, undirected (J7 — Cypher UNION of both directions). */

@@ -111,9 +111,9 @@ object TextDedupPack {
     // Full MinHash → LSH band → candidate → exact-Jaccard verify pipeline.
     "d3_lsh_near_dups" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = Dedup.docShingles(docs, "text", "doc_id", ShingleK)
+      val sh = Dedup.docShingles(docs, "text", "doc_id", ShingleK).cache()
       val cands = Dedup.lshCandidates(
-        Dedup.lshBands(Dedup.minhashSignatures(sh, NumHashes), RowsPerBand))
+        Dedup.lshBands(Dedup.minhashSignatures(sh, NumHashes), RowsPerBand).cache())
       Dedup.jaccardOfPairs(cands, sh)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))

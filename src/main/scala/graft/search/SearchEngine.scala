@@ -206,6 +206,35 @@ class SearchEngine(spark: SparkSession) {
       .filter(col("chunk_id") =!= chunkId)
   }
 
+  /** Q16 file flavor (`search.py:434-483` + `:714-746`): use a file — or
+    * one named function extracted from it — as the query.
+    */
+  def searchSimilarToFile(vectors: DataFrame, fileContent: String,
+      functionName: Option[String], limit: Int): DataFrame = {
+    val query = functionName
+      .flatMap(n => extractFunction(fileContent, n))
+      .getOrElse(fileContent)
+    vectorSearch(vectors, query, limit, threshold = Some(0.0))
+  }
+
+  /** Regex function extraction (reference `search.py:714-746`): the
+    * def/function block from its declaration to the next same-indent
+    * declaration.
+    */
+  def extractFunction(content: String, name: String): Option[String] = {
+    val lines = content.split("\n", -1)
+    val declRe = ("""^(\s*)(?:async\s+)?(?:def|function|fn|func)\s+""" +
+      java.util.regex.Pattern.quote(name) + """\b.*""").r
+    lines.zipWithIndex.collectFirst {
+      case (l, i) if declRe.findFirstIn(l).isDefined =>
+        val indent = l.takeWhile(_ == ' ').length
+        val rest = lines.drop(i + 1).takeWhile { ln =>
+          ln.trim.isEmpty || ln.takeWhile(_ == ' ').length > indent
+        }
+        (l +: rest).mkString("\n")
+    }
+  }
+
   /** A5 variant merge: search every expansion variant, keep each chunk's
     * best similarity across variants (`search.py:297-349` groupBy-max).
     */

@@ -25,7 +25,8 @@ import graft.ingest.FileDiscovery
   */
 object WatchStream {
 
-  final case class FileEvent(file_path: String, event_type: String, ts: Timestamp)
+  final case class FileEvent(file_path: String, event_type: String,
+      ts: Timestamp, dest_path: String = null)
 
   /** ST1 (new-file flavor): stream of file records for files appearing
     * under `root` — Structured Streaming's file source only surfaces new
@@ -44,9 +45,15 @@ object WatchStream {
   /** ST2 debounce: last event per file within the micro-batch
     * (watcher.py:88-120 "collect pending changes, flush after quiet").
     */
-  def latestEventPerFile(batch: DataFrame): DataFrame =
-    batch.groupBy(col("file_path"))
-      .agg(max_by(col("event_type"), col("ts")).as("event_type"))
+  def latestEventPerFile(batch: DataFrame): DataFrame = {
+    val withDest =
+      if (batch.columns.contains("dest_path")) batch
+      else batch.withColumn("dest_path", lit(null).cast("string"))
+    withDest.groupBy(col("file_path"))
+      .agg(
+        max_by(col("event_type"), col("ts")).as("event_type"),
+        max_by(col("dest_path"), col("ts")).as("dest_path"))
+  }
 
   /** ST3: apply one debounced micro-batch to the chunks/vectors tables. */
   def applyBatch(spark: SparkSession, batch: DataFrame,
@@ -58,6 +65,11 @@ object WatchStream {
     try {
       val deleted = events.filter(col("event_type") === "deleted")
         .select("file_path")
+      // move = metadata-only path rewrite (reference watcher.py:218-360),
+      // no re-chunk/re-embed
+      val moves = events.filter(col("event_type") === "moved" &&
+          col("dest_path").isNotNull)
+        .select(col("file_path").as("old_path"), col("dest_path").as("new_path"))
       val touched = events.filter(col("event_type").isin("created", "modified"))
         .select("file_path").collect().map(_.getString(0)).filter(p =>
           new java.io.File(p).isFile)
@@ -84,11 +96,11 @@ object WatchStream {
       val touchedDf = touched.toSeq.toDF("file_path")
       val stored = IndexStore.read(spark, chunksPath)
       val storedVec = IndexStore.read(spark, vectorsPath)
-      val outChunks = IndexStore
-        .deleteByFiles(IndexStore.deleteByFiles(stored, deleted), touchedDf)
+      val outChunks = IndexStore.applyMoves(IndexStore
+        .deleteByFiles(IndexStore.deleteByFiles(stored, deleted), touchedDf), moves)
         .unionByName(newChunks)
-      val outVectors = IndexStore
-        .deleteByFiles(IndexStore.deleteByFiles(storedVec, deleted), touchedDf)
+      val outVectors = IndexStore.applyMoves(IndexStore
+        .deleteByFiles(IndexStore.deleteByFiles(storedVec, deleted), touchedDf), moves)
         .unionByName(newVectors)
       IndexStore.overwriteSafe(spark, outChunks, chunksPath)
       IndexStore.overwriteSafe(spark, outVectors, vectorsPath)

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analytics
+import graft.chunk.Chunker
+import graft.core.FileRecord
+import graft.graph.Kg
+import graft.ingest.GitLog
+import graft.search.SearchEngine
+
+/** Late-fidelity items: frontmatter tags + HAS_TAG AND-filter, moved
+  * events, contributor stats, function extraction.
+  */
+class FidelitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md(path: String, content: String) =
+    FileRecord(path, "markdown", Chunker.sha256Hex(content),
+      new Timestamp(0L), content.length.toLong, content)
+
+  test("frontmatter block becomes a chunk; tags become HAS_TAG edges") {
+    val doc = md("/docs/a.md",
+      "---\ntitle: Guide\ntags: [spark, search]\n---\n# Top\n\nbody\n")
+    val doc2 = md("/docs/b.md",
+      "---\ntags: [spark]\n---\n# Other\n\nbody\n")
+    val chunks = Seq(doc, doc2).flatMap(Chunker.chunkFile).toDF()
+    assert(chunks.filter(col("name") === "<frontmatter>").count() == 2)
+    val kg = Kg.fromChunks(chunks)
+    val tags = kg.vertices.filter(col("label") === "tag")
+      .select("name").as[String].collect().toSet
+    assert(tags == Set("spark", "search"))
+    // AND filter: both tags → only a.md; single tag → both
+    val both = Kg.tagFilterAnd(kg.edges, Seq("spark", "search"))
+      .as[String].collect().toSet
+    assert(both == Set("/docs/a.md"))
+    val one = Kg.tagFilterAnd(kg.edges, Seq("spark")).as[String].collect().toSet
+    assert(one == Set("/docs/a.md", "/docs/b.md"))
+  }
+
+  test("moved event rewrites paths without re-embedding") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-move")
+    val repo = dir.resolve("repo"); Files.createDirectories(repo)
+    Files.writeString(repo.resolve("x.py"), "def xf():\n    return 1\n")
+    val chunksPath = dir.resolve("chunks").toString
+    val vectorsPath = dir.resolve("vectors").toString
+    new SearchEngine(spark).indexRepo(repo.toString, chunksPath, vectorsPath)
+    val idBefore = spark.read.parquet(chunksPath)
+      .select("chunk_id").as[String].head()
+
+    Files.move(repo.resolve("x.py"), repo.resolve("y.py"))
+    val batch = Seq(graft.streaming.WatchStream.FileEvent(
+      repo.resolve("x.py").toString, "moved", new Timestamp(1L),
+      repo.resolve("y.py").toString)).toDF()
+    graft.streaming.WatchStream.applyBatch(spark, batch, chunksPath, vectorsPath)
+
+    val after = spark.read.parquet(chunksPath).collect()
+    assert(after.length == 1)
+    assert(after.head.getAs[String]("file_path").endsWith("y.py"))
+    assert(after.head.getAs[String]("chunk_id") == idBefore) // not re-embedded
+  }
+
+  test("contributor stats aggregate per author") {
+    val commits = Seq(
+      GitLog.Commit("a", "alice", new Timestamp(1000L), 2, 10L, 1L),
+      GitLog.Commit("b", "alice", new Timestamp(2000L), 1, 5L, 0L),
+      GitLog.Commit("c", "bob", new Timestamp(1500L), 3, 7L, 7L)).toDF()
+    val stats = Analytics.contributorStats(commits).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("alice" -> 2L, "bob" -> 1L))
+  }
+
+  test("function extraction pulls one def block") {
+    val engine = new SearchEngine(spark)
+    val src = "import os\n\ndef alpha():\n    a = 1\n    return a\n\ndef beta():\n    return 2\n"
+    val f = engine.extractFunction(src, "alpha")
+    assert(f.isDefined)
+    assert(f.get.contains("return a") && !f.get.contains("beta"))
+    assert(engine.extractFunction(src, "nope").isEmpty)
+  }
+}
