@@ -65,17 +65,26 @@ object Knn {
     bits.reduce(_ + _)
   }
 
-  /** Bucketed ANN: probe only corpus rows in the query's bucket.
-    * Falls back to fewer results when a bucket is sparse (recall/speed
-    * trade governed by nBits).
+  /** Bucketed ANN with multi-probe: the query also probes every bucket
+    * at Hamming distance ≤ `probeRadius` from its own (flip each bit) —
+    * the standard multi-probe LSH recall fix: a near neighbor on the
+    * wrong side of ONE hyperplane is still found. probeRadius=0 is
+    * single-bucket; radius 1 probes 1+nBits buckets (still prunes the
+    * corpus to (1+nBits)/2^nBits on average).
     */
   def hyperplaneBucketTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nBits: Int, dim: Int = 64): DataFrame = {
+      k: Int, nBits: Int, dim: Int = 64, probeRadius: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", signBucket(col("vec"), nBits, dim))
+    val flips: Seq[Long] =
+      if (probeRadius <= 0) Seq(0L)
+      else 0L +: (0 until nBits).map(b => 1L << b)
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
-      .withColumn("bucket", signBucket(col("qvec"), nBits, dim))
+      .withColumn("bucket0", signBucket(col("qvec"), nBits, dim))
+      .withColumn("flip", explode(typedlit(flips)))
+      .withColumn("bucket", col("flip").bitwiseXOR(col("bucket0")))
+      .drop("bucket0", "flip")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim", VectorFunctions.cosine(col("vec"), col("qvec")))

@@ -76,11 +76,16 @@ object IndexStore {
     * (re)index.
     */
   def changedFiles(disk: DataFrame, stored: DataFrame): DataFrame = {
-    val storedHash = stored.select(col("file_path"),
-      col("file_hash").as("stored_hash")).distinct()
+    // aggregate to ONE row per stored file (a duplicate would fan out the
+    // disk row and double-chunk the file); a file with MIXED stored
+    // hashes (torn partial update) always reindexes
+    val storedHash = stored.groupBy(col("file_path")).agg(
+      org.apache.spark.sql.functions.max(col("file_hash")).as("stored_hash"),
+      countDistinct(col("file_hash")).as("n_hashes"))
     disk.join(storedHash, Seq("file_path"), "left")
-      .filter(col("stored_hash").isNull || col("stored_hash") =!= col("file_hash"))
-      .drop("stored_hash")
+      .filter(col("stored_hash").isNull || col("n_hashes") > 1 ||
+        col("stored_hash") =!= col("file_hash"))
+      .drop("stored_hash", "n_hashes")
   }
 
   /** Deleted files (stored paths no longer on disk). */

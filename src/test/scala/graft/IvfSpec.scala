@@ -69,6 +69,25 @@ class IvfSpec extends SparkSpec {
     assert(mem == disk)
   }
 
+  test("sign-LSH multi-probe recall beats single-probe") {
+    val corpus = clusteredCorpus(200).cache()
+    val queries = corpus.filter(col("vec_id").isin(5L, 400L, 900L))
+    val brute = Knn.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    def recall(radius: Int): Double = {
+      val hits = Knn.hyperplaneBucketTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 10, nBits = 4, dim = 16,
+        probeRadius = radius)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      (brute & hits).size.toDouble / brute.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    assert(r1 >= r0, s"multi-probe $r1 vs single $r0")
+    assert(r1 >= 0.8, s"multi-probe recall $r1")
+  }
+
   test("probing fewer clusters scans fewer rows") {
     val corpus = clusteredCorpus(600).cache()
     val queries = corpus.filter(col("vec_id") === 5L)
