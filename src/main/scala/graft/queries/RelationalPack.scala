@@ -181,6 +181,30 @@ object RelationalPack {
         .orderBy($"p_partkey")
     }),
 
+    // Sessionization (gaps-and-islands): per-user sessions split on
+    // >30-minute inactivity gaps — the batch twin of the streaming
+    // session-window semantics in graft.streaming. All-integer gap math
+    // (epoch micros) so the oracle is exact.
+    "q15_sessionization" -> ((s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gapUs = 30L * 60 * 1000 * 1000
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" > gapUs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum($"new_session").over(byUser).cast("int"))
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          moneySum($"value").cast("double").as("sum_value"))
+        .filter($"user_id" <= 50)
+    }),
+
     // Multi-way dim join through the star schema (region→nation→customer
     // →orders→lineitem), revenue by region: the canonical broadcast chain.
     "q14_revenue_by_region" -> ((s, d) => {
@@ -290,6 +314,28 @@ object RelationalPack {
         |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
         |  AND p_size BETWEEN 5 AND 25 AND p_type LIKE '%ECONOMY%'
         |ORDER BY p_partkey""".stripMargin,
+
+    "q15_sessionization" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+         |      OR epoch_us(CAST(ts AS TIMESTAMP))
+         |         - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+         |sessions AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS INTEGER) AS session_id
+         |  FROM marked)
+         |SELECT user_id, session_id,
+         |  MIN(CAST(ts AS TIMESTAMP)) AS session_start,
+         |  MAX(CAST(ts AS TIMESTAMP)) AS session_end,
+         |  COUNT(*) AS n_events,
+         |  CAST(${moneySumSql("value")} AS DOUBLE) AS sum_value
+         |FROM sessions WHERE user_id <= 50
+         |GROUP BY user_id, session_id""".stripMargin,
 
     "q14_revenue_by_region" ->
       s"""SELECT r_name,
