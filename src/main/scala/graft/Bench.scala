@@ -30,27 +30,35 @@ object Bench {
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    // Reference harness semantics (BASELINE.md): 3 runs per query, report
-    // the median. Queries whose first run exceeds 5s run once (bounded
-    // total wall time); the first run already reflects steady state
-    // because of the warmup above.
+    // Reference harness semantics (BASELINE.md): 3 timed runs per query,
+    // report the median — for EVERY query, no run-once shortcut. A query
+    // that throws is reported visibly in an "errors" field (and on
+    // stderr), never silently recorded as a fast success.
     def once(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+        org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(e.toString.replaceAll("\\s+", " ").take(200))
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = once(fn)
-      val times =
-        if (first > 5.0) Seq(first)
-        else Seq(first, once(fn), once(fn)).sorted
-      name -> times(times.length / 2)
+      val runs = Seq(once(fn), once(fn), once(fn))
+      val median = runs.map(_._1).sorted.apply(1)
+      val err = runs.flatMap(_._2).headOption
+      err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+      (name, median, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

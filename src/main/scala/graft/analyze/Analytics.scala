@@ -191,7 +191,8 @@ object Analytics {
     * per-phase stats (`story/analyzer.py:417-594` semantics).
     */
   def storyPhases(commits: DataFrame, nPhases: Int = 5): DataFrame = {
-    val w = Window.orderBy(col("ts"))
+    // unique tiebreak: same-second commits must tile deterministically
+    val w = Window.orderBy(col("ts"), col("commit_hash"))
     commits
       .withColumn("phase", ntile(nPhases).over(w))
       .groupBy("phase")

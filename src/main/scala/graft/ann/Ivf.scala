@@ -72,6 +72,16 @@ object Ivf {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Reopen a persisted index: queries against it scan the
+    * cluster-partitioned parquet layout, so a probe prunes partitions at
+    * the file level — the engine-native "open the index" path.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/vectors")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    IvfIndex(assigned, centroids, centroids.count().toInt)
+  }
+
   /** Query: prune to the `nprobes` nearest clusters, exact cosine top-k
     * inside them. `refine` over-fetch (reference refine_factor) happens
     * naturally since scoring inside probed clusters is already exact.

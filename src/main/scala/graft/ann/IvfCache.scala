@@ -1,0 +1,29 @@
+package graft.ann
+
+import org.apache.spark.sql.SparkSession
+
+import graft.tables.Tables
+
+/** Per-JVM registry of persisted IVF indexes over the embeddings table —
+  * the index build (KMeans fit + partitioned write) is an indexing-time
+  * cost paid once per corpus, exactly like the reference's LanceDB index
+  * creation (`core/vectors_backend.py:1264-1353`); queries open the
+  * partitioned on-disk layout and pay only the probe-pruned scan.
+  */
+object IvfCache {
+  private val cache = scala.collection.concurrent.TrieMap[String, Ivf.IvfIndex]()
+
+  /** Build+persist once per (JVM, sfDir), then serve the on-disk layout.
+    * The first call in a JVM always rebuilds (overwrite), so a stale
+    * index from an earlier run is never served.
+    */
+  def persisted(spark: SparkSession, sfDir: String,
+      kOverride: Option[Int] = Some(8)): Ivf.IvfIndex =
+    cache.getOrElseUpdate(sfDir, {
+      val path = s"target/ivf/${java.lang.Long.toHexString(
+        graft.functions.PortableHash.hash60Local("ivf", sfDir))}"
+      val emb = Tables.embeddings(spark, sfDir)
+      Ivf.write(Ivf.build(emb, "vec_id", "embedding", kOverride = kOverride), path)
+      Ivf.read(spark, path)
+    })
+}

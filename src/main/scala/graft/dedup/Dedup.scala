@@ -174,6 +174,89 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Pigeonhole segment defs for banded Hamming search over a `bits`-bit
+    * hash: `maxHamming + 1` contiguous segments (wider ones first). Any
+    * pair within Hamming ≤ maxHamming differs in ≤ maxHamming bits, so at
+    * least one of the maxHamming+1 disjoint segments is untouched — the
+    * pair collides exactly on that segment. Returns (seg, shift, mask).
+    */
+  def simhashSegmentDefs(maxHamming: Int, bits: Int = 60): Seq[(Int, Int, Long)] = {
+    val nseg = maxHamming + 1
+    val base = bits / nseg
+    val rem = bits % nseg
+    val lens = (0 until nseg).map(i => if (i < rem) base + 1 else base)
+    val starts = lens.scanLeft(0)(_ + _)
+    (0 until nseg).map(i => (i, starts(i), (1L << lens(i)) - 1))
+  }
+
+  /** (doc_id, simhash, seg, seg_val) banding rows — one per segment. */
+  private def segmented(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val segArr = array(simhashSegmentDefs(maxHamming).map { case (seg, sh, mask) =>
+      struct(lit(seg).as("seg"),
+        shiftrightunsigned(col("simhash"), sh).bitwiseAND(lit(mask)).as("seg_val"))
+    }: _*)
+    sims
+      .select(col("doc_id"), col("simhash"), explode(segArr).as("s"))
+      .select(col("doc_id"), col("simhash"),
+        col("s.seg").as("seg"), col("s.seg_val").as("seg_val"))
+  }
+
+  /** Pairs within a SimHash Hamming radius via pigeonhole banding — the
+    * scale path: an equi-join on (segment, segment_value) replaces the
+    * all-pairs cartesian, with zero recall loss (see simhashSegmentDefs).
+    * Output is identical to `simhashPairs(sims, maxHamming)`.
+    */
+  def simhashPairsBanded(sims: DataFrame, maxHamming: Int): DataFrame = {
+    // the banding rows feed both sides of the self-join — cache them
+    // (Catalyst does not CSE across self-joins; same lesson as LSH)
+    val segs = segmented(sims, maxHamming).cache()
+    val l = segs.select(col("seg"), col("seg_val"),
+      col("doc_id").as("a"), col("simhash").as("sa"))
+    val r = segs.select(col("seg"), col("seg_val"),
+      col("doc_id").as("b"), col("simhash").as("sb"))
+    l.join(r, Seq("seg", "seg_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** 60-bit sign fingerprint of an embedding: bit i = (vec[i] > 0). A
+    * strict float comparison — exact and portable across engines, unlike
+    * a random-hyperplane dot whose SIGN depends on summation order.
+    */
+  def signFingerprint(vec: Column, bits: Int = 60): Column =
+    (0 until bits).map(i =>
+      when(element_at(vec, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  def signFingerprintSql(e: String, bits: Int = 60): String =
+    (0 until bits).map(i =>
+      s"(CASE WHEN $e[${i + 1}] > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)")
+      .mkString("(", " + ", ")")
+
+  /** Embedding near-dup pairs, scale path: sign-fingerprint the vectors,
+    * pigeonhole-band candidates within `maxHamming` sign flips, then exact
+    * cosine verify ≥ minSim. Near-identical vectors flip almost no sign
+    * bits, so a small radius keeps full recall on true near-dups while the
+    * band equi-join prunes the cartesian.
+    */
+  def embeddingNearDupBanded(emb: DataFrame, idCol: String, vecCol: String,
+      maxHamming: Int, minSim: Double): DataFrame = {
+    val base = emb.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+    val sigs = base.select(col("doc_id"),
+      signFingerprint(col("vec")).as("simhash"))
+    val cands = simhashPairsBanded(sigs, maxHamming)
+    cands
+      .join(base.select(col("doc_id").as("a"), col("vec").as("va")), Seq("a"))
+      .join(base.select(col("doc_id").as("b"), col("vec").as("vb")), Seq("b"))
+      .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** Embedding-cosine near-dup pairs above a similarity threshold
     * (all-pairs verification primitive; the scale path buckets by IVF
     * cluster or random-hyperplane LSH first — see graft.ann).

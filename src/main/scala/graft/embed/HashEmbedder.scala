@@ -73,15 +73,20 @@ object HashEmbedder {
           org.apache.spark.sql.types.StructType.fromDDL(
             "content_sha STRING, vector ARRAY<FLOAT>"))
       }
-    val hits = keyed.join(cache, Seq("content_sha")).select(col("id"), col("vector"))
     val misses = keyed.join(cache.select("content_sha"), Seq("content_sha"), "left_anti")
     val fresh = embed(misses, "id", "text")
     val freshKeyed = fresh.join(keyed.select(col("id"), col("content_sha")), Seq("id"))
     val updated = cache.unionByName(
         freshKeyed.select(col("content_sha"), col("vector")))
-      .dropDuplicates("content_sha").cache()
-    updated.count()
-    updated.write.mode("overwrite").parquet(cachePath)
-    hits.unionByName(fresh)
+      .dropDuplicates("content_sha")
+    // staging+swap, never overwrite a path the plan still reads from
+    // (cache eviction mid-write would recompute from the deleted path)
+    graft.index.IndexStore.overwriteSafe(spark, updated, cachePath)
+    // after the swap every requested row is a cache hit; serve the result
+    // from the fresh listing — a pre-swap `hits` plan would hold the old
+    // (deleted) file list
+    spark.catalog.refreshByPath(cachePath)
+    keyed.join(spark.read.parquet(cachePath), Seq("content_sha"))
+      .select(col("id"), col("vector"))
   }
 }

@@ -78,9 +78,15 @@ object RelationalPack {
     // W3 max-normalization window (search.py:1709-1715: score/max(score)).
     "q5_normalized_scores" -> ((s, d) => {
       import s.implicits._
-      Tables.events(s, d)
-        .filter($"event_type" === "purchase")
-        .withColumn("norm_value", $"value" / max($"value").over(Window.partitionBy()))
+      // Global max as a scalar aggregate broadcast back in — not an
+      // empty-frame window (which would move the whole filtered table to
+      // one partition). The filtered subtree runs twice; both runs are
+      // partial-aggregable scans, which is the right 100 TB trade.
+      val purchases = Tables.events(s, d).filter($"event_type" === "purchase")
+      val mx = purchases.agg(max($"value").as("max_value"))
+      purchases
+        .crossJoin(broadcast(mx))
+        .withColumn("norm_value", $"value" / $"max_value")
         .select($"event_id", $"value", $"norm_value")
         .orderBy($"event_id")
         .limit(100)

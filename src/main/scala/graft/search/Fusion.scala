@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Rank fusion + rerank stages of the search pipeline.
@@ -15,16 +14,34 @@ import org.apache.spark.sql.functions._
 object Fusion {
   val RrfK = 60
 
-  /** Assign 1-based ranks by descending score with a unique id tiebreak.
-    * Single-partition window is fine only because inputs are pre-cut
-    * top-N candidate sets (bounded); never call this on a full corpus.
+  /** Scale-safe top-N with 1-based ranks by descending score and a unique
+    * id tiebreak. The cut is `orderBy(...).limit(n)` — Spark plans this as
+    * TakeOrderedAndProject (per-partition top-N merged on the driver), so
+    * the full input never funnels through a single-partition WindowExec.
+    * Ranks are then assigned on the ≤N-row cut set: one partition, sorted,
+    * `monotonically_increasing_id` is the 0-based row number there.
     */
   def ranked(scores: DataFrame, idCol: String, scoreCol: String,
       topN: Int): DataFrame = {
-    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val ord = Seq(col(scoreCol).desc, col(idCol).asc)
     scores
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topN)
+      .orderBy(ord: _*)
+      .limit(topN)
+      .coalesce(1)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+  }
+
+  /** Re-rank an already-bounded result set (a pre-cut top-N from an earlier
+    * stage — never a full corpus) without a global-window shuffle: one
+    * partition, sorted, monotonic id as the row number.
+    */
+  def rankedBounded(scores: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val ord = Seq(col(scoreCol).desc, col(idCol).asc)
+    scores
+      .coalesce(1)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
   }
 
   /** Reciprocal-rank fusion of a vector rank list and a keyword rank list:
@@ -39,9 +56,13 @@ object Fusion {
       .withColumn("rrf_raw",
         coalesce(lit(alpha) / (lit(RrfK) + col("rank_v")), lit(0.0)) +
           coalesce(lit(1 - alpha) / (lit(RrfK) + col("rank_k")), lit(0.0)))
+    // Global max as a scalar aggregate broadcast back in — a partial-agg
+    // tree plus a 1-row broadcast, vs an empty-frame window that would
+    // shuffle every row to one partition.
+    val mx = fused.agg(max(col("rrf_raw")).as("rrf_max"))
     fused
-      .withColumn("rrf_score",
-        col("rrf_raw") / max(col("rrf_raw")).over(Window.partitionBy()))
+      .crossJoin(broadcast(mx))
+      .withColumn("rrf_score", col("rrf_raw") / col("rrf_max"))
       .select(col("id"), col("rrf_score"))
   }
 

@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.chunk.Chunker
@@ -111,10 +110,7 @@ class SearchEngine(spark: SparkSession) {
     val scored = vectors
       .withColumn("similarity_score", VectorFunctions.cosine(col("vector"), qvec))
       .filter(col("similarity_score") >= th)
-    scored
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("similarity_score").desc, col("chunk_id"))))
-      .filter(col("rank") <= limit)
+    Fusion.ranked(scored, "chunk_id", "similarity_score", limit)
   }
 
   /** BM25 keyword search over chunks (corpus = content + 2×name +
@@ -128,12 +124,10 @@ class SearchEngine(spark: SparkSession) {
     val postings = Bm25.postings(
       corpus.withColumn("toks", tokenizeUdf(col("bm25_text"))), "chunk_id", col("toks"))
     val qToks = Tokenizer.tokenize(QueryProcessor.preprocess(query))
-    Bm25.score(spark, postings, qToks)
+    val scored = Bm25.score(spark, postings, qToks)
       .withColumnRenamed("id", "chunk_id")
       .filter(col("score") > 0) // P7 zero-score filter
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("chunk_id"))))
-      .filter(col("rank") <= limit)
+    Fusion.ranked(scored, "chunk_id", "score", limit)
   }
 
   /** Hybrid search: RRF fusion of vector + keyword ranks, alpha lowered
@@ -149,10 +143,7 @@ class SearchEngine(spark: SparkSession) {
     val fused = Fusion.rrf(v, k, alpha)
       .withColumnRenamed("id", "chunk_id")
       .join(vectors, Seq("chunk_id"), "left")
-    boost(fused, query, "rrf_score")
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("boosted").desc, col("chunk_id"))))
-      .filter(col("rank") <= limit)
+    Fusion.ranked(boost(fused, query, "rrf_score"), "chunk_id", "boosted", limit)
   }
 
   /** Heuristic rerank boosts (Q15, `core/result_ranker.py:7-208`):
@@ -243,13 +234,11 @@ class SearchEngine(spark: SparkSession) {
     val perVariant = variants.map(v =>
       vectorSearch(vectors, v, limit * 2, threshold = Some(0.0))
         .select(col("chunk_id"), col("similarity_score")))
-    perVariant.reduce(_ unionByName _)
+    val merged = perVariant.reduce(_ unionByName _)
       .groupBy(col("chunk_id"))
       .agg(max(col("similarity_score")).as("similarity_score"))
       .join(vectors, Seq("chunk_id"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("similarity_score").desc, col("chunk_id"))))
-      .filter(col("rank") <= limit)
+    Fusion.ranked(merged, "chunk_id", "similarity_score", limit)
   }
 
   /** Q10 cross-encoder stage, deterministic proxy scorer: lexical-overlap
@@ -268,11 +257,9 @@ class SearchEngine(spark: SparkSession) {
       .reduce(_ + _)
     val ratio = overlap.cast("double") / qToks.length
     val proxy = lit(1.0) / (lit(1.0) + exp(-(ratio * 6 - 3))) // sigmoid
-    results
-      .withColumn("rerank_score", col(scoreCol) * 0.5 + proxy * 0.5)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("rerank_score").desc, col("chunk_id"))))
-      .filter(col("rank") <= keepTopN)
+    Fusion.ranked(
+      results.withColumn("rerank_score", col(scoreCol) * 0.5 + proxy * 0.5),
+      "chunk_id", "rerank_score", keepTopN)
   }
 
   /** Q12 KG boost: +0.02 per 1-hop related entity whose name contains a
@@ -292,13 +279,12 @@ class SearchEngine(spark: SparkSession) {
     val boosts = related.filter(termHit)
       .groupBy(col("eid"))
       .agg((count(lit(1)) * 0.02).as("kg_boost"))
-    results
+    val boosted = results
       .join(boosts, entityId === col("eid"), "left")
       .drop("eid")
       .withColumn("kg_boosted",
         col(scoreCol) + coalesce(col("kg_boost"), lit(0.0)))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("kg_boosted").desc, col("chunk_id"))))
+    Fusion.rankedBounded(boosted, "chunk_id", "kg_boosted")
   }
 
   /** Q13 code-vector enrichment: a second, code-shaped embedding space
@@ -323,19 +309,16 @@ class SearchEngine(spark: SparkSession) {
       HashEmbedder.embed(
         Seq((0L, QueryProcessor.preprocess(query))).toDF("id", "text"),
         "id", "text").select("vector").as[Array[Float]].head())
-    val codeTop = codeVectors
-      .withColumn("csim", VectorFunctions.cosine(col("vector"), qvec))
-      .withColumn("crank", row_number().over(
-        Window.orderBy(col("csim").desc, col("chunk_id"))))
-      .filter(col("crank") <= limit)
+    val codeTop = Fusion.ranked(
+      codeVectors.withColumn("csim", VectorFunctions.cosine(col("vector"), qvec)),
+      "chunk_id", "csim", limit)
       .select(col("chunk_id"), lit(0.15).as("code_boost"))
-    results
+    val enriched = results
       .join(codeTop, Seq("chunk_id"), "left")
       .withColumn("enriched_score",
         col(scoreCol) + coalesce(col("code_boost"), lit(0.0)))
       .drop("code_boost")
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("enriched_score").desc, col("chunk_id"))))
+    Fusion.rankedBounded(enriched, "chunk_id", "enriched_score")
   }
 
   /** Q14 result enhancement + P6 stale filter: attach surrounding context
@@ -366,6 +349,7 @@ class SearchEngine(spark: SparkSession) {
   def mmrFinish(results: DataFrame, k: Int, lambda: Double = 0.7): Seq[Mmr.Candidate] = {
     val cands = results
       .select(col("chunk_id"), col("similarity_score"), col("vector"))
+      .orderBy(col("similarity_score").desc, col("chunk_id"))
       .limit(3 * k)
       .collect()
       .zipWithIndex

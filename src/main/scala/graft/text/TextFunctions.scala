@@ -66,13 +66,21 @@ object TextFunctions {
     * order, 'und' (undetermined) when no marker matches at all.
     */
   def langId(toks: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    // foldRight means earlier languages take precedence on ties:
-    // the first `when` that matches wins.
+    // Bind the token array, then the 5-element score vector, as lambda
+    // variables of nested single-element transforms — each is computed
+    // exactly ONCE per row and every downstream reference is a variable
+    // read. (A naive when/greatest chain inlines the tokenize+filter
+    // subtree ~30× per row; that was a 23 s/5k-row query.)
+    val langs = array(LangMarkers.map { case (l, _) => lit(l) }: _*)
+    element_at(transform(array(toks), ts => {
+      val scores = array(LangMarkers.map { case (_, ms) => markerHits(ts, ms) }: _*)
+      element_at(transform(array(scores), sc =>
+        when(array_max(sc) <= 0, lit("und"))
+          .otherwise(element_at(langs,
+            // array_position returns the FIRST index of the max, so ties
+            // break by LangMarkers order — same as the SQL mirror's CASE.
+            array_position(sc, array_max(sc)).cast("int")))), lit(1))
+    }), lit(1))
   }
 
   def langIdSql(toksExpr: String): String = {
