@@ -227,10 +227,17 @@ object Dedup {
     * strict float comparison — exact and portable across engines, unlike
     * a random-hyperplane dot whose SIGN depends on summation order.
     */
-  def signFingerprint(vec: Column, bits: Int = 60): Column =
-    (0 until bits).map(i =>
-      when(element_at(vec, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  def signFingerprint(vec: Column, bits: Int = 60): Column = {
+    // one small lambda tree, not 60 chained CASE WHENs — a wide literal
+    // expression here would be duplicated by projection collapse into
+    // every segment shift and join side, and Catalyst optimization time
+    // on the join plan would dwarf the actual execution
+    val powers = typedlit((0 until bits).map(i => 1L << i))
+    aggregate(
+      zip_with(slice(vec, 1, bits), powers,
+        (x, p) => when(x > 0f, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
 
   def signFingerprintSql(e: String, bits: Int = 60): String =
     (0 until bits).map(i =>

@@ -37,11 +37,26 @@ object SearchPack {
   private val docTokensSql =
     s"list_filter(${TextFunctions.tokensSql("text")}, t -> NOT regexp_matches(t, '^[0-9]+$$'))"
 
-  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val postings = Bm25.postings(docs, "doc_id", docTokens)
-    Bm25.score(s, postings, Query)
-  }
+  /** Per-JVM persisted BM25 index over the documents table (S8): built +
+    * written once per corpus, queries scan the parquet index tables — the
+    * gates measure search, not repeated index derivation. First build in
+    * a JVM always overwrites, so a stale index is never served.
+    */
+  private val idxCache =
+    scala.collection.concurrent.TrieMap[String, Bm25.Bm25Index]()
+
+  private def bm25Index(s: SparkSession, d: String): Bm25.Bm25Index =
+    idxCache.getOrElseUpdate(d, {
+      val path = s"target/bm25/${java.lang.Long.toHexString(
+        graft.functions.PortableHash.hash60Local("bm25", d))}"
+      val docs = Tables.documents(s, d)
+      Bm25.writeIndex(
+        Bm25.buildIndex(Bm25.postings(docs, "doc_id", docTokens)), path)
+      Bm25.readIndex(s, path)
+    })
+
+  private def bm25Scores(s: SparkSession, d: String): DataFrame =
+    Bm25.scoreIndexed(s, bm25Index(s, d), Query)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q7/A3: BM25 top-k for a fixed query.
@@ -76,9 +91,7 @@ object SearchPack {
     // doc keeps its best score (search.py:297-349), via BM25 so the
     // whole thing is oracle-checkable.
     "a5_variant_merge" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val postings = Bm25.postings(docs, "doc_id", docTokens)
-      Bm25.scoreVariants(s, postings, ExpansionVariants)
+      Bm25.scoreVariantsIndexed(s, bm25Index(s, d), ExpansionVariants)
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)

@@ -54,22 +54,50 @@ object Bm25 {
       .select(col("term"), col("idf"))
   }
 
-  /** Score every document against a tokenized query (multiset: duplicate
-    * query terms count twice, as in rank_bm25). Output: (id, score).
+  /** The four derived index tables (S8). At 100 TB, postings/doc_stats
+    * are bucketed by their join keys; corpus and idf are broadcast-size.
     */
-  def score(spark: org.apache.spark.sql.SparkSession,
-      postings: DataFrame, queryTokens: Seq[String]): DataFrame = {
-    import spark.implicits._
+  final case class Bm25Index(postings: DataFrame, docStats: DataFrame,
+      corpus: DataFrame, idf: DataFrame)
+
+  /** Derive the full index from a postings table (one pass, all lazy). */
+  def buildIndex(postings: DataFrame): Bm25Index = {
     val ds = docStats(postings)
     val corpus = corpusStats(ds)
-    val idf = termIdf(postings, corpus)
+    Bm25Index(postings, ds, corpus, termIdf(postings, corpus))
+  }
+
+  /** Persist the index tables (the reference pickles an in-memory BM25
+    * object, `bm25_backend.py:202-267`; here it's four parquet tables a
+    * cluster can share and scan incrementally).
+    */
+  def writeIndex(idx: Bm25Index, path: String): Unit = {
+    idx.postings.write.mode("overwrite").parquet(s"$path/postings")
+    idx.docStats.write.mode("overwrite").parquet(s"$path/doc_stats")
+    idx.corpus.write.mode("overwrite").parquet(s"$path/corpus")
+    idx.idf.write.mode("overwrite").parquet(s"$path/idf")
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index =
+    Bm25Index(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/doc_stats"),
+      spark.read.parquet(s"$path/corpus"),
+      spark.read.parquet(s"$path/idf"))
+
+  /** Score a tokenized query against a prebuilt index (multiset: duplicate
+    * query terms count twice, as in rank_bm25). Output: (id, score).
+    */
+  def scoreIndexed(spark: org.apache.spark.sql.SparkSession,
+      idx: Bm25Index, queryTokens: Seq[String]): DataFrame = {
+    import spark.implicits._
     val q = queryTokens.groupBy(identity).map { case (t, os) => (t, os.size) }
       .toSeq.toDF("term", "qtf")
-    postings
+    idx.postings
       .join(broadcast(q), Seq("term"))
-      .join(broadcast(idf), Seq("term"))
-      .join(ds, Seq("id"))
-      .crossJoin(broadcast(corpus))
+      .join(broadcast(idx.idf), Seq("term"))
+      .join(idx.docStats, Seq("id"))
+      .crossJoin(broadcast(idx.corpus))
       .withColumn("contrib",
         col("qtf") * col("idf") * (col("tf") * (K1 + 1)) /
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
@@ -77,25 +105,30 @@ object Bm25 {
       .agg(sum(col("contrib")).as("score"))
   }
 
+  /** Score every document against a tokenized query, deriving the index
+    * inline (one-shot path; callers with a stable corpus should
+    * buildIndex + writeIndex once and use scoreIndexed).
+    */
+  def score(spark: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, queryTokens: Seq[String]): DataFrame =
+    scoreIndexed(spark, buildIndex(postings), queryTokens)
+
   /** Multi-variant scoring in ONE pass over the postings (A5 variant
     * merge): the query table carries a variant tag, scores aggregate per
     * (id, variant), and each id keeps its best variant score. One join
     * instead of one scoring pipeline per variant.
     */
-  def scoreVariants(spark: org.apache.spark.sql.SparkSession,
-      postings: DataFrame, variants: Seq[Seq[String]]): DataFrame = {
+  def scoreVariantsIndexed(spark: org.apache.spark.sql.SparkSession,
+      idx: Bm25Index, variants: Seq[Seq[String]]): DataFrame = {
     import spark.implicits._
-    val ds = docStats(postings)
-    val corpus = corpusStats(ds)
-    val idf = termIdf(postings, corpus)
     val q = variants.zipWithIndex.flatMap { case (toks, vi) =>
       toks.groupBy(identity).map { case (t, os) => (vi, t, os.size) }
     }.toDF("variant", "term", "qtf")
-    postings
+    idx.postings
       .join(broadcast(q), Seq("term"))
-      .join(broadcast(idf), Seq("term"))
-      .join(ds, Seq("id"))
-      .crossJoin(broadcast(corpus))
+      .join(broadcast(idx.idf), Seq("term"))
+      .join(idx.docStats, Seq("id"))
+      .crossJoin(broadcast(idx.corpus))
       .withColumn("contrib",
         col("qtf") * col("idf") * (col("tf") * (K1 + 1)) /
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
@@ -104,6 +137,10 @@ object Bm25 {
       .groupBy(col("id"))
       .agg(max(col("vscore")).as("score"))
   }
+
+  def scoreVariants(spark: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, variants: Seq[Seq[String]]): DataFrame =
+    scoreVariantsIndexed(spark, buildIndex(postings), variants)
 
   // ---- DuckDB SQL mirror (for oracle checks) --------------------------
 
