@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GraphPack, RelationalPack, SearchPack, TextDedupPack}
+import graft.queries.{GitPack, GraphPack, RelationalPack, SearchPack, TextDedupPack}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,8 +18,10 @@ object SparkEntry {
     RelationalPack.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalPack.queries ++ TextDedupPack.queries ++ SearchPack.queries ++ GraphPack.queries
+    RelationalPack.queries ++ TextDedupPack.queries ++ SearchPack.queries ++
+      GraphPack.queries ++ GitPack.queries
 
   def oracleSql: Map[String, String] =
-    RelationalPack.oracles ++ TextDedupPack.oracles ++ SearchPack.oracles ++ GraphPack.oracles
+    RelationalPack.oracles ++ TextDedupPack.oracles ++ SearchPack.oracles ++
+      GraphPack.oracles ++ GitPack.oracles
 }

@@ -190,4 +190,60 @@ object Kg {
   /** A17 stats: counts per vertex label and edge rel_type. */
   def stats(kg: KgTables): (DataFrame, DataFrame) =
     (kg.vertices.groupBy("label").count(), kg.edges.groupBy("rel_type").count())
+
+  /** Authorship subgraph from a change-log table (commit_hash, author,
+    * file_path, ts): Person/Commit/File vertices, Person -AUTHORED->
+    * Commit and Commit -MODIFIED-> File edges — the reference's
+    * Person/AUTHORED/MODIFIED KG slice built from git history
+    * (`core/knowledge_graph.py:611-705`, `core/kg_builder.py:2874-3075`).
+    * Edges carry the change timestamp (null for AUTHORED) so temporal
+    * filters push down to the edge scan.
+    */
+  def authorshipGraph(changes: DataFrame): KgTables = {
+    val persons = changes.select(col("author")).distinct()
+      .select(concat(lit("person:"), col("author")).as("id"),
+        lit("person").as("label"), col("author").as("name"),
+        lit("").as("file_path"), lit("").as("parent_name"))
+    val commits = changes.select(col("commit_hash")).distinct()
+      .select(concat(lit("commit:"), col("commit_hash")).as("id"),
+        lit("commit").as("label"), col("commit_hash").as("name"),
+        lit("").as("file_path"), lit("").as("parent_name"))
+    val files = changes.select(col("file_path")).distinct()
+      .select(col("file_path").as("id"), lit("file").as("label"),
+        regexp_extract(col("file_path"), "([^/]+)$", 1).as("name"),
+        col("file_path"), lit("").as("parent_name"))
+    val authored = changes
+      .select(concat(lit("person:"), col("author")).as("src"),
+        concat(lit("commit:"), col("commit_hash")).as("dst"))
+      .distinct()
+      .select(col("src"), col("dst"), lit("AUTHORED").as("rel_type"),
+        lit(null).cast("timestamp").as("ts"))
+    val modified = changes
+      .groupBy(col("commit_hash"), col("file_path"))
+      .agg(max(col("ts")).as("ts"))
+      .select(concat(lit("commit:"), col("commit_hash")).as("src"),
+        col("file_path").as("dst"), lit("MODIFIED").as("rel_type"), col("ts"))
+    KgTables(
+      persons.unionByName(commits).unionByName(files).dropDuplicates("id"),
+      authored.unionByName(modified))
+  }
+
+  /** Temporal co-change: files modified within [fromTs, toTs] by authors
+    * who also changed `seedFile` in that window — the person←commit→file
+    * 2-hop with the time predicate pushed onto the edge/change scan
+    * (reference temporal KG queries, `knowledge_graph.py:3395-3521`).
+    * The seed-author set is small → broadcast; no shuffle of the big side
+    * beyond the final per-(author, file) aggregate.
+    */
+  def coChangedFiles(changes: DataFrame, seedFile: String,
+      fromTs: org.apache.spark.sql.Column,
+      toTs: org.apache.spark.sql.Column): DataFrame = {
+    val win = changes.filter(col("ts").between(fromTs, toTs))
+    val seedAuthors = win.filter(col("file_path") === seedFile)
+      .select(col("author")).distinct()
+    win.join(broadcast(seedAuthors), Seq("author"))
+      .filter(col("file_path") =!= seedFile)
+      .groupBy(col("author"), col("file_path"))
+      .agg(count(lit(1)).as("n_changes"), max(col("ts")).as("last_ts"))
+  }
 }

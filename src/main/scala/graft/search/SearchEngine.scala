@@ -343,6 +343,14 @@ class SearchEngine(spark: SparkSession) {
       .drop("all_lines")
   }
 
+  /** S11 authorship enrichment: attach last_author / last_modified /
+    * last_commit from a blame table — the reference's
+    * `enrich_with_git_blame` over SearchResults, as one join instead of a
+    * per-result subprocess (`core/git_blame.py:262-330`).
+    */
+  def withAuthorship(results: DataFrame, blame: DataFrame): DataFrame =
+    graft.ingest.GitBlame.enrichChunks(results, blame)
+
   /** MMR diversity finisher (Q11): collect top-3k candidates, greedy-pick
     * k diverse results driver-side.
     */
