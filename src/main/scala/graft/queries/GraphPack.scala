@@ -70,6 +70,40 @@ object GraphPack {
       Kg.minDist(edges(s, d), seed, maxHops = 2, reverse = true)
         .orderBy(col("dist"), col("id"))
         .limit(500)
+    }),
+
+    // J11: DOCUMENTS doc↔code edges — reference scoring over sections and
+    // entities derived deterministically from the documents table (even
+    // doc_ids become doc sections, odd ones code entities named by their
+    // second token; every 8th section is a directory README).
+    "j11_documents_edges" -> ((s, d) => {
+      import graft.text.TextFunctions
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"))
+      val sections = tok
+        .filter(col("doc_id") % 2 === 0 && size(col("toks")) >= 4)
+        .select(col("doc_id").as("section_id"),
+          concat_ws(" ", slice(col("toks"), 1, 4)).as("name"),
+          col("text").as("content"),
+          when(col("doc_id") % 8 === 0,
+            concat(lit("src/m"), col("doc_id") % 10, lit("/README.md")))
+            .otherwise(concat(lit("docs/d"), col("doc_id"), lit(".md")))
+            .as("file_path"))
+      val entities = tok
+        .filter(col("doc_id") % 2 === 1 && size(col("toks")) >= 2)
+        .select(col("doc_id").as("entity_id"),
+          element_at(col("toks"), 2).as("name"),
+          when(col("doc_id") % 3 === 0, "function")
+            .when(col("doc_id") % 3 === 1, "class")
+            .otherwise("module").as("entity_type"),
+          concat(lit("src/m"), col("doc_id") % 10,
+            lit("/code"), col("doc_id"), lit(".py")).as("file_path"))
+      graft.graph.DocLinks.documentsEdges(sections, entities)
+        .select(col("section_id"), col("entity_id"),
+          round(col("weight"), 2).as("weight"))
+        .orderBy(col("weight").desc, col("section_id"), col("entity_id"))
+        .limit(200)
     }))
 
   def oracles: Map[String, String] = Map(
@@ -95,5 +129,51 @@ object GraphPack {
          |  SELECT e.src, w.dist + 1 FROM edges e
          |  JOIN walk w ON e.dst = w.id WHERE w.dist < 2)
          |SELECT id, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY id
-         |ORDER BY dist, id LIMIT 500""".stripMargin)
+         |ORDER BY dist, id LIMIT 500""".stripMargin,
+
+    "j11_documents_edges" -> {
+      val norm = graft.text.TextFunctions.normalizeSql("text")
+      val genericIn = graft.graph.DocLinks.GenericEntityNames.toSeq.sorted
+        .map(n => s"'$n'").mkString(", ")
+      val funcKw = Seq("function", "method", "returns", "parameters", "args")
+        .map(k => s"contains(lower(s.content), '$k')").mkString(" OR ")
+      val classKw = Seq("class", "instance", "object", "inherits", "extends")
+        .map(k => s"contains(lower(s.content), '$k')").mkString(" OR ")
+      val modKw = Seq("module", "package", "import", "library")
+        .map(k => s"contains(lower(s.content), '$k')").mkString(" OR ")
+      s"""WITH tok AS (SELECT doc_id, text, string_split($norm, ' ') AS toks
+         |  FROM documents),
+         |sections AS (SELECT doc_id AS section_id,
+         |    array_to_string(toks[1:4], ' ') AS name, text AS content,
+         |    CASE WHEN doc_id % 8 = 0 THEN 'src/m' || (doc_id % 10) || '/README.md'
+         |         ELSE 'docs/d' || doc_id || '.md' END AS file_path
+         |  FROM tok WHERE doc_id % 2 = 0 AND len(toks) >= 4),
+         |entities AS (SELECT doc_id AS entity_id, toks[2] AS name,
+         |    CASE doc_id % 3 WHEN 0 THEN 'function' WHEN 1 THEN 'class'
+         |         ELSE 'module' END AS entity_type,
+         |    'src/m' || (doc_id % 10) || '/code' || doc_id || '.py' AS file_path
+         |  FROM tok WHERE doc_id % 2 = 1 AND len(toks) >= 2
+         |    AND length(toks[2]) > 2 AND lower(toks[2]) NOT IN ($genericIn)
+         |    AND NOT (toks[2] LIKE '\\_%' ESCAPE '\\' AND toks[2] NOT LIKE '\\_\\_%' ESCAPE '\\')),
+         |scored AS (SELECT s.section_id, e.entity_id, least(1.0,
+         |    (CASE WHEN contains(lower(s.name), lower(e.name)) THEN 0.4 ELSE 0.0 END) +
+         |    (CASE WHEN (length(lower(s.content)) - length(replace(lower(s.content), lower(e.name), ''))) // length(e.name) >= 2 THEN 0.2
+         |          WHEN (length(lower(s.content)) - length(replace(lower(s.content), lower(e.name), ''))) // length(e.name) = 1 THEN 0.1
+         |          ELSE 0.0 END) +
+         |    (CASE WHEN lower(regexp_extract(s.file_path, '([^/]+)$$', 1))
+         |            IN ('readme.md', 'readme.rst', 'readme.txt')
+         |          AND (regexp_extract(s.file_path, '^(.*)/[^/]*$$', 1)
+         |                 = regexp_extract(e.file_path, '^(.*)/[^/]*$$', 1)
+         |            OR regexp_extract(s.file_path, '^(.*)/[^/]*$$', 1)
+         |                 = regexp_extract(regexp_extract(e.file_path, '^(.*)/[^/]*$$', 1), '^(.*)/[^/]*$$', 1))
+         |          THEN 0.3 ELSE 0.0 END) +
+         |    (CASE WHEN e.entity_type IN ('function', 'method') AND ($funcKw) THEN 0.1
+         |          WHEN e.entity_type = 'class' AND ($classKw) THEN 0.1
+         |          WHEN e.entity_type = 'module' AND ($modKw) THEN 0.1
+         |          ELSE 0.0 END)) AS weight
+         |  FROM sections s CROSS JOIN entities e)
+         |SELECT section_id, entity_id, round(weight, 2) AS weight
+         |FROM scored WHERE weight >= 0.5
+         |ORDER BY weight DESC, section_id, entity_id LIMIT 200""".stripMargin
+    })
 }

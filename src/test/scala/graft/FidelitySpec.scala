@@ -81,4 +81,39 @@ class FidelitySpec extends SparkSpec {
     assert(f.get.contains("return a") && !f.get.contains("beta"))
     assert(engine.extractFunction(src, "nope").isEmpty)
   }
+
+  // J11 DOCUMENTS scoring (kg_builder.py:2663-2744 semantics)
+  test("documents edges: README-for-directory + title/mention scoring") {
+    import graft.graph.DocLinks
+    val sections = Seq(
+      // README in same dir as parse_tree's file: 0.3 + title 0.4 → ≥ 0.5
+      ("s1", "the parse_tree helper", "parse_tree builds the tree", "src/core/README.md"),
+      // plain doc, two mentions + title: 0.4 + 0.2 = 0.6
+      ("s2", "about parse_tree", "parse_tree here and parse_tree there", "docs/guide.md"),
+      // one mention only, no title/readme: 0.1 → below threshold
+      ("s3", "unrelated title", "parse_tree once", "docs/other.md"))
+      .toDF("section_id", "name", "content", "file_path")
+    val entities = Seq(
+      ("e1", "parse_tree", "function", "src/core/tree.py"),
+      ("e2", "data", "function", "src/core/data.py"), // generic → filtered
+      ("e3", "_hidden", "function", "src/core/h.py")) // underscore → filtered
+      .toDF("entity_id", "name", "entity_type", "file_path")
+    val edges = DocLinks.documentsEdges(sections, entities).collect()
+    assert(edges.forall(_.getString(1) == "e1"))
+    val bysec = edges.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(bysec.keySet == Set("s1", "s2"))
+    assert(bysec("s1") >= 0.7) // title 0.4 + mention 0.1 + readme 0.3 (>= keyword-agnostic floor)
+    assert(bysec("s2") >= 0.6)
+  }
+
+  test("documents edges: README in parent directory of code still counts") {
+    import graft.graph.DocLinks
+    import org.apache.spark.sql.functions.{col, lit}
+    val hit = DocLinks.isReadmeFor(lit("src/README.md"), lit("src/core/tree.py"))
+    val same = DocLinks.isReadmeFor(lit("src/core/README.md"), lit("src/core/tree.py"))
+    val miss = DocLinks.isReadmeFor(lit("docs/README.md"), lit("src/core/tree.py"))
+    val notReadme = DocLinks.isReadmeFor(lit("src/core/guide.md"), lit("src/core/tree.py"))
+    val row = spark.range(1).select(hit.as("h"), same.as("s"), miss.as("m"), notReadme.as("n")).head()
+    assert(row.getBoolean(0) && row.getBoolean(1) && !row.getBoolean(2) && !row.getBoolean(3))
+  }
 }
