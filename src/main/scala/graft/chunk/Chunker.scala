@@ -52,6 +52,60 @@ object Chunker {
     1 + """\b(if|elif|for|while|case|when|catch|except)\b|&&|\|\|"""
       .r.findAllIn(content).length
 
+  private val ControlOpen =
+    """^\s*(?:}?\s*)?(?:if|elif|else|for|while|try|switch|match|except|catch|finally|with)\b""".r
+  private val BoolOps = """&&|\|\||\b(?:and|or)\b""".r
+  private val Jumps = """\b(?:break|continue|goto)\b""".r
+  private val CaseClause = """^\s*(?:case\b|default\s*:)""".r
+
+  /** Cognitive complexity (`analysis/collectors/complexity.py:221-362`
+    * semantics over an indentation approximation of the AST): each
+    * control-flow statement costs 1 + its nesting level, case clauses and
+    * jump statements +1, each boolean operator +1. Nesting is tracked by
+    * a stack of control-line indents — accurate for Python and for
+    * conventionally-indented brace languages (gofmt/IDE style), which is
+    * the same trade the chunker itself makes (SURVEY §7 (e)).
+    */
+  def cognitiveComplexity(content: String): Int = {
+    var cc = 0
+    val stack = scala.collection.mutable.Stack[Int]()
+    content.split("\n", -1).drop(1).foreach { line =>
+      if (line.trim.nonEmpty) {
+        val indent = line.takeWhile(_ == ' ').length
+        while (stack.nonEmpty && stack.top >= indent) stack.pop()
+        if (CaseClause.findFirstIn(line).isDefined) cc += 1
+        else if (ControlOpen.findFirstIn(line).isDefined) {
+          cc += 1 + stack.size
+          stack.push(indent)
+        }
+        cc += BoolOps.findAllIn(line).length
+        cc += Jumps.findAllIn(line).length
+      }
+    }
+    cc
+  }
+
+  /** Max nesting depth of control structures
+    * (`analysis/collectors/complexity.py:459-534`), same indent-stack
+    * approximation as cognitiveComplexity; the declaration line itself is
+    * depth 0.
+    */
+  def nestingDepth(content: String): Int = {
+    var maxDepth = 0
+    val stack = scala.collection.mutable.Stack[Int]()
+    content.split("\n", -1).drop(1).foreach { line =>
+      if (line.trim.nonEmpty) {
+        val indent = line.takeWhile(_ == ' ').length
+        while (stack.nonEmpty && stack.top >= indent) stack.pop()
+        if (ControlOpen.findFirstIn(line).isDefined) {
+          stack.push(indent)
+          maxDepth = math.max(maxDepth, stack.size)
+        }
+      }
+    }
+    maxDepth
+  }
+
   def tokenCount(content: String): Int = """\w+""".r.findAllIn(content).length
 
   def callNames(content: String, self: String): Seq[String] =
@@ -69,13 +123,19 @@ object Chunker {
       .foldLeft(Vector.empty[String])((acc, c) => if (acc.contains(c)) acc else acc :+ c)
   }
 
-  /** Chunk one file. Dispatch on language family. */
+  /** Chunk one file. Dispatch on language family; Go and Java get
+    * language-faithful extractors (receiver methods / annotations /
+    * return types) matching the reference parser tests' invariants
+    * (`tests/test_go_parser.py`, `tests/test_java_parser.py`).
+    */
   def chunkFile(f: FileRecord): Seq[CodeChunk] = {
     val lines = f.content.split("\n", -1)
     val decls: Seq[Decl] = f.language match {
       case "python" => pythonDecls(lines)
       case "markdown" => return markdownChunks(f, lines)
-      case "javascript" | "typescript" | "java" | "scala" | "go" | "rust" |
+      case "go" => goDecls(lines)
+      case "java" => javaDecls(lines)
+      case "javascript" | "typescript" | "scala" | "rust" |
            "csharp" | "php" | "ruby" | "dart" | "c" | "cpp" =>
         braceDecls(lines)
       case _ => return windowChunks(f, lines)
@@ -84,13 +144,92 @@ object Chunker {
   }
 
   private final case class Decl(line: Int, indent: Int, kind: String,
-      name: String, inherits: Seq[String])
+      name: String, inherits: Seq[String],
+      params: Seq[String] = Nil, returnType: String = "",
+      decorators: Seq[String] = Nil, receiver: String = "")
+
+  // ---- Go (parsers/go.py invariants) ---------------------------------
+
+  private val GoType = """^type\s+(\w+)\s+(struct|interface)\b""".r
+  private val GoMethod =
+    """^func\s*\(\s*\w+\s+\*?([\w.]+)\s*\)\s*(\w+)\s*\(([^)]*)\)\s*(.*?)\s*\{?\s*$""".r
+  private val GoFunc = """^func\s+(\w+)\s*\(([^)]*)\)\s*(.*?)\s*\{?\s*$""".r
+
+  private def splitParams(raw: String): Seq[String] =
+    raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def goDecls(lines: Array[String]): Seq[Decl] =
+    lines.zipWithIndex.flatMap { case (l, i) =>
+      GoType.findFirstMatchIn(l).map(m =>
+        Decl(i, 0, m.group(2), m.group(1), Nil))
+        .orElse(GoMethod.findFirstMatchIn(l).map(m =>
+          Decl(i, 0, "method", m.group(2), Nil,
+            params = splitParams(m.group(3)), returnType = m.group(4).trim,
+            receiver = m.group(1))))
+        .orElse(GoFunc.findFirstMatchIn(l).map(m =>
+          Decl(i, 0, "function", m.group(1), Nil,
+            params = splitParams(m.group(2)), returnType = m.group(3).trim)))
+    }.toSeq
+
+  // ---- Java (parsers/java.py invariants) -----------------------------
+
+  private val JavaClass =
+    ("""^(\s*)(?:(?:public|private|protected|static|final|abstract|sealed|strictfp)\s+)*""" +
+      """(class|interface|enum|record)\s+(\w+)""").r
+  private val JavaMethod =
+    ("""^(\s*)(?:(?:public|private|protected|static|final|abstract|synchronized|default|native|strictfp)\s+)*""" +
+      """(?:<[^>]+>\s*)?([\w.$]+(?:<[^>]*>)?(?:\[\])*)\s+(\w+)\s*\(([^)]*)\)""" +
+      """\s*(?:throws\s+[\w.,\s]+)?\s*[;{]?\s*$""").r
+  private val JavaAnno = """^\s*@(\w+)""".r
+  private val JavaStmtKeywords = Set(
+    "return", "new", "throw", "else", "if", "while", "for", "switch",
+    "case", "do", "break", "continue", "assert", "yield")
+
+  /** Consecutive @annotation lines immediately above `line`. */
+  private def annotationsAbove(lines: Array[String], line: Int): Seq[String] = {
+    var i = line - 1
+    var acc = List.empty[String]
+    while (i >= 0 && JavaAnno.findFirstMatchIn(lines(i)).isDefined) {
+      acc = JavaAnno.findFirstMatchIn(lines(i)).get.group(1) :: acc
+      i -= 1
+    }
+    acc
+  }
+
+  private def javaDecls(lines: Array[String]): Seq[Decl] =
+    lines.zipWithIndex.flatMap { case (l, i) =>
+      JavaClass.findFirstMatchIn(l).map { m =>
+        val inh = """(?:extends|implements)\s+([\w.<>,\s]+)""".r
+          .findAllMatchIn(l)
+          .flatMap(_.group(1).split(",").map(_.trim.takeWhile(c =>
+            c.isLetterOrDigit || c == '.' || c == '_')))
+          .filter(x => x.nonEmpty && x.head.isUpper).toSeq
+        val kind = if (m.group(2) == "interface") "interface" else "class"
+        Decl(i, m.group(1).length, kind, m.group(3), inh,
+          decorators = annotationsAbove(lines, i))
+      }.orElse {
+        JavaMethod.findFirstMatchIn(l).flatMap { m =>
+          val ret = m.group(2)
+          if (JavaStmtKeywords.contains(ret)) None
+          else Some(Decl(i, m.group(1).length, "function", m.group(3), Nil,
+            params = splitParams(m.group(4)),
+            // strip generics from the declared return type: User<T> → User
+            returnType = ret.takeWhile(_ != '<'),
+            decorators = annotationsAbove(lines, i)))
+        }
+      }
+    }.toSeq
 
   private def pythonDecls(lines: Array[String]): Seq[Decl] =
     lines.zipWithIndex.flatMap {
       case (l, i) =>
         (PyDef.findFirstMatchIn(l), PyClass.findFirstMatchIn(l)) match {
-          case (Some(m), _) => Some(Decl(i, m.group(1).length, "function", m.group(2), Nil))
+          case (Some(m), _) =>
+            val params = """def\s+\w+\s*\(([^)]*)""".r.findFirstMatchIn(l)
+              .map(p => splitParams(p.group(1)).filterNot(Set("self", "cls")))
+              .getOrElse(Nil)
+            Some(Decl(i, m.group(1).length, "function", m.group(2), Nil,
+              params = params))
           case (_, Some(m)) =>
             val inh = """class\s+\w+\s*\(([^)]*)\)""".r.findFirstMatchIn(l)
               .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -129,11 +268,15 @@ object Chunker {
       while (end > d.line && lines(end).trim.isEmpty) end -= 1
       val content = lines.slice(d.line, end + 1).mkString("\n")
       val parent = decls.take(di).filter(p =>
-        p.kind == "class" && p.indent < d.indent && p.line < d.line)
+        (p.kind == "class" || p.kind == "interface") &&
+          p.indent < d.indent && p.line < d.line)
         .lastOption
       val chunkType =
         if (d.kind == "function" && parent.nonEmpty) "method" else d.kind
-      val parentName = parent.map(_.name).getOrElse("")
+      // Go methods carry their receiver type as the parent even though
+      // they are declared at top level (test_go_parser.py: method chunks
+      // have a receiver class_name)
+      val parentName = parent.map(_.name).getOrElse(d.receiver)
       val hierarchy =
         if (parentName.nonEmpty) s"$parentName.${d.name}" else d.name
       val docstring = extractDocstring(lines, d.line, end)
@@ -146,7 +289,11 @@ object Chunker {
         signature = lines(d.line).trim, complexity = complexity(content),
         token_count = tokenCount(content),
         calls = callNames(content, d.name), imports = importNames(content),
-        inherits_from = d.inherits)
+        inherits_from = d.inherits,
+        parameters = d.params, return_type = d.returnType,
+        decorators = d.decorators,
+        cognitive_complexity = cognitiveComplexity(content),
+        nesting_depth = nestingDepth(content))
     }
     // module header (imports/constants before the first decl) → one code chunk
     val header = lines.take(decls.head.line).mkString("\n")

@@ -36,7 +36,12 @@ final case class CodeChunk(
     token_count: Int,
     calls: Seq[String],
     imports: Seq[String],
-    inherits_from: Seq[String])
+    inherits_from: Seq[String],
+    parameters: Seq[String] = Nil,   // declared parameter list
+    return_type: String = "",        // declared return type ("" if unknown)
+    decorators: Seq[String] = Nil,   // @annotations / decorators
+    cognitive_complexity: Int = 0,   // analysis/collectors/complexity.py:221-362
+    nesting_depth: Int = 0)          // analysis/collectors/complexity.py:459-534
 
 final case class SearchResult(
     chunk_id: String,
