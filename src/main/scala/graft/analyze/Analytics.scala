@@ -157,16 +157,29 @@ object Analytics {
 
   /** A13 dead-code reachability: entry points → CALLS-closure → the rest
     * is dead, with confidence by entity kind
-    * (`analysis/dead_code.py:108-500`).
+    * (`analysis/dead_code.py:108-500`). Pass the EntryPoints detector
+    * output (`entry_points.py:66-530` fidelity — main blocks, CLI
+    * commands, routes, tests, exports) to root the walk at real entry
+    * points; the name/path heuristic below remains as a safety net.
     */
-  def deadCode(chunks: DataFrame, kg: Kg.KgTables): DataFrame = {
-    val entries = kg.vertices
+  def deadCode(chunks: DataFrame, kg: Kg.KgTables,
+      entryPoints: Option[DataFrame] = None): DataFrame = {
+    val heuristic = kg.vertices
       .filter(col("label").isin("function", "method", "class"))
       .filter(
         col("name").rlike("^(main|test_|Test)") ||
           col("name").isin("__init__", "__main__", "setup", "run") ||
           col("file_path").rlike("(^|/)tests?/"))
       .select("id")
+    val entries = entryPoints.map { ep =>
+      kg.vertices
+        .filter(col("label").isin("function", "method", "class"))
+        .join(ep.select(col("name"), col("file_path")).distinct(),
+          Seq("name", "file_path"))
+        .select("id")
+        .unionByName(heuristic)
+        .distinct()
+    }.getOrElse(heuristic)
     val callEdges = kg.edges.filter(col("rel_type").isin("CALLS", "CONTAINS"))
     val reached = Kg.minDist(callEdges, entries, maxHops = 8).select("id")
     kg.vertices

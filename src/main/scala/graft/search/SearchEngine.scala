@@ -152,9 +152,8 @@ class SearchEngine(spark: SparkSession) {
     */
   def boost(results: DataFrame, query: String, scoreCol: String): DataFrame = {
     val q = query.toLowerCase
-    // boilerplate penalty (core/boilerplate.py:86-200): license headers,
-    // generated files, trivial getters — pushed down, not filtered out
-    val boilerplate =
+    // generated-content penalty: license headers, generated files
+    val generated =
       col("content").rlike("(?i)(licensed under|auto-generated|do not edit|generated by)") ||
         col("file_path").rlike("(?i)(_pb2\\.|\\.generated\\.|/migrations/)")
     results.withColumn("boosted", least(lit(1.0),
@@ -164,7 +163,10 @@ class SearchEngine(spark: SparkSession) {
         when(col("chunk_type") === "function", 0.05).otherwise(0.0) +
         when(col("chunk_type") === "class", 0.03).otherwise(0.0) -
         when(col("file_path").rlike("(^|/)tests?/"), 0.02).otherwise(0.0) -
-        when(boilerplate, 0.15).otherwise(0.0)))
+        when(generated, 0.15).otherwise(0.0) +
+        // language-aware lifecycle/dunder-name penalty, query-aware
+        // (core/boilerplate.py:86-200)
+        Boilerplate.penalty(col("name"), col("language"), query)))
   }
 
   /** Q17 search_by_context: description + focus areas concatenated into
@@ -241,25 +243,19 @@ class SearchEngine(spark: SparkSession) {
     Fusion.ranked(merged, "chunk_id", "similarity_score", limit)
   }
 
-  /** Q10 cross-encoder stage, deterministic proxy scorer: lexical-overlap
-    * ratio through a sigmoid (the reference's stage is a pluggable model
-    * scorer producing [0,1] via sigmoid, `core/reranker.py:22-173`; the
-    * pipeline position and blend are what we preserve).
+  /** Q10 cross-encoder stage (`core/reranker.py:22-173` via
+    * `search.py:1230-1299`): a pluggable pair scorer's sigmoid(logit)
+    * REPLACES the ranking score and the candidate set is cut to keepTopN
+    * (= limit×3 upstream, kept for MMR). Default scorer is the
+    * deterministic feature model in graft.search.FeatureScorer; drop in a
+    * real model by passing another PairScorer to Rerank.
+    * (`scoreCol` is accepted for call-site compatibility; reference
+    * semantics discard the prior score.)
     */
   def rerankProxy(results: DataFrame, query: String, scoreCol: String,
       keepTopN: Int): DataFrame = {
-    val qToks = Tokenizer.tokenize(QueryProcessor.preprocess(query))
-      .distinct.map(t => lit(t))
-    if (qToks.isEmpty) return results
-    val contentToks = split(lower(col("content")), "\\W+")
-    val overlap = qToks.map(t =>
-      when(array_contains(contentToks, t), 1).otherwise(0))
-      .reduce(_ + _)
-    val ratio = overlap.cast("double") / qToks.length
-    val proxy = lit(1.0) / (lit(1.0) + exp(-(ratio * 6 - 3))) // sigmoid
-    Fusion.ranked(
-      results.withColumn("rerank_score", col(scoreCol) * 0.5 + proxy * 0.5),
-      "chunk_id", "rerank_score", keepTopN)
+    if (Tokenizer.tokenize(QueryProcessor.preprocess(query)).isEmpty) return results
+    Rerank(results, query, keepTopN)
   }
 
   /** Q12 KG boost: +0.02 per 1-hop related entity whose name contains a

@@ -45,9 +45,9 @@ class StatsSpec extends SparkSpec {
 
   test("boilerplate content is penalized by the boost stage") {
     val df = Seq(
-      ("c1", "normal code here", "/src/a.py", "function", "alpha", 0.5),
-      ("c2", "auto-generated do not edit", "/src/b.py", "function", "beta", 0.5))
-      .toDF("chunk_id", "content", "file_path", "chunk_type", "name", "score")
+      ("c1", "normal code here", "/src/a.py", "function", "alpha", "python", 0.5),
+      ("c2", "auto-generated do not edit", "/src/b.py", "function", "beta", "python", 0.5))
+      .toDF("chunk_id", "content", "file_path", "chunk_type", "name", "language", "score")
     val out = engine.boost(df, "zzz", "score")
       .select("chunk_id", "boosted").as[(String, Double)].collect().toMap
     assert(out("c1") - out("c2") >= 0.15 - 1e-12)
