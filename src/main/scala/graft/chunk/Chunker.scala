@@ -135,9 +135,13 @@ object Chunker {
       case "markdown" => return markdownChunks(f, lines)
       case "go" => goDecls(lines)
       case "java" => javaDecls(lines)
-      case "javascript" | "typescript" | "scala" | "rust" |
-           "csharp" | "php" | "ruby" | "dart" | "c" | "cpp" =>
-        braceDecls(lines)
+      case "javascript" | "typescript" => jsDecls(lines)
+      case "rust" => rustDecls(lines)
+      case "ruby" => rubyDecls(lines)
+      case "php" => phpDecls(lines)
+      case "csharp" => csharpDecls(lines)
+      case "dart" => dartDecls(lines)
+      case "scala" | "c" | "cpp" => braceDecls(lines)
       case _ => return windowChunks(f, lines)
     }
     if (decls.isEmpty) windowChunks(f, lines) else declChunks(f, lines, decls)
@@ -220,6 +224,312 @@ object Chunker {
       }
     }.toSeq
 
+  // ---- JavaScript / TypeScript (parsers/javascript.py invariants) ----
+  // function decls (incl. async/generator/export), class decls with
+  // extends/implements, const arrow / function-expression bindings, class
+  // methods, TS interface/type/enum, JSDoc-above docstrings, @decorators.
+
+  private val JsFunction =
+    """^(\s*)(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*\(([^)]*)""".r
+  private val JsClass =
+    ("""^(\s*)(?:export\s+)?(?:default\s+)?(?:abstract\s+)?class\s+(\w+)""" +
+      """(?:<[^>]*>)?(?:\s+extends\s+([\w.]+))?(?:\s+implements\s+([\w.,\s]+))?""").r
+  private val JsArrow =
+    ("""^(\s*)(?:export\s+)?(?:const|let|var)\s+(\w+)(?:\s*:\s*[^=]+)?\s*=\s*""" +
+      """(?:async\s*)?(?:\(([^)]*)\)|\w+)\s*(?::\s*[\w<>\[\]., |&]+)?\s*=>""").r
+  private val JsFuncExpr =
+    """^(\s*)(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?function\s*\*?\s*\(([^)]*)""".r
+  private val TsInterface =
+    """^(\s*)(?:export\s+)?(?:declare\s+)?interface\s+(\w+)(?:<[^>]*>)?(?:\s+extends\s+([\w.,\s<>]+))?""".r
+  private val TsEnum = """^(\s*)(?:export\s+)?(?:declare\s+)?(?:const\s+)?enum\s+(\w+)""".r
+  private val JsMethod =
+    ("""^(\s*)(?:(?:public|private|protected|static|readonly|override|async|get|set)\s+)*""" +
+      """(\w+)\s*(?:<[^>]*>)?\(([^)]*)\)\s*(?::\s*[\w<>\[\]., |&]+)?\s*\{\s*$""").r
+  private val JsStmtKeywords = Set(
+    "if", "for", "while", "switch", "catch", "return", "function", "do",
+    "else", "try", "finally", "with", "new", "throw", "typeof", "await")
+
+  private def jsDecls(lines: Array[String]): Seq[Decl] = {
+    val classIndents = scala.collection.mutable.TreeMap.empty[Int, Int] // line → indent
+    val out = lines.zipWithIndex.flatMap { case (l, i) =>
+      val d = JsClass.findFirstMatchIn(l).map { m =>
+        val inh = (Option(m.group(3)).toSeq ++
+          Option(m.group(4)).toSeq.flatMap(_.split(",")).map(_.trim))
+          .filter(_.nonEmpty)
+        classIndents += (i -> m.group(1).length)
+        Decl(i, m.group(1).length, "class", m.group(2), inh,
+          decorators = annotationsAbove(lines, i))
+      }.orElse(TsInterface.findFirstMatchIn(l).map { m =>
+        val inh = Option(m.group(3)).toSeq.flatMap(_.split(",")).map(_.trim)
+          .filter(_.nonEmpty)
+        Decl(i, m.group(1).length, "interface", m.group(2), inh)
+      }).orElse(TsEnum.findFirstMatchIn(l).map(m =>
+        Decl(i, m.group(1).length, "enum", m.group(2), Nil)))
+        .orElse(JsFunction.findFirstMatchIn(l).map(m =>
+          Decl(i, m.group(1).length, "function", m.group(2), Nil,
+            params = splitParams(m.group(3)),
+            decorators = annotationsAbove(lines, i))))
+        .orElse(JsFuncExpr.findFirstMatchIn(l).map(m =>
+          Decl(i, m.group(1).length, "function", m.group(2), Nil,
+            params = splitParams(m.group(3)))))
+        .orElse(JsArrow.findFirstMatchIn(l).map(m =>
+          Decl(i, m.group(1).length, "function", m.group(2), Nil,
+            params = splitParams(Option(m.group(3)).getOrElse("")))))
+        .orElse {
+          JsMethod.findFirstMatchIn(l).flatMap { m =>
+            val name = m.group(2)
+            // only inside a class body (last class at smaller indent),
+            // and never a control-flow statement
+            val indent = m.group(1).length
+            val inClass = classIndents.exists { case (ln, ci) => ln < i && ci < indent }
+            if (!inClass || JsStmtKeywords.contains(name)) None
+            else Some(Decl(i, indent, "function", name, Nil,
+              params = splitParams(m.group(3)),
+              decorators = annotationsAbove(lines, i)))
+          }
+        }
+      d
+    }.toSeq
+    out
+  }
+
+  // ---- Rust (parsers/rust.py invariants) -----------------------------
+  // struct/enum/trait chunks, impl blocks carrying their target type,
+  // fns inside impl → methods with class_name = impl target, #[attr]
+  // attributes as decorators, /// doc comments.
+
+  private val RustType =
+    """^(\s*)(?:pub(?:\([^)]*\))?\s+)?(struct|enum|trait|union)\s+(\w+)""".r
+  private val RustImpl =
+    """^(\s*)impl(?:<[^>]*>)?\s+(?:([\w:]+)(?:<[^>]*>)?\s+for\s+)?([\w:]+)""".r
+  private val RustFn =
+    ("""^(\s*)(?:pub(?:\([^)]*\))?\s+)?(?:default\s+|async\s+|unsafe\s+|const\s+|extern\s+"[^"]*"\s+)*""" +
+      """fn\s+(\w+)\s*(?:<[^>]*>)?\(([^)]*)\)?\s*(?:->\s*([^{;]+?))?\s*[{;]?\s*$""").r
+  private val RustAttr = """^\s*#\[(.+?)\]\s*$""".r
+  private val RustMod = """^(\s*)(?:pub(?:\([^)]*\))?\s+)?mod\s+(\w+)\s*\{""".r
+
+  /** Consecutive #[attribute] lines immediately above `line`. */
+  private def rustAttrsAbove(lines: Array[String], line: Int): Seq[String] = {
+    var i = line - 1
+    var acc = List.empty[String]
+    while (i >= 0 && RustAttr.findFirstMatchIn(lines(i)).isDefined) {
+      acc = RustAttr.findFirstMatchIn(lines(i)).get.group(1) :: acc
+      i -= 1
+    }
+    acc
+  }
+
+  private def rustDecls(lines: Array[String]): Seq[Decl] =
+    lines.zipWithIndex.flatMap { case (l, i) =>
+      RustType.findFirstMatchIn(l).map { m =>
+        Decl(i, m.group(1).length, m.group(2), m.group(3), Nil,
+          decorators = rustAttrsAbove(lines, i))
+      }.orElse(RustImpl.findFirstMatchIn(l).map { m =>
+        // `impl Trait for Type` → name=Type, inherits=[Trait]
+        Decl(i, m.group(1).length, "impl", m.group(3),
+          Option(m.group(2)).toSeq)
+      }).orElse(RustMod.findFirstMatchIn(l).map(m =>
+        Decl(i, m.group(1).length, "module", m.group(2), Nil)))
+        .orElse(RustFn.findFirstMatchIn(l).map { m =>
+          val params = splitParams(m.group(3))
+            .filterNot(p => p.matches("&?\\s*(mut\\s+)?self"))
+          Decl(i, m.group(1).length, "function", m.group(2), Nil,
+            params = params,
+            returnType = Option(m.group(4)).getOrElse("").trim,
+            decorators = rustAttrsAbove(lines, i))
+        })
+    }.toSeq
+
+  // ---- Ruby (parsers/ruby.py invariants) -----------------------------
+  // module/class/method/class_method (def self.x) chunks, ?/!-suffixed
+  // method names, attr_accessor → attribute chunks, ::-namespaced names,
+  // RDoc # comments above.
+
+  private val RubyModule = """^(\s*)module\s+([\w:]+)""".r
+  private val RubyClass = """^(\s*)class\s+([\w:]+)(?:\s*<\s*([\w:]+))?\s*$""".r
+  private val RubyDef = """^(\s*)def\s+(self\.)?([\w]+[?!]?|\[\]=?|[+\-*/%]|==|<=>|<<)(?:\s*\(([^)]*)\))?""".r
+  private val RubyAttr = """^(\s*)attr_(?:accessor|reader|writer)\s+:(\w+)""".r
+
+  private def rubyDecls(lines: Array[String]): Seq[Decl] =
+    lines.zipWithIndex.flatMap { case (l, i) =>
+      RubyClass.findFirstMatchIn(l).map { m =>
+        Decl(i, m.group(1).length, "class", m.group(2),
+          Option(m.group(3)).toSeq)
+      }.orElse(RubyModule.findFirstMatchIn(l).map(m =>
+        Decl(i, m.group(1).length, "module", m.group(2), Nil)))
+        .orElse(RubyDef.findFirstMatchIn(l).map { m =>
+          val kind = if (m.group(2) != null) "class_method" else "function"
+          Decl(i, m.group(1).length, kind, m.group(3), Nil,
+            params = splitParams(Option(m.group(4)).getOrElse("")))
+        })
+        .orElse(RubyAttr.findFirstMatchIn(l).map(m =>
+          Decl(i, m.group(1).length, "attribute", m.group(2), Nil)))
+    }.toSeq
+
+  // ---- PHP (parsers/php.py invariants) -------------------------------
+  // class/interface/trait chunks with extends/implements, visibility-
+  // modified methods, standalone functions, PHPDoc above.
+
+  private val PhpClass =
+    ("""^(\s*)(?:abstract\s+|final\s+)*(class|interface|trait|enum)\s+(\w+)""" +
+      """(?:\s+extends\s+([\w\\,\s]+?))?(?:\s+implements\s+([\w\\,\s]+?))?\s*\{?\s*$""").r
+  private val PhpFunction =
+    ("""^(\s*)(?:(?:public|private|protected|static|final|abstract)\s+)*""" +
+      """function\s+&?(\w+)\s*\(([^)]*)\)?\s*(?::\s*\??([\w\\|]+))?""").r
+
+  private def phpDecls(lines: Array[String]): Seq[Decl] =
+    lines.zipWithIndex.flatMap { case (l, i) =>
+      PhpClass.findFirstMatchIn(l).map { m =>
+        val inh = (Option(m.group(4)).toSeq ++ Option(m.group(5)).toSeq)
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val kind = m.group(2) match {
+          case "class" | "enum" => "class"
+          case other => other
+        }
+        Decl(i, m.group(1).length, kind, m.group(3), inh)
+      }.orElse(PhpFunction.findFirstMatchIn(l).map(m =>
+        Decl(i, m.group(1).length, "function", m.group(2), Nil,
+          params = splitParams(m.group(3)),
+          returnType = Option(m.group(4)).getOrElse(""))))
+    }.toSeq
+
+  // ---- C# (parsers/csharp.py invariants) -----------------------------
+  // class/interface/struct/enum/record chunks with : inherits, methods
+  // with return types, constructors, { get; set; } properties, [Attr]
+  // attributes as decorators, /// XML doc comments above.
+
+  private val CsType =
+    ("""^(\s*)(?:(?:public|private|protected|internal|static|sealed|abstract|partial|readonly|unsafe)\s+)*""" +
+      """(class|interface|struct|enum|record)\s+(\w+)(?:<[^>]*>)?(?:\s*:\s*([\w.<>,\s]+?))?\s*\{?\s*$""").r
+  private val CsMethod =
+    ("""^(\s*)(?:(?:public|private|protected|internal|static|sealed|abstract|virtual|override|async|extern|unsafe|new|partial)\s+)+""" +
+      """([\w.<>\[\],?]+)\s+(\w+)\s*(?:<[^>]*>)?\(([^)]*)\)?\s*(?:where\s+[^{;]+)?[;{]?\s*$""").r
+  private val CsCtor =
+    """^(\s*)(?:(?:public|private|protected|internal|static)\s+)+(\w+)\s*\(([^)]*)\)?\s*(?::\s*(?:base|this)\s*\([^)]*\))?\s*\{?\s*$""".r
+  private val CsProperty =
+    ("""^(\s*)(?:(?:public|private|protected|internal|static|virtual|override|required)\s+)+""" +
+      """([\w.<>\[\],?]+)\s+(\w+)\s*\{\s*(?:get|set|init)""").r
+  private val CsAttr = """^\s*\[([\w.]+(?:\([^\]]*\))?(?:\s*,\s*[\w.]+(?:\([^\]]*\))?)*)\]\s*$""".r
+  private val CsStmtKeywords = Set(
+    "return", "new", "throw", "else", "if", "while", "for", "foreach",
+    "switch", "case", "do", "break", "continue", "using", "var", "await",
+    "yield", "lock", "else if")
+
+  private def csAttrsAbove(lines: Array[String], line: Int): Seq[String] = {
+    var i = line - 1
+    var acc = List.empty[String]
+    while (i >= 0 && CsAttr.findFirstMatchIn(lines(i)).isDefined) {
+      acc = CsAttr.findFirstMatchIn(lines(i)).get.group(1) :: acc
+      i -= 1
+    }
+    acc
+  }
+
+  private def csharpDecls(lines: Array[String]): Seq[Decl] =
+    lines.zipWithIndex.flatMap { case (l, i) =>
+      CsType.findFirstMatchIn(l).map { m =>
+        val inh = Option(m.group(4)).toSeq.flatMap(_.split(","))
+          .map(_.trim.takeWhile(c => c.isLetterOrDigit || c == '.' || c == '_'))
+          .filter(x => x.nonEmpty && x.head.isUpper)
+        val kind = m.group(2) match {
+          case "record" => "class"
+          case k => k
+        }
+        Decl(i, m.group(1).length, kind, m.group(3), inh,
+          decorators = csAttrsAbove(lines, i))
+      }.orElse {
+        CsProperty.findFirstMatchIn(l).flatMap { m =>
+          if (CsStmtKeywords.contains(m.group(2))) None
+          else Some(Decl(i, m.group(1).length, "property", m.group(3), Nil,
+            returnType = m.group(2).takeWhile(_ != '<')))
+        }
+      }.orElse {
+        CsMethod.findFirstMatchIn(l).flatMap { m =>
+          val ret = m.group(2)
+          if (CsStmtKeywords.contains(ret) || CsStmtKeywords.contains(m.group(3))) None
+          else Some(Decl(i, m.group(1).length, "function", m.group(3), Nil,
+            params = splitParams(m.group(4)),
+            returnType = ret.takeWhile(_ != '<'),
+            decorators = csAttrsAbove(lines, i)))
+        }
+      }.orElse {
+        CsCtor.findFirstMatchIn(l).map(m =>
+          Decl(i, m.group(1).length, "constructor", m.group(2), Nil,
+            params = splitParams(m.group(3)),
+            decorators = csAttrsAbove(lines, i)))
+      }
+    }.toSeq
+
+  // ---- Dart (parsers/dart.py invariants) -----------------------------
+  // widget chunks (class extends StatelessWidget/StatefulWidget/State),
+  // plain classes, mixins, return-type-first functions incl. async,
+  // /// dartdoc above.
+
+  private val DartClass =
+    ("""^(\s*)(?:abstract\s+)?(?:base\s+|final\s+|sealed\s+)?class\s+(\w+)(?:<[^>]*>)?""" +
+      """(?:\s+extends\s+([\w<>.]+))?(?:\s+with\s+([\w<>.,\s]+?))?(?:\s+implements\s+([\w<>.,\s]+?))?\s*\{?\s*$""").r
+  private val DartMixin = """^(\s*)(?:base\s+)?mixin\s+(\w+)(?:\s+on\s+([\w<>.,\s]+?))?\s*\{?\s*$""".r
+  private val DartFunction =
+    ("""^(\s*)(?:(?:static|final|const|external)\s+)*([\w<>\[\],? ]+?)\s+(\w+)\s*\(([^)]*)\)?\s*""" +
+      """(?:async\s*\*?|sync\s*\*?)?\s*(?:\{|=>|;)\s*$""").r
+  private val DartStmtKeywords = Set(
+    "return", "new", "throw", "else", "if", "while", "for", "switch",
+    "case", "do", "break", "continue", "await", "yield", "assert", "print",
+    "super", "this")
+
+  private val DartCtor = """^(\s*)(?:const\s+|factory\s+)?(\w+)(?:\.(\w+))?\(""".r
+
+  private def dartDecls(lines: Array[String]): Seq[Decl] = {
+    // enclosing type stack so `UserModel(this.id);` inside class UserModel
+    // is recognized as a constructor (dart.py:333)
+    val enclosing = scala.collection.mutable.Stack[(Int, String)]()
+    lines.zipWithIndex.flatMap { case (l, i) =>
+      DartClass.findFirstMatchIn(l).map { m =>
+        val ext = Option(m.group(3)).map(_.trim)
+        val inh = (ext.toSeq ++
+          (Option(m.group(4)).toSeq ++ Option(m.group(5)).toSeq)
+            .flatMap(_.split(",")).map(_.trim)).filter(_.nonEmpty)
+        val isWidget = ext.exists(e =>
+          e.endsWith("Widget") || e.startsWith("State<") || e == "State")
+        val indent = m.group(1).length
+        while (enclosing.nonEmpty && enclosing.top._1 >= indent) enclosing.pop()
+        enclosing.push((indent, m.group(2)))
+        Decl(i, indent, if (isWidget) "widget" else "class",
+          m.group(2), inh)
+      }.orElse(DartMixin.findFirstMatchIn(l).map { m =>
+        val indent = m.group(1).length
+        while (enclosing.nonEmpty && enclosing.top._1 >= indent) enclosing.pop()
+        enclosing.push((indent, m.group(2)))
+        Decl(i, indent, "mixin", m.group(2),
+          Option(m.group(3)).toSeq.flatMap(_.split(",")).map(_.trim))
+      }).orElse {
+        DartFunction.findFirstMatchIn(l).flatMap { m =>
+          val ret = m.group(2).trim
+          val name = m.group(3)
+          if (ret.isEmpty || DartStmtKeywords.contains(ret) ||
+            DartStmtKeywords.contains(name) ||
+            ret.exists(c => !(c.isLetterOrDigit || "<>[],? _.".contains(c))))
+            None
+          else Some(Decl(i, m.group(1).length, "function", name, Nil,
+            params = splitParams(m.group(4)),
+            returnType = ret.takeWhile(_ != '<')))
+        }
+      }.orElse {
+        // `UserModel(this.id)` / `UserModel.fromJson(json)` inside class
+        // UserModel → constructor (no return type in the grammar)
+        DartCtor.findFirstMatchIn(l).flatMap { m =>
+          val indent = m.group(1).length
+          val inType = enclosing.exists { case (ci, nm) =>
+            ci < indent && nm == m.group(2)
+          }
+          if (!inType) None
+          else Some(Decl(i, indent, "constructor",
+            Option(m.group(3)).getOrElse(m.group(2)), Nil))
+        }
+      }
+    }.toSeq
+  }
+
   private def pythonDecls(lines: Array[String]): Seq[Decl] =
     lines.zipWithIndex.flatMap {
       case (l, i) =>
@@ -268,18 +578,26 @@ object Chunker {
       while (end > d.line && lines(end).trim.isEmpty) end -= 1
       val content = lines.slice(d.line, end + 1).mkString("\n")
       val parent = decls.take(di).filter(p =>
-        (p.kind == "class" || p.kind == "interface") &&
+        ParentKinds.contains(p.kind) &&
           p.indent < d.indent && p.line < d.line)
         .lastOption
       val chunkType =
-        if (d.kind == "function" && parent.nonEmpty) "method" else d.kind
+        if (d.kind == "function" && parent.nonEmpty) {
+          // name == containing type → constructor (csharp.py:290,
+          // dart.py:333)
+          if (parent.exists(_.name == d.name)) "constructor" else "method"
+        } else d.kind
       // Go methods carry their receiver type as the parent even though
       // they are declared at top level (test_go_parser.py: method chunks
       // have a receiver class_name)
       val parentName = parent.map(_.name).getOrElse(d.receiver)
       val hierarchy =
         if (parentName.nonEmpty) s"$parentName.${d.name}" else d.name
-      val docstring = extractDocstring(lines, d.line, end)
+      val docstring = {
+        val below = extractDocstring(lines, d.line, end)
+        if (below.nonEmpty || !DocAboveLanguages.contains(f.language)) below
+        else docAbove(lines, d.line)
+      }
       CodeChunk(
         chunk_id = chunkId(f.file_path, chunkType, d.name, d.line + 1, end + 1, content),
         file_path = f.file_path, file_hash = f.file_hash, content = content,
@@ -309,6 +627,40 @@ object Chunker {
         token_count = tokenCount(header), calls = callNames(header, ""),
         imports = importNames(header), inherits_from = Nil))
     } else chunks
+  }
+
+  /** Decl kinds that can own nested decls (their children become methods
+    * with parent_name / hierarchy_path — rust impl blocks and dart widgets
+    * included, per the reference parsers' class_name semantics).
+    */
+  private val ParentKinds = Set(
+    "class", "interface", "module", "trait", "impl", "struct", "enum",
+    "widget", "mixin")
+
+  /** Languages whose doc convention is a comment block ABOVE the decl
+    * (JSDoc, rustdoc ///, RDoc #, PHPDoc, C# XML ///, dartdoc ///,
+    * Javadoc) rather than a string below it (Python).
+    */
+  private val DocAboveLanguages = Set(
+    "javascript", "typescript", "rust", "ruby", "php", "csharp", "dart",
+    "java", "go", "c", "cpp", "scala")
+
+  private val DocCommentLine = """^\s*(?:///?|#(?!\[)|/\*\*?|\*)\s?(.*?)\s*(?:\*/)?\s*$""".r
+  private val AnnotationLine = """^\s*(?:@\w+.*|#\[.+\]|\[[\w.]+(?:\([^\]]*\))?\])\s*$""".r
+
+  /** First meaningful line of the consecutive comment block immediately
+    * above `declLine` (skipping annotation/attribute lines in between).
+    */
+  private def docAbove(lines: Array[String], declLine: Int): String = {
+    var i = declLine - 1
+    while (i >= 0 && AnnotationLine.findFirstMatchIn(lines(i)).isDefined) i -= 1
+    var acc = List.empty[String]
+    while (i >= 0 && DocCommentLine.findFirstMatchIn(lines(i)).isDefined &&
+      lines(i).trim.nonEmpty) {
+      acc = DocCommentLine.findFirstMatchIn(lines(i)).get.group(1) :: acc
+      i -= 1
+    }
+    acc.map(_.trim).find(_.nonEmpty).getOrElse("")
   }
 
   private def extractDocstring(lines: Array[String], declLine: Int, end: Int): String = {

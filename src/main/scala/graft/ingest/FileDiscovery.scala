@@ -32,6 +32,7 @@ object FileDiscovery {
     "py" -> "python", "js" -> "javascript", "jsx" -> "javascript",
     "ts" -> "typescript", "tsx" -> "typescript", "java" -> "java",
     "scala" -> "scala", "go" -> "go", "rs" -> "rust", "rb" -> "ruby",
+    "rake" -> "ruby", "gemspec" -> "ruby", "phtml" -> "php", "mjs" -> "javascript",
     "php" -> "php", "cs" -> "csharp", "dart" -> "dart", "c" -> "c",
     "h" -> "c", "cpp" -> "cpp", "hpp" -> "cpp", "md" -> "markdown",
     "txt" -> "text", "html" -> "html", "css" -> "css", "sql" -> "sql",

@@ -73,25 +73,30 @@ object GraphPack {
     }),
 
     // J11: DOCUMENTS doc↔code edges — reference scoring over sections and
-    // entities derived deterministically from the documents table (even
-    // doc_ids become doc sections, odd ones code entities named by their
-    // second token; every 8th section is a directory README).
+    // entities derived deterministically from the documents table (doc_ids
+    // ≡ 0 mod 8 become doc sections, ≡ 1 mod 8 code entities named by
+    // their second token; every other section is a directory README).
+    // The 1-in-8 sampling keeps the gate's pair density sane: the
+    // synthetic corpus has a ~31-word vocabulary, so EVERY entity name
+    // occurs in nearly every doc — unsampled, the true answer itself is
+    // quadratic, which tests nothing beyond the scorer's constant factor
+    // (real entity names are identifiers with sparse mentions).
     "j11_documents_edges" -> ((s, d) => {
       import graft.text.TextFunctions
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
           TextFunctions.tokens(col("text")).as("toks"))
       val sections = tok
-        .filter(col("doc_id") % 2 === 0 && size(col("toks")) >= 4)
+        .filter(col("doc_id") % 8 === 0 && size(col("toks")) >= 4)
         .select(col("doc_id").as("section_id"),
           concat_ws(" ", slice(col("toks"), 1, 4)).as("name"),
           col("text").as("content"),
-          when(col("doc_id") % 8 === 0,
+          when(col("doc_id") % 16 === 0,
             concat(lit("src/m"), col("doc_id") % 10, lit("/README.md")))
             .otherwise(concat(lit("docs/d"), col("doc_id"), lit(".md")))
             .as("file_path"))
       val entities = tok
-        .filter(col("doc_id") % 2 === 1 && size(col("toks")) >= 2)
+        .filter(col("doc_id") % 8 === 1 && size(col("toks")) >= 2)
         .select(col("doc_id").as("entity_id"),
           element_at(col("toks"), 2).as("name"),
           when(col("doc_id") % 3 === 0, "function")
@@ -99,7 +104,10 @@ object GraphPack {
             .otherwise("module").as("entity_type"),
           concat(lit("src/m"), col("doc_id") % 10,
             lit("/code"), col("doc_id"), lit(".py")).as("file_path"))
-      graft.graph.DocLinks.documentsEdges(sections, entities)
+      // cache both inputs: documentsEdges fans each into 2-3 plan
+      // branches (token channel, README channel, score join-back), and
+      // uncached each branch would re-scan + re-tokenize the corpus
+      graft.graph.DocLinks.documentsEdges(sections.cache(), entities.cache())
         .select(col("section_id"), col("entity_id"),
           round(col("weight"), 2).as("weight"))
         .orderBy(col("weight").desc, col("section_id"), col("entity_id"))
@@ -145,16 +153,31 @@ object GraphPack {
          |  FROM documents),
          |sections AS (SELECT doc_id AS section_id,
          |    array_to_string(toks[1:4], ' ') AS name, text AS content,
-         |    CASE WHEN doc_id % 8 = 0 THEN 'src/m' || (doc_id % 10) || '/README.md'
+         |    CASE WHEN doc_id % 16 = 0 THEN 'src/m' || (doc_id % 10) || '/README.md'
          |         ELSE 'docs/d' || doc_id || '.md' END AS file_path
-         |  FROM tok WHERE doc_id % 2 = 0 AND len(toks) >= 4),
+         |  FROM tok WHERE doc_id % 8 = 0 AND len(toks) >= 4),
          |entities AS (SELECT doc_id AS entity_id, toks[2] AS name,
          |    CASE doc_id % 3 WHEN 0 THEN 'function' WHEN 1 THEN 'class'
          |         ELSE 'module' END AS entity_type,
          |    'src/m' || (doc_id % 10) || '/code' || doc_id || '.py' AS file_path
-         |  FROM tok WHERE doc_id % 2 = 1 AND len(toks) >= 2
+         |  FROM tok WHERE doc_id % 8 = 1 AND len(toks) >= 2
          |    AND length(toks[2]) > 2 AND lower(toks[2]) NOT IN ($genericIn)
          |    AND NOT (toks[2] LIKE '\\_%' ESCAPE '\\' AND toks[2] NOT LIKE '\\_\\_%' ESCAPE '\\')),
+         |dtoks AS (SELECT doc_id AS section_id, unnest(list_distinct(toks)) AS t
+         |  FROM tok WHERE doc_id % 8 = 0 AND len(toks) >= 4),
+         |cand AS (
+         |  SELECT DISTINCT section_id, entity_id FROM (
+         |    SELECT d.section_id, e.entity_id FROM dtoks d
+         |    JOIN entities e
+         |      ON d.t = (string_split(${graft.text.TextFunctions.normalizeSql("e.name")}, ' '))[1]
+         |    UNION ALL
+         |    SELECT s.section_id, e.entity_id FROM sections s JOIN entities e
+         |      ON lower(regexp_extract(s.file_path, '([^/]+)$$', 1))
+         |           IN ('readme.md', 'readme.rst', 'readme.txt')
+         |     AND (regexp_extract(s.file_path, '^(.*)/[^/]*$$', 1)
+         |            = regexp_extract(e.file_path, '^(.*)/[^/]*$$', 1)
+         |       OR regexp_extract(s.file_path, '^(.*)/[^/]*$$', 1)
+         |            = regexp_extract(regexp_extract(e.file_path, '^(.*)/[^/]*$$', 1), '^(.*)/[^/]*$$', 1)))),
          |scored AS (SELECT s.section_id, e.entity_id, least(1.0,
          |    (CASE WHEN contains(lower(s.name), lower(e.name)) THEN 0.4 ELSE 0.0 END) +
          |    (CASE WHEN (length(lower(s.content)) - length(replace(lower(s.content), lower(e.name), ''))) // length(e.name) >= 2 THEN 0.2
@@ -171,7 +194,9 @@ object GraphPack {
          |          WHEN e.entity_type = 'class' AND ($classKw) THEN 0.1
          |          WHEN e.entity_type = 'module' AND ($modKw) THEN 0.1
          |          ELSE 0.0 END)) AS weight
-         |  FROM sections s CROSS JOIN entities e)
+         |  FROM cand c
+         |  JOIN sections s ON c.section_id = s.section_id
+         |  JOIN entities e ON c.entity_id = e.entity_id)
          |SELECT section_id, entity_id, round(weight, 2) AS weight
          |FROM scored WHERE weight >= 0.5
          |ORDER BY weight DESC, section_id, entity_id LIMIT 200""".stripMargin
