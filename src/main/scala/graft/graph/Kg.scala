@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Knowledge graph as vertex/edge DataFrames (SURVEY §2.1 S9, §2.3 J7-J9,
@@ -199,7 +200,162 @@ object Kg {
     * Edges carry the change timestamp (null for AUTHORED) so temporal
     * filters push down to the edge scan.
     */
-  def authorshipGraph(changes: DataFrame): KgTables = {
+  /** Doc graph (reference node tables Document/DocSection/Topic, rel
+    * tables CONTAINS_SECTION/FOLLOWS/LINKS_TO/REFERENCES/HAS_TOPIC,
+    * `core/knowledge_graph.py:354-607`): built from `doc_section` chunks
+    * (markdown header chunking). REFERENCES resolves backtick code refs
+    * against the code-entity vertices (pass `fromChunks(...).vertices`).
+    * All channels are equi-joins / per-document windows — nothing
+    * all-pairs; the FOLLOWS window is partitioned by file.
+    */
+  def docGraph(chunks: DataFrame, codeVertices: DataFrame,
+      topicK: Int = 5): KgTables = {
+    import graft.text.NlpExtract
+    val sections = chunks.filter(col("chunk_type") === "doc_section")
+      .select(concat(lit("sec:"), col("chunk_id")).as("sid"),
+        col("chunk_id"), col("name"), col("content"),
+        col("file_path"), col("parent_name"), col("start_line"))
+
+    val docs = sections.select(col("file_path")).distinct()
+      .select(concat(lit("doc:"), col("file_path")).as("id"),
+        lit("document").as("label"),
+        regexp_extract(col("file_path"), "([^/]+)$", 1).as("name"),
+        col("file_path"), lit("").as("parent_name"))
+    val secV = sections.select(col("sid").as("id"),
+      lit("doc_section").as("label"), col("name"),
+      col("file_path"), col("parent_name"))
+
+    val containsSection = sections.select(
+      concat(lit("doc:"), col("file_path")).as("src"),
+      col("sid").as("dst"), lit("CONTAINS_SECTION").as("rel_type"))
+
+    val w = Window.partitionBy(col("file_path"))
+      .orderBy(col("start_line"), col("chunk_id"))
+    val follows = sections
+      .withColumn("prev", lag(col("sid"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("sid").as("src"), col("prev").as("dst"),
+        lit("FOLLOWS").as("rel_type"))
+
+    // markdown link targets `[text](target)`; external links dropped
+    val links = sections.select(col("sid").as("src"),
+      explode(array_distinct(regexp_extract_all(col("content"),
+        lit("\\]\\(([^)]+)\\)"), lit(1)))).as("target"))
+      .filter(!col("target").startsWith("http") &&
+        !col("target").startsWith("#"))
+      .select(col("src"), concat(lit("doc:"), col("target")).as("dst"),
+        lit("LINKS_TO").as("rel_type"))
+
+    // backtick code refs resolved by bare entity name (`foo.bar()` → foo)
+    val byName = codeVertices
+      .filter(col("label").isin("function", "class", "method"))
+      .select(col("name").as("ref_name"), col("id").as("dst"))
+    val refs = sections.select(col("sid").as("src"),
+      explode(NlpExtract.codeRefs(col("content"))).as("raw"))
+      .withColumn("ref_name", regexp_extract(col("raw"), "^([A-Za-z_]\\w*)", 1))
+      .filter(col("ref_name") =!= "")
+      .join(byName, Seq("ref_name"))
+      .select(col("src"), col("dst"), lit("REFERENCES").as("rel_type"))
+
+    val topics = sections.select(col("sid").as("src"),
+      explode(NlpExtract.keywords(col("content"), topicK)).as("topic"))
+    val topicV = topics.select(col("topic")).distinct()
+      .select(concat(lit("topic:"), col("topic")).as("id"),
+        lit("topic").as("label"), col("topic").as("name"),
+        lit("").as("file_path"), lit("").as("parent_name"))
+    val hasTopic = topics.select(col("src"),
+      concat(lit("topic:"), col("topic")).as("dst"),
+      lit("HAS_TOPIC").as("rel_type"))
+
+    val edges = containsSection.unionByName(follows).unionByName(links)
+      .unionByName(refs).unionByName(hasTopic)
+      .withColumn("weight", lit(1.0))
+      .dropDuplicates("src", "dst", "rel_type")
+    KgTables(docs.unionByName(secV).unionByName(topicV).dropDuplicates("id"),
+      edges)
+  }
+
+  /** Module-prefix → (framework, language) detection table — the
+    * ProgrammingFramework analog of `kg_builder.py`'s framework nodes.
+    */
+  val FrameworkByModule: Map[String, (String, String)] = Map(
+    "react" -> (("react", "javascript")),
+    "express" -> (("express", "javascript")),
+    "vue" -> (("vue", "javascript")),
+    "angular" -> (("angular", "typescript")),
+    "django" -> (("django", "python")),
+    "flask" -> (("flask", "python")),
+    "fastapi" -> (("fastapi", "python")),
+    "numpy" -> (("numpy", "python")),
+    "pandas" -> (("pandas", "python")),
+    "torch" -> (("pytorch", "python")),
+    "rails" -> (("rails", "ruby")),
+    "laravel" -> (("laravel", "php")),
+    "spring" -> (("spring", "java")),
+    "flutter" -> (("flutter", "dart")),
+    "tokio" -> (("tokio", "rust")),
+    "serde" -> (("serde", "rust")),
+    "gin" -> (("gin", "go")),
+    "spark" -> (("spark", "scala")))
+
+  /** Language/framework graph (reference node tables
+    * ProgrammingLanguage/ProgrammingFramework, rel tables
+    * WRITTEN_IN/USES_FRAMEWORK/FRAMEWORK_FOR,
+    * `core/knowledge_graph.py:760-880`): file -WRITTEN_IN-> language
+    * from the chunk language column; frameworks detected from import
+    * roots via the broadcast FrameworkByModule table.
+    */
+  def langGraph(chunks: DataFrame): KgTables = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val fileLang = chunks.select(col("file_path"), col("language")).distinct()
+    val langV = fileLang.select(col("language")).distinct()
+      .select(concat(lit("lang:"), col("language")).as("id"),
+        lit("language").as("label"), col("language").as("name"),
+        lit("").as("file_path"), lit("").as("parent_name"))
+    val writtenIn = fileLang.select(col("file_path").as("src"),
+      concat(lit("lang:"), col("language")).as("dst"),
+      lit("WRITTEN_IN").as("rel_type"))
+
+    val fwTable = FrameworkByModule.toSeq
+      .map { case (root, (fw, lang)) => (root, fw, lang) }
+      .toDF("root", "framework", "fw_lang")
+    val fileFw = chunks
+      .select(col("file_path"), explode(col("imports")).as("imp"))
+      .withColumn("root", lower(regexp_extract(col("imp"), "^([A-Za-z0-9_]+)", 1)))
+      .join(broadcast(fwTable), Seq("root"))
+      .select(col("file_path"), col("framework"), col("fw_lang"))
+      .distinct()
+    val fwV = fileFw.select(col("framework")).distinct()
+      .select(concat(lit("framework:"), col("framework")).as("id"),
+        lit("framework").as("label"), col("framework").as("name"),
+        lit("").as("file_path"), lit("").as("parent_name"))
+    val usesFw = fileFw.select(col("file_path").as("src"),
+      concat(lit("framework:"), col("framework")).as("dst"),
+      lit("USES_FRAMEWORK").as("rel_type"))
+    val fwFor = fileFw.select(
+      concat(lit("framework:"), col("framework")).as("src"),
+      concat(lit("lang:"), col("fw_lang")).as("dst"),
+      lit("FRAMEWORK_FOR").as("rel_type")).distinct()
+
+    val edges = writtenIn.unionByName(usesFw).unionByName(fwFor)
+      .withColumn("weight", lit(1.0))
+      .dropDuplicates("src", "dst", "rel_type")
+    KgTables(langV.unionByName(fwV).dropDuplicates("id"), edges)
+  }
+
+  def authorshipGraph(changes: DataFrame): KgTables =
+    authorshipGraph(changes, "", "")
+
+  /** Person/Commit/File authorship graph, optionally rooted in
+    * Branch/Repository vertices (reference `knowledge_graph.py:611-858`):
+    * person -AUTHORED-> commit, commit -MODIFIES-> file (reference
+    * Commit→File rel name), person -MODIFIED-> file (reference
+    * Person→File rel name), commit -COMMITTED_TO-> branch
+    * -BELONGS_TO-> repository when names are given.
+    */
+  def authorshipGraph(changes: DataFrame, repoName: String,
+      branchName: String): KgTables = {
     val persons = changes.select(col("author")).distinct()
       .select(concat(lit("person:"), col("author")).as("id"),
         lit("person").as("label"), col("author").as("name"),
@@ -218,14 +374,39 @@ object Kg {
       .distinct()
       .select(col("src"), col("dst"), lit("AUTHORED").as("rel_type"),
         lit(null).cast("timestamp").as("ts"))
-    val modified = changes
+    val modifies = changes
       .groupBy(col("commit_hash"), col("file_path"))
       .agg(max(col("ts")).as("ts"))
       .select(concat(lit("commit:"), col("commit_hash")).as("src"),
+        col("file_path").as("dst"), lit("MODIFIES").as("rel_type"), col("ts"))
+    val modifiedBy = changes
+      .groupBy(col("author"), col("file_path"))
+      .agg(max(col("ts")).as("ts"))
+      .select(concat(lit("person:"), col("author")).as("src"),
         col("file_path").as("dst"), lit("MODIFIED").as("rel_type"), col("ts"))
-    KgTables(
+    val base = KgTables(
       persons.unionByName(commits).unionByName(files).dropDuplicates("id"),
-      authored.unionByName(modified))
+      authored.unionByName(modifies).unionByName(modifiedBy))
+    if (repoName.isEmpty) base
+    else {
+      val spark = changes.sparkSession
+      import spark.implicits._
+      val branchId = s"branch:$repoName/$branchName"
+      val repoId = s"repo:$repoName"
+      val extraV = Seq(
+        (branchId, "branch", branchName, "", ""),
+        (repoId, "repository", repoName, "", ""))
+        .toDF("id", "label", "name", "file_path", "parent_name")
+      val committedTo = changes.select(col("commit_hash")).distinct()
+        .select(concat(lit("commit:"), col("commit_hash")).as("src"),
+          lit(branchId).as("dst"), lit("COMMITTED_TO").as("rel_type"),
+          lit(null).cast("timestamp").as("ts"))
+      val belongsTo = Seq((branchId, repoId, "BELONGS_TO"))
+        .toDF("src", "dst", "rel_type")
+        .withColumn("ts", lit(null).cast("timestamp"))
+      KgTables(base.vertices.unionByName(extraV),
+        base.edges.unionByName(committedTo).unionByName(belongsTo))
+    }
   }
 
   /** Temporal co-change: files modified within [fromTs, toTs] by authors

@@ -62,9 +62,10 @@ object GitPack {
         .limit(200)
     }),
 
-    // Authorship KG: per-relation edge stats over Person/Commit/File.
+    // Authorship KG: per-relation edge stats over
+    // Person/Commit/File/Branch/Repository.
     "g4_authorship_kg" -> ((s, d) => {
-      val kg = Kg.authorshipGraph(changesTable(s, d))
+      val kg = Kg.authorshipGraph(changesTable(s, d), "graft", "main")
       kg.edges.groupBy(col("rel_type"))
         .agg(count(lit(1)).as("n_edges"),
           countDistinct(col("src")).as("n_src"),
@@ -124,11 +125,20 @@ object GitPack {
          |authored AS (SELECT DISTINCT 'person:' || author AS src,
          |    'commit:' || commit_hash AS dst, 'AUTHORED' AS rel_type
          |  FROM changes),
-         |modified AS (SELECT 'commit:' || commit_hash AS src,
-         |    file_path AS dst, 'MODIFIED' AS rel_type
+         |modifies AS (SELECT 'commit:' || commit_hash AS src,
+         |    file_path AS dst, 'MODIFIES' AS rel_type
          |  FROM changes GROUP BY commit_hash, file_path),
+         |modified AS (SELECT 'person:' || author AS src,
+         |    file_path AS dst, 'MODIFIED' AS rel_type
+         |  FROM changes GROUP BY author, file_path),
+         |committed AS (SELECT DISTINCT 'commit:' || commit_hash AS src,
+         |    'branch:graft/main' AS dst, 'COMMITTED_TO' AS rel_type
+         |  FROM changes),
          |edges AS (SELECT src, dst, rel_type FROM authored
-         |  UNION ALL SELECT src, dst, rel_type FROM modified)
+         |  UNION ALL SELECT src, dst, rel_type FROM modifies
+         |  UNION ALL SELECT src, dst, rel_type FROM modified
+         |  UNION ALL SELECT src, dst, rel_type FROM committed
+         |  UNION ALL SELECT 'branch:graft/main', 'repo:graft', 'BELONGS_TO')
          |SELECT rel_type, COUNT(*) AS n_edges,
          |  COUNT(DISTINCT src) AS n_src, COUNT(DISTINCT dst) AS n_dst
          |FROM edges GROUP BY rel_type ORDER BY rel_type""".stripMargin,

@@ -112,6 +112,38 @@ object GraphPack {
           round(col("weight"), 2).as("weight"))
         .orderBy(col("weight").desc, col("section_id"), col("entity_id"))
         .limit(200)
+    }),
+
+    // Doc graph (Document/DocSection + CONTAINS_SECTION/FOLLOWS/LINKS_TO/
+    // REFERENCES): markdown-ish sections synthesized deterministically
+    // from the documents table — every 4th doc becomes a section of file
+    // docs/d{doc_id%20}.md, with an appended [next](...) link and a
+    // backtick `fn_K()` code ref so each edge channel is exercised.
+    // HAS_TOPIC (RAKE keyword extraction) is excluded here: not
+    // SQL-expressible; covered by KgSchemaSpec.
+    "g6_doc_graph" -> ((s, d) => {
+      val md = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+        .select(
+          concat(lit("ch"), col("doc_id")).as("chunk_id"),
+          lit("doc_section").as("chunk_type"),
+          concat(lit("Section "), col("doc_id")).as("name"),
+          concat(col("text"),
+            lit(" [next](docs/d"), col("doc_id") + 4,
+            lit(".md) see `fn_"), col("doc_id") % 50, lit("()`")).as("content"),
+          concat(lit("docs/d"), col("doc_id") % 20, lit(".md")).as("file_path"),
+          lit("").as("parent_name"),
+          (col("doc_id") / 20).cast("int").as("start_line"))
+      val codeV = Tables.documents(s, d)
+        .select((col("doc_id") % 50).as("k")).distinct()
+        .select(concat(lit("ent"), col("k")).as("id"),
+          lit("function").as("label"), concat(lit("fn_"), col("k")).as("name"))
+      Kg.docGraph(md, codeV).edges
+        .filter(col("rel_type") =!= "HAS_TOPIC")
+        .groupBy(col("rel_type"))
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("src")).as("n_src"),
+          countDistinct(col("dst")).as("n_dst"))
+        .orderBy(col("rel_type"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -200,5 +232,42 @@ object GraphPack {
          |SELECT section_id, entity_id, round(weight, 2) AS weight
          |FROM scored WHERE weight >= 0.5
          |ORDER BY weight DESC, section_id, entity_id LIMIT 200""".stripMargin
-    })
+    },
+
+    "g6_doc_graph" ->
+      s"""WITH md AS (SELECT 'ch' || doc_id AS chunk_id,
+         |    'Section ' || doc_id AS name,
+         |    text || ' [next](docs/d' || (doc_id + 4) || '.md) see `fn_'
+         |      || (doc_id % 50) || '()`' AS content,
+         |    'docs/d' || (doc_id % 20) || '.md' AS file_path,
+         |    CAST(doc_id // 20 AS INTEGER) AS start_line
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |ents AS (SELECT DISTINCT 'ent' || (doc_id % 50) AS id,
+         |    'fn_' || (doc_id % 50) AS name FROM documents),
+         |cs AS (SELECT 'doc:' || file_path AS src, 'sec:' || chunk_id AS dst,
+         |    'CONTAINS_SECTION' AS rel_type FROM md),
+         |fl AS (SELECT src, dst, rel_type FROM (
+         |    SELECT 'sec:' || chunk_id AS src,
+         |      lag('sec:' || chunk_id) OVER (PARTITION BY file_path
+         |        ORDER BY start_line, chunk_id) AS dst,
+         |      'FOLLOWS' AS rel_type FROM md) WHERE dst IS NOT NULL),
+         |lk0 AS (SELECT chunk_id, unnest(list_distinct(
+         |      regexp_extract_all(content, '\\]\\(([^)]+)\\)', 1))) AS t
+         |  FROM md),
+         |lk AS (SELECT DISTINCT 'sec:' || chunk_id AS src, 'doc:' || t AS dst,
+         |    'LINKS_TO' AS rel_type FROM lk0
+         |  WHERE t NOT LIKE 'http%' AND t NOT LIKE '#%'),
+         |rf0 AS (SELECT chunk_id, unnest(list_distinct(
+         |      regexp_extract_all(content, '`([^`]+)`', 1))) AS raw
+         |  FROM md),
+         |rf AS (SELECT DISTINCT 'sec:' || r.chunk_id AS src, e.id AS dst,
+         |    'REFERENCES' AS rel_type
+         |  FROM rf0 r JOIN ents e
+         |    ON regexp_extract(trim(r.raw), '^([A-Za-z_]\\w*)', 1) = e.name),
+         |edges AS (SELECT DISTINCT src, dst, rel_type FROM (
+         |  SELECT * FROM cs UNION ALL SELECT * FROM fl
+         |  UNION ALL SELECT * FROM lk UNION ALL SELECT * FROM rf))
+         |SELECT rel_type, COUNT(*) AS n_edges,
+         |  COUNT(DISTINCT src) AS n_src, COUNT(DISTINCT dst) AS n_dst
+         |FROM edges GROUP BY rel_type ORDER BY rel_type""".stripMargin)
 }
