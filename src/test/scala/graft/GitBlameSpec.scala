@@ -93,7 +93,7 @@ class GitBlameSpec extends SparkSpec {
     assert(labels == Map("person" -> 2, "commit" -> 2, "file" -> 2))
     val rels = kg.edges.groupBy("rel_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rels == Map("AUTHORED" -> 2, "MODIFIED" -> 3))
+    assert(rels == Map("AUTHORED" -> 2, "MODIFIES" -> 3, "MODIFIED" -> 3))
   }
 
   test("temporal co-change: window + seed-author 2-hop") {
