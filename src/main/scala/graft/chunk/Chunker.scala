@@ -141,6 +141,7 @@ object Chunker {
       case "php" => phpDecls(lines)
       case "csharp" => csharpDecls(lines)
       case "dart" => dartDecls(lines)
+      case "html" => return htmlChunks(f)
       case "scala" | "c" | "cpp" => braceDecls(lines)
       case _ => return windowChunks(f, lines)
     }
@@ -714,6 +715,125 @@ object Chunker {
         complexity = 1, token_count = tokenCount(content),
         calls = Nil, imports = Nil, inherits_from = Nil)
     }.toSeq
+  }
+
+  // ---- HTML (parsers/html.py invariants) -----------------------------
+
+  private val HtmlSectionTags = Set(
+    "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "main",
+    "aside", "header", "footer", "nav")
+  private val HtmlIgnoreTags = Set("script", "style", "noscript")
+  private val HtmlTagRe =
+    """(?s)<!--.*?-->|<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>"']|"[^"]*"|'[^']*')*?)/?>""".r
+  private val HtmlAttrId = """id\s*=\s*["']([^"']+)["']""".r
+  private val HtmlAttrClass = """class\s*=\s*["']([^"']+)["']""".r
+
+  private final case class HtmlSec(tag: String, var tagInfo: String,
+      id: String, var content: String, startLine: Int, var endLine: Int)
+
+  private def htmlChunkType(tag: String): String = tag match {
+    case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" => "heading"
+    case "section" | "article" | "main" => "section"
+    case "p" => "paragraph"
+    case _ => "content"
+  }
+
+  /** Semantic HTML section chunking (`parsers/html.py:17-350`): h1-h6 /
+    * section / article / main / aside / header / footer / nav open
+    * sections, orphan `<p>` starts an implicit one, script/style/noscript
+    * content is dropped, sections carry `tag#id` / `tag.class`
+    * identifiers, and small sections are merged (h1 always breaks;
+    * merge under 500 chars; a flushed merge under 200 chars is dropped;
+    * the final section must reach 20 chars).
+    */
+  private def htmlChunks(f: FileRecord): Seq[CodeChunk] = {
+    val content = f.content
+    val sections = scala.collection.mutable.ArrayBuffer[HtmlSec]()
+    var current: HtmlSec = null
+    var ignore = 0
+    var pos = 0
+    var line = 1
+    def advance(to: Int): Unit = {
+      var i = pos
+      while (i < to) { if (content.charAt(i) == '\n') line += 1; i += 1 }
+      pos = to
+    }
+    def addText(raw: String): Unit = {
+      val t = raw.replaceAll("\\s+", " ").trim
+      if (t.nonEmpty && ignore == 0 && current != null) {
+        current.content =
+          if (current.content.isEmpty) t else current.content + " " + t
+        current.endLine = line
+      }
+    }
+    def finalizeCur(): Unit = {
+      if (current != null && current.content.trim.nonEmpty) sections += current
+      current = null
+    }
+    for (m <- HtmlTagRe.findAllMatchIn(content)) {
+      val text = content.substring(pos, m.start)
+      advance(m.start)
+      addText(text)
+      if (m.group(2) != null) {
+        val tag = m.group(2).toLowerCase
+        val closing = m.group(1) == "/"
+        val attrs = m.group(3)
+        if (HtmlIgnoreTags(tag)) {
+          if (closing) ignore = math.max(0, ignore - 1) else ignore += 1
+        } else if (!closing && HtmlSectionTags(tag)) {
+          finalizeCur()
+          val id = HtmlAttrId.findFirstMatchIn(attrs).map(_.group(1)).getOrElse("")
+          val cls = HtmlAttrClass.findFirstMatchIn(attrs)
+            .map(_.group(1).split("\\s+").head).getOrElse("")
+          val info =
+            if (id.nonEmpty) s"$tag#$id"
+            else if (cls.nonEmpty) s"$tag.$cls" else tag
+          current = HtmlSec(tag, info, id, "", line, line)
+        } else if (!closing && tag == "p" && current == null) {
+          current = HtmlSec("p", "p", "", "", line, line)
+        } else if (closing && (HtmlSectionTags(tag) || tag == "p")) {
+          if (current != null) current.endLine = line
+          finalizeCur()
+        }
+      }
+      advance(m.end)
+    }
+    val tail = content.substring(pos)
+    advance(content.length)
+    addText(tail)
+    finalizeCur()
+
+    // merge small sections (html.py:299-351 semantics)
+    val merged = scala.collection.mutable.ArrayBuffer[HtmlSec]()
+    var cur: HtmlSec = null
+    for (s <- sections) {
+      if (s.tag == "h1") {
+        if (cur != null) merged += cur
+        cur = s.copy()
+      } else if (cur == null) cur = s.copy()
+      else if (cur.content.length + s.content.length < 500) {
+        cur.content += "\n\n" + s.content
+        cur.endLine = s.endLine
+        if (cur.tagInfo != s.tagInfo) cur.tagInfo += "+" + s.tagInfo
+      } else {
+        if (cur.content.length >= 200) merged += cur
+        cur = s.copy()
+      }
+    }
+    if (cur != null && cur.content.length >= 20) merged += cur
+
+    merged.toSeq.map { s =>
+      val tpe = htmlChunkType(s.tag)
+      CodeChunk(
+        chunk_id = chunkId(f.file_path, tpe, s.tagInfo, s.startLine, s.endLine, s.content),
+        file_path = f.file_path, file_hash = f.file_hash, content = s.content,
+        language = f.language, start_line = s.startLine, end_line = s.endLine,
+        chunk_type = tpe, name = s.tagInfo, parent_name = s.id,
+        hierarchy_path = s.tagInfo, docstring = "",
+        signature = "", complexity = 1,
+        token_count = tokenCount(s.content),
+        calls = Nil, imports = Nil, inherits_from = Nil)
+    }
   }
 
   /** Fallback fixed-window chunking (`parsers/base.py:301-383` semantics). */
