@@ -427,4 +427,76 @@ object Kg {
       .groupBy(col("author"), col("file_path"))
       .agg(count(lit(1)).as("n_changes"), max(col("ts")).as("last_ts"))
   }
+
+  /** Commit-ancestry closure: every commit reachable from `refSha` via
+    * parent edges (inclusive of the ref itself). The distributed analog
+    * of `is_ancestor_commit` (`core/git_utils.py`) that the temporal KG
+    * filters call once per stored SHA (`knowledge_graph.py:3430-3435`):
+    * instead of a subprocess per (sha, ref) pair, one iterative DAG
+    * traversal materializes the whole ancestor set, then membership is a
+    * join. Frontier is DISTINCT per hop and anti-joined against the
+    * accumulated set, so converged branches stop contributing; real git
+    * DAGs are deep, so the hop cap is high but each hop is one
+    * broadcastable equi-join on the (commit, parent) relation.
+    */
+  def ancestorClosure(parents: DataFrame, refSha: String,
+      maxHops: Int = 1024): DataFrame = {
+    val spark = parents.sparkSession
+    import spark.implicits._
+    var acc = Seq(refSha).toDF("commit_hash")
+    var frontier = acc
+    var hop = 1
+    var growing = true
+    while (growing && hop <= maxHops) {
+      val next = parents.join(frontier, Seq("commit_hash"))
+        .select(col("parent_hash").as("commit_hash"))
+        .distinct()
+        .join(acc, Seq("commit_hash"), "left_anti")
+        .localCheckpoint(eager = true)
+      growing = next.limit(1).count() > 0
+      acc = acc.unionByName(next)
+      frontier = next
+      hop += 1
+    }
+    acc
+  }
+
+  /** Entities visible at `refSha` (`knowledge_graph.py:3395-3464`
+    * `get_entities_at_commit`): rows whose `commit_sha` is non-empty and
+    * an ancestor of (or equal to) the ref. The ancestor set is tiny next
+    * to the entity table, so membership is a broadcast semi join — the
+    * entity side never shuffles.
+    */
+  def entitiesAtCommit(entities: DataFrame, parents: DataFrame,
+      refSha: String): DataFrame = {
+    val anc = ancestorClosure(parents, refSha)
+      .withColumnRenamed("commit_hash", "commit_sha")
+    entities.filter(col("commit_sha") =!= "")
+      .join(broadcast(anc), Seq("commit_sha"), "left_semi")
+  }
+
+  /** CALLS edges into entities named `calleeName` whose CALLER's
+    * commit_sha is an ancestor of the ref (`knowledge_graph.py:3466-3521`
+    * `get_callers_at_commit`). `entities` needs (id, name, file_path,
+    * commit_sha); `callsEdges` needs (src, dst, rel_type). Callee match
+    * and ancestor set are both small → broadcast joins around one pass
+    * over the edge relation.
+    */
+  def callersAtCommit(callsEdges: DataFrame, entities: DataFrame,
+      calleeName: String, parents: DataFrame, refSha: String): DataFrame = {
+    val callees = entities.filter(col("name") === calleeName)
+      .select(col("id").as("dst"), col("name").as("callee_name"))
+    val anc = ancestorClosure(parents, refSha)
+      .withColumnRenamed("commit_hash", "caller_commit_sha")
+    callsEdges.filter(col("rel_type") === "CALLS")
+      .join(broadcast(callees), Seq("dst"))
+      .select(col("src").as("caller_id"), col("callee_name"))
+      .join(entities.select(col("id").as("caller_id"),
+        col("name").as("caller_name"), col("file_path").as("caller_file"),
+        col("commit_sha").as("caller_commit_sha")), Seq("caller_id"))
+      .filter(col("caller_commit_sha") =!= "")
+      .join(broadcast(anc), Seq("caller_commit_sha"), "left_semi")
+      .select(col("caller_id"), col("caller_name"), col("caller_file"),
+        col("caller_commit_sha"), col("callee_name"))
+  }
 }

@@ -50,6 +50,46 @@ object GitPack {
   val WinFrom = "2024-01-05 00:00:00"
   val WinTo = "2024-02-01 00:00:00"
   val SeedFile = "f7"
+  val RefSha = "c137"
+  val CalleeName = "e7"
+
+  /** Entity table for the temporal gates — one entity per document,
+    * commit_sha 'c'||(doc_id%200) with every 11th entity left
+    * uncommitted (exercises the reference's empty-sha exclusion).
+    */
+  private def entityTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("entity_id"),
+      concat(lit("e"), col("doc_id") % 50).as("name"),
+      when(col("doc_id") % 3 === 0, "function")
+        .when(col("doc_id") % 3 === 1, "class")
+        .otherwise("method").as("entity_type"),
+      concat(lit("f"), col("doc_id") % 40).as("file_path"),
+      when(col("doc_id") % 11 === 0, lit(""))
+        .otherwise(concat(lit("c"), col("doc_id") % 200)).as("commit_sha"))
+
+  /** Commit parent DAG over the ids present: c_i → c_(i-2^k), k=0..7 —
+    * a skip-list-shaped history (merge commits included) whose ancestor
+    * closure of c_i is every earlier commit, reachable in ≤8 hops.
+    */
+  private def parentTable(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d)
+      .select((col("doc_id") % 200).cast("int").as("i")).distinct()
+    val offs = Seq(1, 2, 4, 8, 16, 32, 64, 128)
+    val cand = ids.withColumn("o", explode(array(offs.map(lit): _*)))
+      .filter(col("i") - col("o") >= 0)
+      .select(col("i"), (col("i") - col("o")).as("p"))
+    cand.join(ids.withColumnRenamed("i", "p"), Seq("p"), "left_semi")
+      .select(concat(lit("c"), col("i")).as("commit_hash"),
+        concat(lit("c"), col("p")).as("parent_hash"))
+  }
+
+  /** CALLS edge per entity: doc_id → (doc_id*31+7) mod 1000. */
+  private def callsTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("src"),
+      ((col("doc_id") * 31 + 7) % 1000).as("dst"),
+      lit("CALLS").as("rel_type"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S11: chunk authorship = most recent blame line in the chunk range.
@@ -81,6 +121,23 @@ object GitPack {
           unix_timestamp(col("last_ts")).as("last_ts"))
         .orderBy(col("author"), col("file_path"))
         .limit(300)
+    }),
+
+    // Temporal KG: entities whose commit is an ancestor of the ref —
+    // iterative DAG closure + broadcast semi join.
+    "g7_entities_at_commit" -> ((s, d) => {
+      Kg.entitiesAtCommit(entityTable(s, d), parentTable(s, d), RefSha)
+        .orderBy(col("entity_id"))
+        .limit(200)
+    }),
+
+    // Temporal KG: callers of a named entity, ancestry-filtered.
+    "g8_callers_at_commit" -> ((s, d) => {
+      Kg.callersAtCommit(callsTable(s, d),
+          entityTable(s, d).withColumnRenamed("entity_id", "id"),
+          CalleeName, parentTable(s, d), RefSha)
+        .orderBy(col("caller_id"))
+        .limit(300)
     }))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -106,6 +163,26 @@ object GitPack {
       |    'f' || (event_id % 40) AS file_path,
       |    CAST(ts AS TIMESTAMP) AS ts
       |  FROM events)""".stripMargin
+
+  private val entsCte =
+    """ents AS (SELECT doc_id AS entity_id, 'e' || (doc_id % 50) AS name,
+      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'function'
+      |      WHEN 1 THEN 'class' ELSE 'method' END AS entity_type,
+      |    'f' || (doc_id % 40) AS file_path,
+      |    CASE WHEN doc_id % 11 = 0 THEN ''
+      |      ELSE 'c' || (doc_id % 200) END AS commit_sha
+      |  FROM documents)""".stripMargin
+
+  private val ancestryCtes =
+    s"""ids AS (SELECT DISTINCT CAST(doc_id % 200 AS INTEGER) AS i
+       |  FROM documents),
+       |offs(o) AS (VALUES (1),(2),(4),(8),(16),(32),(64),(128)),
+       |par AS (SELECT 'c' || i AS commit_hash, 'c' || (i - o) AS parent_hash
+       |  FROM ids, offs WHERE i - o >= 0
+       |    AND (i - o) IN (SELECT i FROM ids)),
+       |anc AS (SELECT '$RefSha' AS h
+       |  UNION
+       |  SELECT p.parent_hash FROM anc JOIN par p ON p.commit_hash = anc.h)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "s11_blame_enrich" ->
@@ -154,5 +231,25 @@ object GitPack {
          |FROM win w JOIN seed_authors sa ON sa.author = w.author
          |WHERE w.file_path <> '$SeedFile'
          |GROUP BY w.author, w.file_path
-         |ORDER BY w.author, w.file_path LIMIT 300""".stripMargin)
+         |ORDER BY w.author, w.file_path LIMIT 300""".stripMargin,
+
+    "g7_entities_at_commit" ->
+      s"""WITH RECURSIVE $entsCte, $ancestryCtes
+         |SELECT entity_id, name, entity_type, file_path, commit_sha
+         |FROM ents
+         |WHERE commit_sha <> '' AND commit_sha IN (SELECT h FROM anc)
+         |ORDER BY entity_id LIMIT 200""".stripMargin,
+
+    "g8_callers_at_commit" ->
+      s"""WITH RECURSIVE $entsCte, $ancestryCtes,
+         |calls AS (SELECT doc_id AS src, (doc_id * 31 + 7) % 1000 AS dst
+         |  FROM documents)
+         |SELECT c.src AS caller_id, e.name AS caller_name,
+         |  e.file_path AS caller_file, e.commit_sha AS caller_commit_sha,
+         |  ce.name AS callee_name
+         |FROM calls c
+         |JOIN ents ce ON ce.entity_id = c.dst AND ce.name = '$CalleeName'
+         |JOIN ents e ON e.entity_id = c.src
+         |WHERE e.commit_sha <> '' AND e.commit_sha IN (SELECT h FROM anc)
+         |ORDER BY caller_id LIMIT 300""".stripMargin)
 }

@@ -105,12 +105,16 @@ class GraphAnalyticsSpec extends SparkSpec {
 
   test("git log parse + story phases") {
     val raw =
-      "@aaa|alice|1700000000\n3\t1\tsrc/a.py\n2\t2\tsrc/b.py\n\n" +
-        "@bbb|bob|1700100000\n5\t0\tsrc/c.py\n\n" +
-        "@ccc|alice|1700200000\n1\t1\tREADME.md\n"
+      "@aaa||alice|1700000000\n3\t1\tsrc/a.py\n2\t2\tsrc/b.py\n\n" +
+        "@bbb|aaa|bob|1700100000\n5\t0\tsrc/c.py\n\n" +
+        "@ccc|aaa bbb|alice|1700200000\n1\t1\tREADME.md\n"
     val commits = GitLog.parse(raw)
     assert(commits.length == 3)
     assert(commits.head.files_changed == 2 && commits.head.insertions == 5)
+    assert(commits.head.parents.isEmpty)
+    assert(commits(2).parents == Seq("aaa", "bbb"))
+    val edges = GitLog.parentEdges(commits.toDF()).collect()
+    assert(edges.length == 3)
     val phases = Analytics.storyPhases(commits.toDF(), nPhases = 2).collect()
     assert(phases.map(_.getAs[Long]("n_commits")).sum == 3)
   }

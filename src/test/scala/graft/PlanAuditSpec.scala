@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Physical-plan audit over EVERY gate query: the two scale-killer shapes
+  * the round-1 bench exposed must never reappear —
+  *  - WindowExec with an empty partition spec (moves the whole input to
+  *    one partition; the h1=64s bug), and
+  *  - CartesianProductExec (all-pairs blowup; the d5=124s bug).
+  * Typed traversal of the compiled plan, AQE off so the static plan is
+  * inspected without executing the query.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("no single-partition window and no cartesian in any gate query plan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val plan: SparkPlan = fn(spark, sfDir).queryExecution.executedPlan
+          val globalWindows = plan.collectWithSubqueries {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+          }
+          val cartesians = plan.collectWithSubqueries {
+            case c: CartesianProductExec => c
+          }
+          (if (globalWindows.nonEmpty) Seq(s"$name: global window") else Nil) ++
+            (if (cartesians.nonEmpty) Seq(s"$name: cartesian product") else Nil)
+      }
+      assert(offenders.isEmpty, offenders.mkString("; "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
