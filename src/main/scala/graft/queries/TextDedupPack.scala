@@ -184,8 +184,9 @@ object TextDedupPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
-    // Sign-LSH bucketed ANN (scale path; rows-only check — recall vs the
-    // brute-force oracle is asserted in ScalaTest instead).
+    // Sign-LSH bucketed ANN with multi-probe (scale path) — fully
+    // oracle-checked: the hyperplane signs are portable (see
+    // signBucketSql), so DuckDB reproduces buckets, probes, and ranks.
     "a2_knn_bucketed" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -370,5 +371,39 @@ object TextDedupPack {
          |      AS INTEGER) AS rank
          |  FROM scored)
          |SELECT qid, id, round(sim, 6) AS sim, rank
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "a2_knn_bucketed" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec,
+         |    ${signBucketSql("embedding", 4)} AS bucket0
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |flips(f) AS (VALUES (0::BIGINT), (1), (2), (4), (8)),
+         |probes AS (SELECT qid, qvec, xor(bucket0, f) AS bucket
+         |  FROM qs, flips),
+         |corpus AS (SELECT vec_id AS id, embedding AS vec,
+         |    ${signBucketSql("embedding", 4)} AS bucket FROM embeddings),
+         |cand AS (SELECT p.qid, c.id,
+         |    ${VectorFunctions.cosineSql("c.vec", "p.qvec")} AS sim
+         |  FROM corpus c JOIN probes p ON p.bucket = c.bucket
+         |  WHERE c.id <> p.qid),
+         |ranked AS (SELECT qid, id, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+         |      AS INTEGER) AS rank
+         |  FROM cand)
+         |SELECT qid, id, round(sim, 6) AS sim, rank
          |FROM ranked WHERE rank <= 10""".stripMargin)
+
+  /** DuckDB mirror of `Knn.signBucket`: per hyperplane, the double dot is
+    * a chained left-associative addition — the same summation ORDER as the
+    * Spark-side sequential fold, so the sign (all that matters for the
+    * bucket bit) is bit-identical. Plane components are plan-time literals
+    * rendered with Double.toString (round-trip exact).
+    */
+  private def signBucketSql(e: String, nBits: Int, dim: Int = 64): String =
+    (0 until nBits).map { b =>
+      val dot = (0 until dim).map { i =>
+        s"(CAST($e[${i + 1}] AS DOUBLE) * ${graft.ann.Knn.planeComponent(b, i)})"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $dot > 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString("(", " + ", ")")
 }
