@@ -8,7 +8,7 @@ import graft.ann.Knn
 import graft.dedup.Dedup
 import graft.functions.{PortableHash, VectorFunctions}
 import graft.tables.Tables
-import graft.text.TextFunctions
+import graft.text.{NlpExtract, TextFunctions}
 
 /** Training-data-pipeline pack: text analysis, dedup family, similarity
   * search — the SURVEY §7 "beyond the reference" operators, each with a
@@ -102,6 +102,16 @@ object TextDedupPack {
           col("doc_id"),
           fingerprintSha(col("text")).as("fp_sha"),
           fingerprint60(col("text")).as("fp60"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
+
+    // HAS_TOPIC keyword extraction (RAKE-style tf top-k, ties broken
+    // alphabetically) — comma-joined so the compare avoids array cells.
+    "t6_keywords" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(NlpExtract.keywords(col("text"), 8), ",").as("keywords"))
         .orderBy(col("doc_id"))
         .limit(100)
     }),
@@ -270,6 +280,23 @@ object TextDedupPack {
       s"""SELECT doc_id, ${fingerprintShaSql("text")} AS fp_sha,
          |  ${fingerprint60Sql("text")} AS fp60
          |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "t6_keywords" -> {
+      val stopList = NlpExtract.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, t
+         |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS t
+         |        FROM documents)
+         |  WHERE len(t) >= 3 AND t NOT IN ($stopList)),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t),
+         |rk AS (SELECT doc_id, t,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t) AS rn
+         |  FROM tf),
+         |agg AS (SELECT doc_id, string_agg(t, ',' ORDER BY rn) AS kw
+         |  FROM rk WHERE rn <= 8 GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.kw, '') AS keywords
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id LIMIT 100""".stripMargin
+    },
 
     "d1_exact_dedup" ->
       s"""SELECT ${fingerprintShaSql("text")} AS fingerprint,
