@@ -144,7 +144,36 @@ object GraphPack {
           countDistinct(col("src")).as("n_src"),
           countDistinct(col("dst")).as("n_dst"))
         .orderBy(col("rel_type"))
+    }),
+
+    // Document ontology / IA tree (kg_ontology + kg_ia): classify
+    // synthesized file paths through the 50-rule cascade, roll up per
+    // (IA group, category). Paths are dir[doc_id%8] / name[doc_id%12],
+    // chosen to hit every cascade pass (ext, exact name, directory,
+    // stem keyword) plus the fall-through.
+    "g9_doc_ontology" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(
+          element_at(typedlit(OntologyDirs), (col("doc_id") % 8).cast("int") + 1),
+          lit("/"),
+          element_at(typedlit(OntologyNames), (col("doc_id") % 12).cast("int") + 1))
+          .as("file_path"),
+        size(graft.text.TextFunctions.tokens(col("text"))).as("n_words"))
+      graft.graph.DocCategory.withCategory(docs, "file_path")
+        .groupBy(col("ia_group"), col("category"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("sum_words"),
+          min(col("doc_id")).as("sample_doc"))
+        .orderBy(col("ia_group"), col("category"))
     }))
+
+  val OntologyDirs = Seq("docs/api", "docs/guides", "src/design",
+    "notes/research", "docs", "qa/tests", "examples", "internal")
+  val OntologyNames = Seq("readme.md", "changelog.md", "setup-notes.md",
+    "benchmark-results.md", "security-audit.md", "migration-plan.md",
+    "index.md", "misc.md", "config.yaml", "troubleshooting.md",
+    "feature-flags.md", "workflow.md")
 
   def oracles: Map[String, String] = Map(
     "g1_kg_stats" ->
@@ -269,5 +298,33 @@ object GraphPack {
          |  UNION ALL SELECT * FROM lk UNION ALL SELECT * FROM rf))
          |SELECT rel_type, COUNT(*) AS n_edges,
          |  COUNT(DISTINCT src) AS n_src, COUNT(DISTINCT dst) AS n_dst
-         |FROM edges GROUP BY rel_type ORDER BY rel_type""".stripMargin)
+         |FROM edges GROUP BY rel_type ORDER BY rel_type""".stripMargin,
+
+    "g9_doc_ontology" -> {
+      val dirsLit = OntologyDirs.map(x => s"'$x'").mkString("[", ", ", "]")
+      val namesLit = OntologyNames.map(x => s"'$x'").mkString("[", ", ", "]")
+      s"""WITH paths AS (SELECT doc_id,
+         |    ($dirsLit)[CAST(doc_id % 8 AS INTEGER) + 1] || '/' ||
+         |    ($namesLit)[CAST(doc_id % 12 AS INTEGER) + 1] AS file_path,
+         |    CAST(len(${graft.text.TextFunctions.tokensSql("text")})
+         |      AS INTEGER) AS n_words
+         |  FROM documents),
+         |prep AS (SELECT doc_id, n_words, lower(file_path) AS p,
+         |    string_split(lower(file_path), '/')[-1] AS name
+         |  FROM paths),
+         |prep2 AS (SELECT *, regexp_replace(name, '\\.[^.]*$$', '') AS stem
+         |  FROM prep),
+         |cat AS (SELECT doc_id, n_words,
+         |    ${graft.graph.DocCategory.categorizeSql("p", "name", "stem")}
+         |      AS category
+         |  FROM prep2),
+         |grp AS (SELECT doc_id, n_words, category,
+         |    ${graft.graph.DocCategory.iaGroupSql("category")} AS ia_group
+         |  FROM cat)
+         |SELECT ia_group, category, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS sum_words,
+         |  MIN(doc_id) AS sample_doc
+         |FROM grp GROUP BY ia_group, category
+         |ORDER BY ia_group, category""".stripMargin
+    })
 }
