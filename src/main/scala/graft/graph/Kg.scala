@@ -475,6 +475,20 @@ object Kg {
       .join(broadcast(anc), Seq("commit_sha"), "left_semi")
   }
 
+  /** Entity history (kg_history tool, `knowledge_graph.py:3523-3570`):
+    * one row per distinct (file_path, commit_sha) for the name — renamed
+    * entities stored under different IDs collapse onto their location +
+    * commit. Where the reference keeps the first row an engine iteration
+    * happens to yield, this keeps min(entity_type) — deterministic under
+    * any partitioning.
+    */
+  def entityHistory(entities: DataFrame, entityName: String): DataFrame =
+    entities.filter(col("name") === entityName)
+      .groupBy(col("name"), col("file_path"), col("commit_sha"))
+      .agg(min(col("entity_type")).as("entity_type"))
+      .select(col("name"), col("entity_type"), col("file_path"),
+        col("commit_sha"))
+
   /** CALLS edges into entities named `calleeName` whose CALLER's
     * commit_sha is an ancestor of the ref (`knowledge_graph.py:3466-3521`
     * `get_callers_at_commit`). `entities` needs (id, name, file_path,

@@ -48,6 +48,21 @@ class TemporalKgSpec extends SparkSpec {
     assert(atB == Set(1L))
   }
 
+  test("entityHistory: distinct (file, sha) per name, empty sha kept") {
+    val ents = Seq(
+      (1L, "search", "function", "src/a.py", "c1"),
+      (2L, "search", "function", "src/a.py", "c1"), // dup (file, sha)
+      (3L, "search", "method", "src/b.py", "c2"),
+      (4L, "search", "function", "src/c.py", ""),   // uncommitted still listed
+      (5L, "other_fn", "function", "src/d.py", "c3"))
+      .toDF("id", "name", "entity_type", "file_path", "commit_sha")
+    val h = Kg.entityHistory(ents, "search").collect()
+    assert(h.length == 3)
+    assert(h.forall(_.getAs[String]("name") == "search"))
+    assert(h.map(_.getAs[String]("commit_sha")).toSet == Set("c1", "c2", ""))
+    assert(Kg.entityHistory(ents, "nope").isEmpty)
+  }
+
   test("callersAtCommit: callee by name, caller ancestry filtered") {
     val calls = Seq(
       (1L, 2L, "CALLS"),  // build_index(a) → search: visible at m
