@@ -166,6 +166,14 @@ object GraphPack {
           sum(col("n_words")).cast("long").as("sum_words"),
           min(col("doc_id")).as("sample_doc"))
         .orderBy(col("ia_group"), col("category"))
+    }),
+
+    // Wiki flat-ontology concepts (wiki_generate no-LLM path): explode
+    // per-chunk concept sets, frequency rollup with the >=2 noise floor.
+    "g10_wiki_concepts" -> ((s, d) => {
+      graft.analyze.Wiki.concepts(wikiChunks(s, d))
+        .orderBy(col("frequency").desc, col("name"))
+        .limit(200)
     }))
 
   val OntologyDirs = Seq("docs/api", "docs/guides", "src/design",
@@ -174,6 +182,21 @@ object GraphPack {
     "benchmark-results.md", "security-audit.md", "migration-plan.md",
     "index.md", "misc.md", "config.yaml", "troubleshooting.md",
     "feature-flags.md", "workflow.md")
+
+  /** Chunk-shaped rows for the wiki gate: every concept channel fires —
+    * names, 1-in-4 parents, path parts (src/ filtered by the stoplist),
+    * docstring keywords (short lang codes filtered by len>3).
+    */
+  private def wikiChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("ch"), col("doc_id")).as("chunk_id"),
+      concat(lit("fn_"), col("doc_id") % 50).as("name"),
+      when(col("doc_id") % 4 === 0, concat(lit("Cls"), col("doc_id") % 10))
+        .otherwise(lit("")).as("parent_name"),
+      concat(lit("src/m"), col("doc_id") % 10,
+        lit("/code"), col("doc_id") % 20, lit(".py")).as("file_path"),
+      concat(lit("Processes "), col("lang"), lit(" documents batch"),
+        col("doc_id") % 5, lit(" quickly. Ignored tail.")).as("docstring"))
 
   def oracles: Map[String, String] = Map(
     "g1_kg_stats" ->
@@ -326,5 +349,36 @@ object GraphPack {
          |  MIN(doc_id) AS sample_doc
          |FROM grp GROUP BY ia_group, category
          |ORDER BY ia_group, category""".stripMargin
+    },
+
+    "g10_wiki_concepts" -> {
+      val stop = graft.analyze.Wiki.PathStop.map(x => s"'$x'").mkString(", ")
+      s"""WITH ch AS (SELECT 'ch' || doc_id AS chunk_id,
+         |    'fn_' || (doc_id % 50) AS name,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'Cls' || (doc_id % 10)
+         |      ELSE '' END AS parent_name,
+         |    'src/m' || (doc_id % 10) || '/code' || (doc_id % 20) || '.py'
+         |      AS file_path,
+         |    'Processes ' || lang || ' documents batch' || (doc_id % 5)
+         |      || ' quickly. Ignored tail.' AS docstring
+         |  FROM documents),
+         |pc AS (SELECT chunk_id, unnest(list_distinct(
+         |    (CASE WHEN name <> '' THEN [name] ELSE [] END) ||
+         |    (CASE WHEN parent_name <> '' THEN [parent_name]
+         |      ELSE [] END) ||
+         |    list_filter(string_split(file_path, '/'),
+         |      p -> p <> '' AND p NOT IN ($stop)) ||
+         |    (list_transform(
+         |      list_filter(
+         |        string_split_regex(trim(string_split(docstring, '.')[1]),
+         |          '\\s+'),
+         |        w -> len(w) > 3 AND regexp_matches(w, '^[A-Za-z0-9]+$$')),
+         |      w -> lower(w)))[1:3]
+         |  )) AS name FROM ch),
+         |freq AS (SELECT name, COUNT(DISTINCT chunk_id) AS frequency
+         |  FROM pc GROUP BY name HAVING COUNT(DISTINCT chunk_id) >= 2)
+         |SELECT substr(sha256(name || ':'), 1, 12) AS concept_id,
+         |  name, frequency
+         |FROM freq ORDER BY frequency DESC, name LIMIT 200""".stripMargin
     })
 }
