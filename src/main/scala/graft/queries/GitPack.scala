@@ -91,6 +91,17 @@ object GitPack {
       ((col("doc_id") * 31 + 7) % 1000).as("dst"),
       lit("CALLS").as("rel_type"))
 
+  /** Function-metrics table for the engineer gate: the s11 chunk ranges
+    * plus deterministic complexity/length/nesting/params spanning every
+    * issue threshold.
+    */
+  private def functionTable(s: SparkSession, d: String): DataFrame =
+    chunkTable(s, d)
+      .withColumn("complexity", (col("chunk_id") % 25).cast("int"))
+      .withColumn("func_len", ((col("chunk_id") % 7) * 20).cast("int"))
+      .withColumn("nesting", (col("chunk_id") % 6).cast("int"))
+      .withColumn("params", (col("chunk_id") % 8).cast("int"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S11: chunk authorship = most recent blame line in the chunk range.
     "s11_blame_enrich" -> ((s, d) => {
@@ -138,6 +149,14 @@ object GitPack {
           CalleeName, parentTable(s, d), RefSha)
         .orderBy(col("caller_id"))
         .limit(300)
+    }),
+
+    // Engineer quality profiles: blame-attributed function metrics,
+    // severity-weighted issues, quality score per author.
+    "g11_engineer_profiles" -> ((s, d) => {
+      graft.analyze.Engineers.profiles(
+          functionTable(s, d), blameTable(s, d), changesTable(s, d))
+        .orderBy(col("quality_score").desc, col("author"))
     }))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -251,5 +270,47 @@ object GitPack {
          |JOIN ents ce ON ce.entity_id = c.dst AND ce.name = '$CalleeName'
          |JOIN ents e ON e.entity_id = c.src
          |WHERE e.commit_sha <> '' AND e.commit_sha IN (SELECT h FROM anc)
-         |ORDER BY caller_id LIMIT 300""".stripMargin)
+         |ORDER BY caller_id LIMIT 300""".stripMargin,
+
+    "g11_engineer_profiles" ->
+      s"""WITH $blameCte, $chunksCte, $changesCte,
+         |fx0 AS (SELECT chunk_id,
+         |    CAST(chunk_id % 25 AS INTEGER) AS complexity,
+         |    CAST((chunk_id % 7) * 20 AS INTEGER) AS func_len,
+         |    CAST(chunk_id % 6 AS INTEGER) AS nesting,
+         |    CAST(chunk_id % 8 AS INTEGER) AS params,
+         |    file_path, start_line
+         |  FROM chunks),
+         |attributed AS (SELECT b.author, f.complexity, f.func_len,
+         |    f.nesting, f.params
+         |  FROM fx0 f JOIN blame b ON b.file_path = f.file_path
+         |    AND b.line = f.start_line),
+         |fx AS (SELECT author, COUNT(*) AS n_functions,
+         |    SUM((CASE WHEN complexity > 10 THEN 2 ELSE 0 END)
+         |      + (CASE WHEN complexity > 20 THEN 5 ELSE 0 END)
+         |      + (CASE WHEN func_len > 50 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN func_len > 100 THEN 3 ELSE 0 END)
+         |      + (CASE WHEN nesting > 4 THEN 2 ELSE 0 END)
+         |      + (CASE WHEN params > 5 THEN 1 ELSE 0 END)) AS issues,
+         |    SUM(complexity) AS sum_cx
+         |  FROM attributed GROUP BY author),
+         |owned AS (SELECT author, COUNT(*) AS total_lines
+         |  FROM blame GROUP BY author),
+         |base AS (SELECT author, COUNT(DISTINCT commit_hash) AS n_commits
+         |  FROM changes GROUP BY author
+         |  HAVING COUNT(DISTINCT commit_hash) >= 1)
+         |SELECT b.author, b.n_commits,
+         |  COALESCE(o.total_lines, 0) AS total_lines,
+         |  COALESCE(f.n_functions, 0) AS n_functions,
+         |  CAST(COALESCE(f.issues, 0) AS BIGINT) AS issues,
+         |  CASE WHEN COALESCE(f.n_functions, 0) > 0
+         |    THEN round(CAST(f.sum_cx AS DOUBLE) / f.n_functions, 1)
+         |    ELSE 0.0 END AS avg_complexity,
+         |  CASE WHEN COALESCE(o.total_lines, 0) = 0 THEN 100.0
+         |    ELSE round(greatest(0.0,
+         |      100.0 - CAST(COALESCE(f.issues, 0) AS DOUBLE)
+         |        / o.total_lines * 1000.0 * 10.0), 1) END AS quality_score
+         |FROM base b LEFT JOIN owned o USING (author)
+         |  LEFT JOIN fx f USING (author)
+         |ORDER BY quality_score DESC, author""".stripMargin)
 }
