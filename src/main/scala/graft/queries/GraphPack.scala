@@ -174,7 +174,21 @@ object GraphPack {
       graft.analyze.Wiki.concepts(wikiChunks(s, d))
         .orderBy(col("frequency").desc, col("name"))
         .limit(200)
+    }),
+
+    // Codebase profiler → optimization preset: extension distribution,
+    // size/type detection, per-size batch preset.
+    "p1_codebase_profile" -> ((s, d) => {
+      val files = Tables.documents(s, d).select(
+        concat(lit("f"), col("doc_id"),
+          element_at(typedlit(ProfileExts),
+            (col("doc_id") % 10).cast("int") + 1)).as("path"))
+      graft.analyze.Profiler.profile(files, "path")
+        .orderBy(col("n_files").desc, col("ext"))
     }))
+
+  val ProfileExts = Seq(".py", ".py", ".py", ".js", ".ts", ".md", ".java",
+    ".go", ".txt", ".rs")
 
   val OntologyDirs = Seq("docs/api", "docs/guides", "src/design",
     "notes/research", "docs", "qa/tests", "examples", "internal")
@@ -380,5 +394,51 @@ object GraphPack {
          |SELECT substr(sha256(name || ':'), 1, 12) AS concept_id,
          |  name, frequency
          |FROM freq ORDER BY frequency DESC, name LIMIT 200""".stripMargin
+    },
+
+    "p1_codebase_profile" -> {
+      val extsLit = ProfileExts.map(x => s"'$x'").mkString("[", ", ", "]")
+      val docList = graft.analyze.Profiler.DocExts
+        .map(x => s"'$x'").mkString(", ")
+      val jsList = graft.analyze.Profiler.JsExts
+        .map(x => s"'$x'").mkString(", ")
+      s"""WITH f AS (SELECT 'f' || doc_id ||
+         |    ($extsLit)[CAST(doc_id % 10 AS INTEGER) + 1] AS path
+         |  FROM documents),
+         |e AS (SELECT lower(regexp_extract(path, '(\\.[^./]+)$$', 1)) AS ext
+         |  FROM f),
+         |counts AS (SELECT ext, COUNT(*) AS n_files FROM e GROUP BY ext),
+         |stats AS (SELECT
+         |    CAST(SUM(n_files) AS BIGINT) AS total_files,
+         |    CAST(SUM(CASE WHEN ext IN ($docList) THEN n_files ELSE 0 END)
+         |      AS BIGINT) AS doc_files,
+         |    CAST(SUM(CASE WHEN ext = '.py' THEN n_files ELSE 0 END)
+         |      AS BIGINT) AS py_files,
+         |    CAST(SUM(CASE WHEN ext IN ($jsList) THEN n_files ELSE 0 END)
+         |      AS BIGINT) AS js_files,
+         |    CAST(SUM(CASE WHEN ext = '.java' THEN n_files ELSE 0 END)
+         |      AS BIGINT) AS java_files
+         |  FROM counts),
+         |sized AS (SELECT total_files,
+         |    CASE WHEN total_files < 1000 THEN 'small'
+         |      WHEN total_files < 10000 THEN 'medium'
+         |      WHEN total_files < 50000 THEN 'large'
+         |      ELSE 'enterprise' END AS size_category,
+         |    CASE WHEN doc_files * 100.0 / total_files > 30.0
+         |        THEN 'documentation'
+         |      WHEN py_files * 100.0 / total_files > 60.0 THEN 'python'
+         |      WHEN js_files * 100.0 / total_files > 60.0 THEN 'javascript'
+         |      WHEN java_files * 100.0 / total_files > 60.0 THEN 'java'
+         |      ELSE 'mixed' END AS codebase_type
+         |  FROM stats),
+         |sized2 AS (SELECT *, CASE size_category WHEN 'small' THEN 16
+         |    WHEN 'medium' THEN 32 WHEN 'large' THEN 64
+         |    ELSE 128 END AS batch_size
+         |  FROM sized)
+         |SELECT c.ext, c.n_files,
+         |  round(c.n_files * 100.0 / s.total_files, 1) AS pct,
+         |  s.size_category, s.codebase_type, s.batch_size
+         |FROM counts c CROSS JOIN sized2 s
+         |ORDER BY c.n_files DESC, c.ext""".stripMargin
     })
 }
