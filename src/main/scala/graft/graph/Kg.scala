@@ -443,12 +443,17 @@ object Kg {
       maxHops: Int = 1024): DataFrame = {
     val spark = parents.sparkSession
     import spark.implicits._
+    // materialize the parent relation once: every hop joins against it,
+    // and an unmaterialized plan would re-derive it (rescanning its
+    // source) once per hop — the dominant cost of the loop
+    val par = parents.select(col("commit_hash"), col("parent_hash"))
+      .localCheckpoint(eager = true)
     var acc = Seq(refSha).toDF("commit_hash")
     var frontier = acc
     var hop = 1
     var growing = true
     while (growing && hop <= maxHops) {
-      val next = parents.join(frontier, Seq("commit_hash"))
+      val next = par.join(frontier, Seq("commit_hash"))
         .select(col("parent_hash").as("commit_hash"))
         .distinct()
         .join(acc, Seq("commit_hash"), "left_anti")
