@@ -102,6 +102,59 @@ object Analytics {
         col("s.smell"), col("s.severity"))
   }
 
+  /** Chunk complexity grade A-F on cognitive complexity
+    * (`analysis/metrics.py:52-67`): ≤5 A, ≤10 B, ≤20 C, ≤30 D, else F.
+    */
+  def complexityGrade(cognitive: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(cognitive <= 5, "A").when(cognitive <= 10, "B")
+      .when(cognitive <= 20, "C").when(cognitive <= 30, "D").otherwise("F")
+
+  /** Grade distribution across all chunks
+    * (`analysis/metrics.py:382-394`, surfaced by analyze_project).
+    */
+  def gradeDistribution(chunks: DataFrame): DataFrame =
+    chunks
+      .select(complexityGrade(col("cognitive_complexity")).as("grade"))
+      .groupBy(col("grade")).agg(count(lit(1)).as("n_chunks"))
+
+  /** Per-file health score (`analysis/metrics.py:232-266`, surfaced by
+    * analyze_file / analyze_project): 1.0 minus a complexity-banded
+    * penalty (avg cognitive >30 −0.5, >20 −0.3, >10 −0.2, >5 −0.1), a
+    * 5%-per-smell penalty capped at 30%, and a comment-ratio band
+    * penalty (−0.1 outside [0.1, 0.5]); clamped at 0. Comment lines are
+    * trimmed lines opening with a comment marker (hash, slash-slash,
+    * slash-star, star, dash-dash).
+    */
+  def fileHealth(chunks: DataFrame): DataFrame = {
+    val smellCounts = smells(chunks).groupBy(col("file_path"))
+      .agg(count(lit(1)).as("n_smells"))
+    val commentLines = size(filter(split(col("content"), "\n"),
+      l => trim(l).rlike("^(#|//|/\\*|\\*|--)")))
+    val perFile = chunks.groupBy(col("file_path")).agg(
+      avg(col("cognitive_complexity")).as("avg_cx"),
+      sum(commentLines.cast("long")).as("comment_lines"),
+      sum((col("end_line") - col("start_line") + 1).cast("long"))
+        .as("total_lines"))
+    val joined = perFile.join(smellCounts, Seq("file_path"), "left")
+      .withColumn("n_smells", coalesce(col("n_smells"), lit(0L)))
+    val cxPenalty = when(col("avg_cx") > 30, 0.5)
+      .when(col("avg_cx") > 20, 0.3)
+      .when(col("avg_cx") > 10, 0.2)
+      .when(col("avg_cx") > 5, 0.1)
+      .otherwise(0.0)
+    val smellPenalty = least(lit(0.3), col("n_smells") * 0.05)
+    val ratio = col("comment_lines").cast("double") / col("total_lines")
+    val ratioPenalty = when(col("total_lines") > 0 &&
+      (ratio < 0.1 || ratio > 0.5), 0.1).otherwise(0.0)
+    joined.select(
+      col("file_path"), col("avg_cx"), col("n_smells"),
+      col("comment_lines"), col("total_lines"),
+      greatest(lit(0.0),
+        lit(1.0) - cxPenalty - smellPenalty - ratioPenalty)
+        .as("health_score"))
+  }
+
   /** A14 complexity hotspots: top-N chunks/files by complexity. */
   def hotspots(chunks: DataFrame, n: Int): DataFrame =
     chunks

@@ -176,6 +176,14 @@ object GraphPack {
         .limit(200)
     }),
 
+    // Per-file health score (analyze_file / analyze_project): penalty
+    // bands over avg cognitive complexity, capped smell penalty,
+    // comment-ratio band — chunk table derived to hit every band.
+    "a21_file_health" -> ((s, d) => {
+      graft.analyze.Analytics.fileHealth(healthChunks(s, d))
+        .orderBy(col("file_path"))
+    }),
+
     // Codebase profiler → optimization preset: extension distribution,
     // size/type detection, per-size batch preset.
     "p1_codebase_profile" -> ((s, d) => {
@@ -189,6 +197,30 @@ object GraphPack {
 
   val ProfileExts = Seq(".py", ".py", ".py", ".js", ".ts", ".md", ".java",
     ".go", ".txt", ".rs")
+
+  val HealthContents = Seq("code", "# a\ncode", "# a\n# b\ncode",
+    "// a\n * b\n-- c\ncode")
+
+  /** Chunk table for the health gate: cognitive 0..34 (every grade and
+    * penalty band), complexity 0..11 (both smell tiers), lines 1..80
+    * (long-method + missing-docstring), params 0..7, 0-3 comment lines.
+    */
+  private def healthChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("ch"), col("doc_id")).as("chunk_id"),
+      concat(lit("src/f"), col("doc_id") % 30, lit(".py")).as("file_path"),
+      (col("doc_id") % 35).cast("int").as("cognitive_complexity"),
+      (col("doc_id") % 12).cast("int").as("complexity"),
+      lit(1).as("start_line"),
+      (lit(1) + (col("doc_id") % 80)).cast("int").as("end_line"),
+      when(col("doc_id") % 3 === 0, "").otherwise("doc").as("docstring"),
+      lit("function").as("chunk_type"),
+      concat(lit("fn"), col("doc_id"), lit("("),
+        array_join(array_repeat(lit("a"), (col("doc_id") % 8).cast("int")),
+          ","), lit(")")).as("signature"),
+      concat(lit("fn"), col("doc_id")).as("name"),
+      element_at(typedlit(HealthContents), (col("doc_id") % 4).cast("int") + 1)
+        .as("content"))
 
   val OntologyDirs = Seq("docs/api", "docs/guides", "src/design",
     "notes/research", "docs", "qa/tests", "examples", "internal")
@@ -395,6 +427,38 @@ object GraphPack {
          |  name, frequency
          |FROM freq ORDER BY frequency DESC, name LIMIT 200""".stripMargin
     },
+
+    "a21_file_health" ->
+      s"""WITH ch AS (SELECT doc_id,
+         |    'src/f' || (doc_id % 30) || '.py' AS file_path,
+         |    CAST(doc_id % 35 AS INTEGER) AS cx,
+         |    CAST(doc_id % 80 AS BIGINT) + 1 AS n_lines,
+         |    CAST(doc_id % 4 AS BIGINT) AS comment_lines,
+         |    (CASE WHEN doc_id % 80 + 1 > 50 THEN 1 ELSE 0 END
+         |     + CASE WHEN doc_id % 12 > 10 THEN 1 ELSE 0 END
+         |     + CASE WHEN doc_id % 12 > 5 AND doc_id % 12 <= 10
+         |         THEN 1 ELSE 0 END
+         |     + CASE WHEN doc_id % 8 > 5 THEN 1 ELSE 0 END
+         |     + CASE WHEN doc_id % 3 = 0 AND doc_id % 80 + 1 > 10
+         |         THEN 1 ELSE 0 END) AS chunk_smells
+         |  FROM documents),
+         |pf AS (SELECT file_path,
+         |    AVG(cx) AS avg_cx,
+         |    CAST(SUM(chunk_smells) AS BIGINT) AS n_smells,
+         |    CAST(SUM(comment_lines) AS BIGINT) AS comment_lines,
+         |    CAST(SUM(n_lines) AS BIGINT) AS total_lines
+         |  FROM ch GROUP BY file_path)
+         |SELECT file_path, avg_cx, n_smells, comment_lines, total_lines,
+         |  greatest(0.0, 1.0
+         |    - (CASE WHEN avg_cx > 30 THEN 0.5 WHEN avg_cx > 20 THEN 0.3
+         |        WHEN avg_cx > 10 THEN 0.2 WHEN avg_cx > 5 THEN 0.1
+         |        ELSE 0.0 END)
+         |    - least(0.3, n_smells * 0.05)
+         |    - (CASE WHEN total_lines > 0
+         |        AND (comment_lines * 1.0 / total_lines < 0.1
+         |          OR comment_lines * 1.0 / total_lines > 0.5)
+         |        THEN 0.1 ELSE 0.0 END)) AS health_score
+         |FROM pf ORDER BY file_path""".stripMargin,
 
     "p1_codebase_profile" -> {
       val extsLit = ProfileExts.map(x => s"'$x'").mkString("[", ", ", "]")
