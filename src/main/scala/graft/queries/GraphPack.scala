@@ -184,6 +184,40 @@ object GraphPack {
         .orderBy(col("file_path"))
     }),
 
+    // Baseline comparison: current vs stored snapshot → regression /
+    // improvement / neutral per metric, new/deleted files flagged.
+    // Baseline = files k in 0..39 except 39; current scales complexity
+    // by k%3 (+20% regression / −20% improvement / +1% neutral) and
+    // drops f0.
+    "c1_baseline_compare" -> ((s, d) => {
+      val ks = Tables.documents(s, d)
+        .select((col("doc_id") % 40).cast("int").as("k")).distinct()
+      def snap(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(lit("f"), col("k")).as("file_path"),
+        (lit(100.0) + col("k")).as("total_complexity"),
+        (col("k") * 1.0).as("avg_complexity"),
+        (col("k") + 5.0).as("max_complexity"),
+        col("k").cast("double").as("function_count"),
+        lit(1.0).as("class_count"))
+      val baseline = snap(ks.filter(col("k") =!= 39))
+      val current = snap(ks.filter(col("k") =!= 0))
+        .withColumn("k2", expr("CAST(substr(file_path, 2) AS INT)"))
+        .withColumn("total_complexity", col("total_complexity") *
+          when(col("k2") % 3 === 0, 1.2)
+            .when(col("k2") % 3 === 1, 0.8).otherwise(1.01))
+        .withColumn("avg_complexity", col("avg_complexity") *
+          when(col("k2") % 3 === 0, 1.2)
+            .when(col("k2") % 3 === 1, 0.8).otherwise(1.01))
+        .withColumn("function_count", col("function_count") + 10.0)
+        .withColumn("class_count", lit(2.0))
+        .drop("k2")
+      graft.analyze.Baseline.compare(current, baseline)
+        .withColumn("percentage_delta", round(col("percentage_delta"), 6))
+        .withColumn("absolute_delta", round(col("absolute_delta"), 6))
+        .orderBy(col("file_path"), col("metric_name"))
+        .limit(300)
+    }),
+
     // Codebase profiler → optimization preset: extension distribution,
     // size/type detection, per-size batch preset.
     "p1_codebase_profile" -> ((s, d) => {
@@ -459,6 +493,78 @@ object GraphPack {
          |          OR comment_lines * 1.0 / total_lines > 0.5)
          |        THEN 0.1 ELSE 0.0 END)) AS health_score
          |FROM pf ORDER BY file_path""".stripMargin,
+
+    "c1_baseline_compare" -> {
+      val cxList = graft.analyze.Baseline.ComplexityMetrics
+        .map(m => s"'$m'").mkString(", ")
+      // every literal ::DOUBLE — DuckDB otherwise parses 100.0 as
+      // DECIMAL and computes exact decimal arithmetic where Spark
+      // computes binary doubles (109.6 vs 109.60000000000001)
+      val scaleCase =
+        "(CASE WHEN k % 3 = 0 THEN 1.2::DOUBLE " +
+          "WHEN k % 3 = 1 THEN 0.8::DOUBLE ELSE 1.01::DOUBLE END)"
+      s"""WITH ks AS (SELECT DISTINCT CAST(doc_id % 40 AS INTEGER) AS k
+         |  FROM documents),
+         |b AS (SELECT 'f' || k AS file_path,
+         |    100.0::DOUBLE + k AS total_complexity,
+         |    k * 1.0::DOUBLE AS avg_complexity,
+         |    k + 5.0::DOUBLE AS max_complexity,
+         |    CAST(k AS DOUBLE) AS function_count,
+         |    1.0::DOUBLE AS class_count
+         |  FROM ks WHERE k <> 39),
+         |c AS (SELECT 'f' || k AS file_path,
+         |    (100.0::DOUBLE + k) * $scaleCase AS total_complexity,
+         |    (k * 1.0::DOUBLE) * $scaleCase AS avg_complexity,
+         |    k + 5.0::DOUBLE AS max_complexity,
+         |    CAST(k AS DOUBLE) + 10.0::DOUBLE AS function_count,
+         |    2.0::DOUBLE AS class_count
+         |  FROM ks WHERE k <> 0),
+         |melted AS (
+         |  SELECT b.file_path, 'total_complexity' AS metric_name,
+         |    b.total_complexity AS bv, c.total_complexity AS cv
+         |  FROM b JOIN c USING (file_path)
+         |  UNION ALL SELECT b.file_path, 'avg_complexity',
+         |    b.avg_complexity, c.avg_complexity FROM b JOIN c USING (file_path)
+         |  UNION ALL SELECT b.file_path, 'max_complexity',
+         |    b.max_complexity, c.max_complexity FROM b JOIN c USING (file_path)
+         |  UNION ALL SELECT b.file_path, 'function_count',
+         |    b.function_count, c.function_count FROM b JOIN c USING (file_path)
+         |  UNION ALL SELECT b.file_path, 'class_count',
+         |    b.class_count, c.class_count FROM b JOIN c USING (file_path)),
+         |scored AS (SELECT file_path, 'common' AS status, metric_name,
+         |    bv AS baseline_value, cv AS current_value,
+         |    cv - bv AS absolute_delta,
+         |    CASE WHEN bv = 0 THEN
+         |        CASE WHEN cv = 0 THEN 0.0 WHEN cv > 0 THEN 100.0
+         |          ELSE -100.0 END
+         |      ELSE (cv - bv) / bv * 100 END AS percentage_delta
+         |  FROM melted),
+         |classified AS (SELECT file_path, status, metric_name,
+         |    baseline_value, current_value,
+         |    round(absolute_delta, 6) AS absolute_delta,
+         |    round(percentage_delta, 6) AS percentage_delta,
+         |    CASE WHEN abs(percentage_delta) < 5.0 THEN 'neutral'
+         |      WHEN metric_name NOT IN ($cxList) THEN 'neutral'
+         |      WHEN absolute_delta > 0 THEN 'regression'
+         |      WHEN absolute_delta < 0 THEN 'improvement'
+         |      ELSE 'neutral' END AS classification
+         |  FROM scored),
+         |extras AS (
+         |  SELECT 'f' || k AS file_path, 'new' AS status,
+         |    CAST(NULL AS VARCHAR) AS metric_name,
+         |    CAST(NULL AS DOUBLE) AS baseline_value,
+         |    CAST(NULL AS DOUBLE) AS current_value,
+         |    CAST(NULL AS DOUBLE) AS absolute_delta,
+         |    CAST(NULL AS DOUBLE) AS percentage_delta,
+         |    CAST(NULL AS VARCHAR) AS classification
+         |  FROM ks WHERE k = 39
+         |  UNION ALL
+         |  SELECT 'f' || k, 'deleted', NULL, NULL, NULL, NULL, NULL, NULL
+         |  FROM ks WHERE k = 0)
+         |SELECT * FROM (SELECT * FROM classified UNION ALL
+         |  SELECT * FROM extras)
+         |ORDER BY file_path, metric_name LIMIT 300""".stripMargin
+    },
 
     "p1_codebase_profile" -> {
       val extsLit = ProfileExts.map(x => s"'$x'").mkString("[", ", ", "]")
