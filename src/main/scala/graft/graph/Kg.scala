@@ -484,6 +484,44 @@ object Kg {
       .join(broadcast(anc), Seq("commit_sha"), "left_semi")
   }
 
+  /** The kg_query relationship keywords (`mcp/tool_schemas.py:710-718`):
+    * keyword → (edge rel_type, follow-outgoing?).
+    */
+  val RelationshipKeywords: Map[String, (String, Boolean)] = Map(
+    "calls" -> ("CALLS", true), "called_by" -> ("CALLS", false),
+    "imports" -> ("IMPORTS", true), "imported_by" -> ("IMPORTS", false),
+    "inherits" -> ("INHERITS", true), "inherited_by" -> ("INHERITS", false),
+    "contains" -> ("CONTAINS", true), "contained_by" -> ("CONTAINS", false))
+
+  /** kg_query entity lookup (`mcp/tool_schemas.py:700-772`): entities
+    * related to `entityName`, optionally filtered to one of the 8
+    * directional relationship keywords; no filter = 1-hop in either
+    * direction. The seed id set is tiny → broadcast; one pass over the
+    * edge relation.
+    */
+  def related(kg: KgTables, entityName: String,
+      relationship: Option[String] = None, limit: Int = 25): DataFrame = {
+    val ids = kg.vertices.filter(col("name") === entityName)
+      .select(col("id"))
+    val neighborIds = relationship match {
+      case Some(r) =>
+        val (rel, outgoing) = RelationshipKeywords(r)
+        val e = kg.edges.filter(col("rel_type") === rel)
+        if (outgoing)
+          e.join(broadcast(ids), e("src") === ids("id"))
+            .select(e("dst").as("id"))
+        else
+          e.join(broadcast(ids), e("dst") === ids("id"))
+            .select(e("src").as("id"))
+      case None => oneHop(kg.edges, ids)
+    }
+    neighborIds.distinct()
+      .join(kg.vertices, Seq("id"))
+      .select(col("id"), col("name"), col("label"))
+      .orderBy(col("name"), col("id"))
+      .limit(limit)
+  }
+
   /** Entity history (kg_history tool, `knowledge_graph.py:3523-3570`):
     * one row per distinct (file_path, commit_sha) for the name — renamed
     * entities stored under different IDs collapse onto their location +

@@ -36,6 +36,25 @@ class GraphAnalyticsSpec extends SparkSpec {
       r.getAs[String]("dst").endsWith("parse_file")))
   }
 
+  test("related: kg_query keyword dispatch over directions") {
+    val calls = Kg.related(kg, "load_config", Some("calls"))
+      .collect().map(_.getAs[String]("name"))
+    assert(calls.contains("parse_file"))
+    val callers = Kg.related(kg, "parse_file", Some("called_by"))
+      .collect().map(_.getAs[String]("name"))
+    assert(callers.contains("load_config"))
+    val contained = Kg.related(kg, "FileParser", Some("contains"))
+      .collect().map(_.getAs[String]("name"))
+    assert(contained.contains("parse_file"))
+    val container = Kg.related(kg, "parse_file", Some("contained_by"))
+      .collect().map(_.getAs[String]("name"))
+    assert(container.contains("FileParser"))
+    // unfiltered = 1-hop both directions, superset of each
+    val all = Kg.related(kg, "parse_file", None, limit = 100)
+      .collect().map(_.getAs[String]("name"))
+    assert(all.contains("load_config") && all.contains("FileParser"))
+  }
+
   test("bfs paths capture call chains without cycles") {
     val loadId = kg.vertices.filter(col("name") === "ConfigLoader")
       .select("id").as[String].head()
