@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analytics
+import graft.graph.Kg
+import graft.tables.Tables
+
+/** Code-analytics operator pack (SURVEY §2.4 A9/A10/A12/A13/A14/A16):
+  * the analytics family that round 2 proved only by specs, now each with
+  * a deterministic chunk/KG table synthesized from `documents` and a
+  * DuckDB oracle (reference semantics: `analysis/collectors/halstead.py`,
+  * `coupling.py`, `smells.py`, `dead_code.py`, `complexity.py`,
+  * `core/directory_index.py`).
+  *
+  * Dead-code reachability is the one non-scalar member: its oracle is a
+  * recursive CTE over the synthesized CALLS/CONTAINS edges rooted at the
+  * heuristic entry set — the same pattern as g3/g7.
+  */
+object AnalyticsPack {
+
+  /** Chunk rows for the Halstead gate: code-ish content whose operator /
+    * operand token classes vary with doc_id so every formula term moves.
+    */
+  private def halsteadChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("ch"), col("doc_id")).as("chunk_id"),
+      concat(lit("fn"), col("doc_id")).as("name"),
+      concat(
+        lit("def fn"), col("doc_id"),
+        lit("(a, b): if a > b { return a + b * "), col("doc_id") % 7,
+        lit(" } else { x"), col("doc_id") % 5,
+        lit(" = b - a / "), col("doc_id") % 4 + 1, lit(" }"),
+        when(col("doc_id") % 3 === 0, " while (i < 10) { i = i % 3 }")
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" class C"), col("doc_id") % 9, lit(" { y = a & b }")))
+          .otherwise("")).as("content"))
+
+  // NOTE: embedded into an s"""...""".stripMargin oracle — no line here
+  // may start with "||" or the second stripMargin would eat a pipe.
+  private val halsteadChunksSql =
+    """SELECT 'ch' || doc_id AS chunk_id, 'fn' || doc_id AS name,
+      |    'def fn' || doc_id || '(a, b): if a > b { return a + b * ' ||
+      |    (doc_id % 7) || ' } else { x' || (doc_id % 5) ||
+      |    ' = b - a / ' || (doc_id % 4 + 1) || ' }' ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |          THEN ' while (i < 10) { i = i % 3 }' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0
+      |          THEN ' class C' || (doc_id % 9) || ' { y = a & b }'
+      |          ELSE '' END) AS content
+      |  FROM documents""".stripMargin
+
+  /** Chunk rows for coupling: file_path cycles 20 modules, imports hit a
+    * resolvable subset (mod0..mod6) plus unresolvable externals.
+    */
+  private def couplingChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("ch"), col("doc_id")).as("chunk_id"),
+      concat(lit("src/mod"), col("doc_id") % 20, lit(".py")).as("file_path"),
+      array(
+        concat(lit("mod"), col("doc_id") % 7),
+        concat(lit("util"), col("doc_id") % 3),
+        concat(lit("pkg.mod"), col("doc_id") % 11)).as("imports"))
+
+  /** Chunk rows for smells/hotspots: every rule threshold straddled —
+    * complexity 0..11, lines 1..80, params 0..7, 1-in-3 empty docstring,
+    * 1-in-6 non-code chunk_type.
+    */
+  private def smellChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("ch"), col("doc_id")).as("chunk_id"),
+      concat(lit("src/f"), col("doc_id") % 30, lit(".py")).as("file_path"),
+      concat(lit("fn"), col("doc_id")).as("name"),
+      (col("doc_id") % 12).cast("int").as("complexity"),
+      (col("doc_id") % 37).cast("int").as("token_count"),
+      lit(1).as("start_line"),
+      (lit(1) + (col("doc_id") % 80)).cast("int").as("end_line"),
+      when(col("doc_id") % 3 === 0, "").otherwise("doc").as("docstring"),
+      when(col("doc_id") % 6 === 5, "import").otherwise("function")
+        .as("chunk_type"),
+      concat(lit("fn"), col("doc_id"), lit("("),
+        array_join(array_repeat(lit("a"), (col("doc_id") % 8).cast("int")),
+          ","), lit(")")).as("signature"))
+
+  private val smellChunksSql =
+    """SELECT 'ch' || doc_id AS chunk_id,
+      |    'src/f' || (doc_id % 30) || '.py' AS file_path,
+      |    'fn' || doc_id AS name,
+      |    CAST(doc_id % 12 AS INTEGER) AS complexity,
+      |    CAST(doc_id % 37 AS INTEGER) AS token_count,
+      |    1 AS start_line,
+      |    CAST(1 + doc_id % 80 AS INTEGER) AS end_line,
+      |    CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'doc' END AS docstring,
+      |    CASE WHEN doc_id % 6 = 5 THEN 'import' ELSE 'function' END
+      |      AS chunk_type,
+      |    CAST(doc_id % 8 AS INTEGER) AS n_params
+      |  FROM documents""".stripMargin
+
+  /** KG for the dead-code gate: 200 vertices (1-in-13 modules, rest
+    * function/method/class round-robin), CALLS k→(3k+11)%200 for k<120,
+    * CONTAINS k→k+1 for k%4=0, plus IMPORTS noise the walk must ignore.
+    * Entry heuristics fire on main/test_ names and tests/ paths:
+    * 46 entries reach 87 of 185 code vertices, leaving 98 dead.
+    */
+  private def deadCodeKg(s: SparkSession, d: String): Kg.KgTables = {
+    val ks = Tables.documents(s, d)
+      .select((col("doc_id") % 200).cast("int").as("k")).distinct()
+    val vertices = ks.select(
+      concat(lit("v"), col("k")).as("id"),
+      when(col("k") % 13 === 7, "module")
+        .when(col("k") % 3 === 0, "function")
+        .when(col("k") % 3 === 1, "method")
+        .otherwise("class").as("label"),
+      when(col("k") % 10 === 0, concat(lit("main"), col("k")))
+        .when(col("k") % 10 === 1, concat(lit("test_"), col("k")))
+        .otherwise(concat(lit("fn_"), col("k"))).as("name"),
+      when(col("k") % 17 === 3,
+        concat(lit("tests/t"), col("k"), lit(".py")))
+        .otherwise(concat(lit("src/a"), col("k") % 5, lit(".py")))
+        .as("file_path"))
+    val calls = ks.filter(col("k") < 120).select(
+      concat(lit("v"), col("k")).as("src"),
+      concat(lit("v"), (col("k") * 3 + 11) % 200).as("dst"),
+      lit("CALLS").as("rel_type"))
+    val contains = ks.filter(col("k") % 4 === 0).select(
+      concat(lit("v"), col("k")).as("src"),
+      concat(lit("v"), (col("k") + 1) % 200).as("dst"),
+      lit("CONTAINS").as("rel_type"))
+    val imports = ks.filter(col("k") % 5 === 0).select(
+      concat(lit("v"), col("k")).as("src"),
+      concat(lit("v"), (col("k") + 2) % 200).as("dst"),
+      lit("IMPORTS").as("rel_type"))
+    Kg.KgTables(vertices, calls.unionByName(contains).unionByName(imports))
+  }
+
+  private val deadCodeKgSql =
+    """ks AS (SELECT DISTINCT CAST(doc_id % 200 AS INTEGER) AS k
+      |  FROM documents),
+      |v AS (SELECT 'v' || k AS id,
+      |    CASE WHEN k % 13 = 7 THEN 'module'
+      |      WHEN k % 3 = 0 THEN 'function'
+      |      WHEN k % 3 = 1 THEN 'method' ELSE 'class' END AS label,
+      |    CASE WHEN k % 10 = 0 THEN 'main' || k
+      |      WHEN k % 10 = 1 THEN 'test_' || k
+      |      ELSE 'fn_' || k END AS name,
+      |    CASE WHEN k % 17 = 3 THEN 'tests/t' || k || '.py'
+      |      ELSE 'src/a' || (k % 5) || '.py' END AS file_path
+      |  FROM ks),
+      |e AS (SELECT 'v' || k AS src, 'v' || ((3 * k + 11) % 200) AS dst,
+      |    'CALLS' AS rel_type FROM ks WHERE k < 120
+      |  UNION ALL
+      |  SELECT 'v' || k, 'v' || ((k + 1) % 200), 'CONTAINS'
+      |  FROM ks WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT 'v' || k, 'v' || ((k + 2) % 200), 'IMPORTS'
+      |  FROM ks WHERE k % 5 = 0),
+      |entries AS (SELECT id FROM v
+      |  WHERE label IN ('function', 'method', 'class')
+      |    AND (regexp_matches(name, '^(main|test_|Test)')
+      |      OR name IN ('__init__', '__main__', 'setup', 'run')
+      |      OR regexp_matches(file_path, '(^|/)tests?/'))),
+      |walk(id, dist) AS (
+      |  SELECT id, 0 FROM entries
+      |  UNION
+      |  SELECT e.dst, w.dist + 1 FROM e
+      |  JOIN walk w ON e.src = w.id
+      |  WHERE w.dist < 8 AND e.rel_type IN ('CALLS', 'CONTAINS'))""".stripMargin
+
+  /** Chunk rows for rollups: 3-deep paths over 5×3 directories, language
+    * cycling through 4 values.
+    */
+  private def rollupChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("src/m"), col("doc_id") % 5, lit("/sub"), col("doc_id") % 3,
+        lit("/f"), col("doc_id") % 40, lit(".py")).as("file_path"),
+      element_at(typedlit(RollupLangs), (col("doc_id") % 4).cast("int") + 1)
+        .as("language"))
+
+  val RollupLangs = Seq("python", "go", "java", "markdown")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A9: Halstead n1/n2/N1/N2 → vocabulary, length, volume, difficulty,
+    // effort from regex token classes (halstead.py:83 from_counts).
+    "a9_halstead" -> ((s, d) => {
+      Analytics.halstead(halsteadChunks(s, d))
+        .select(col("chunk_id"), col("n1"), col("n2"),
+          col("bigN1"), col("bigN2"), col("vocabulary"), col("length"),
+          round(col("volume"), 4).as("volume"),
+          col("difficulty"),
+          round(col("effort"), 4).as("effort"))
+        .orderBy(col("chunk_id"))
+        .limit(300)
+    }),
+
+    // A10: efferent/afferent coupling + instability + grade
+    // (coupling.py:527-1160 semantics, heuristic module→file resolution).
+    "a10_coupling" -> ((s, d) => {
+      Analytics.coupling(couplingChunks(s, d))
+        .orderBy(col("file_path"))
+    }),
+
+    // A12: threshold smell rules → exploded (chunk, smell, severity)
+    // rows (smells.py:268, thresholds from config/thresholds.py).
+    "a12_smells" -> ((s, d) => {
+      Analytics.smells(smellChunks(s, d))
+        .orderBy(col("chunk_id"), col("smell"))
+        .limit(2000)
+    }),
+
+    // A13: dead-code reachability — heuristic entry set, ≤8-hop
+    // CALLS/CONTAINS closure, anti-join the rest (dead_code.py:228-264);
+    // oracle = recursive CTE, the g3/g7 pattern.
+    "a13_dead_code" -> ((s, d) => {
+      val kg = deadCodeKg(s, d)
+      Analytics.deadCode(kg.vertices.limit(0), kg)
+        .orderBy(col("id"))
+        .limit(500)
+    }),
+
+    // A14: complexity hotspots top-N with deterministic tiebreak.
+    "a14_hotspots" -> ((s, d) => {
+      Analytics.hotspots(smellChunks(s, d), 30)
+    }),
+
+    // A16: recursive per-directory rollups via path-prefix explode
+    // (core/directory_index.py). The language histogram map is surfaced
+    // as its key count (maps don't hash portably across engines).
+    "a16_dir_rollups" -> ((s, d) => {
+      Analytics.directoryRollups(rollupChunks(s, d))
+        .select(col("dir"), col("file_count"), col("total_chunks"),
+          col("depth"), size(map_keys(col("languages"))).as("n_languages"))
+        .orderBy(col("dir"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "a9_halstead" ->
+      s"""WITH ch AS ($halsteadChunksSql),
+         |tok AS (SELECT chunk_id,
+         |    regexp_extract_all(content,
+         |      '[-+*/%=<>!&|^~]+|\\b(if|else|for|while|return|def|class)\\b')
+         |      AS ops,
+         |    regexp_extract_all(content, '\\b[A-Za-z_]\\w*\\b|\\b\\d+\\b')
+         |      AS opnds
+         |  FROM ch),
+         |m AS (SELECT chunk_id,
+         |    CAST(len(list_distinct(ops)) AS INTEGER) AS n1,
+         |    CAST(len(list_distinct(opnds)) AS INTEGER) AS n2,
+         |    CAST(len(ops) AS INTEGER) AS bigN1,
+         |    CAST(len(opnds) AS INTEGER) AS bigN2
+         |  FROM tok),
+         |f AS (SELECT chunk_id, n1, n2, bigN1, bigN2,
+         |    n1 + n2 AS vocabulary, bigN1 + bigN2 AS length,
+         |    CASE WHEN n1 + n2 > 0
+         |      THEN (bigN1 + bigN2) * log2(n1 + n2) ELSE 0.0::DOUBLE END
+         |      AS volume,
+         |    CASE WHEN n2 > 0
+         |      THEN n1 / 2.0::DOUBLE * bigN2 / n2 ELSE 0.0::DOUBLE END
+         |      AS difficulty
+         |  FROM m)
+         |SELECT chunk_id, n1, n2, bigN1, bigN2, vocabulary, length,
+         |  round(volume, 4) AS volume, difficulty,
+         |  round(volume * difficulty, 4) AS effort
+         |FROM f ORDER BY chunk_id LIMIT 300""".stripMargin,
+
+    "a10_coupling" ->
+      """WITH ch AS (SELECT 'ch' || doc_id AS chunk_id,
+        |    'src/mod' || (doc_id % 20) || '.py' AS file_path,
+        |    ['mod' || (doc_id % 7), 'util' || (doc_id % 3),
+        |     'pkg.mod' || (doc_id % 11)] AS imports
+        |  FROM documents),
+        |fi AS (SELECT DISTINCT file_path, unnest(imports) AS module
+        |  FROM ch),
+        |ce AS (SELECT file_path, CAST(COUNT(DISTINCT module) AS BIGINT)
+        |    AS efferent FROM fi GROUP BY file_path),
+        |b AS (SELECT DISTINCT file_path,
+        |    regexp_extract(file_path, '([^/]+?)\.[a-z]+$', 1) AS modname
+        |  FROM ch),
+        |ca AS (SELECT b.file_path, CAST(COUNT(DISTINCT fi.file_path)
+        |    AS BIGINT) AS afferent
+        |  FROM fi JOIN b ON ends_with(fi.module, b.modname)
+        |    AND fi.file_path <> b.file_path
+        |  GROUP BY b.file_path),
+        |j AS (SELECT b.file_path,
+        |    COALESCE(ce.efferent, 0) AS efferent,
+        |    COALESCE(ca.afferent, 0) AS afferent
+        |  FROM b LEFT JOIN ce USING (file_path)
+        |  LEFT JOIN ca ON b.file_path = ca.file_path),
+        |i AS (SELECT file_path, efferent, afferent,
+        |    CASE WHEN efferent + afferent = 0 THEN 0.0::DOUBLE
+        |      ELSE CAST(efferent AS DOUBLE) / (efferent + afferent) END
+        |      AS instability
+        |  FROM j)
+        |SELECT file_path, efferent, afferent, instability,
+        |  CASE WHEN instability <= 0.2 THEN 'A'
+        |    WHEN instability <= 0.4 THEN 'B'
+        |    WHEN instability <= 0.6 THEN 'C'
+        |    WHEN instability <= 0.8 THEN 'D' ELSE 'F' END AS grade
+        |FROM i ORDER BY file_path""".stripMargin,
+
+    "a12_smells" ->
+      s"""WITH ch AS ($smellChunksSql),
+         |x AS (SELECT *, end_line - start_line + 1 AS n_lines FROM ch),
+         |sm AS (
+         |  SELECT chunk_id, file_path, name, 'long_method' AS smell,
+         |    'major' AS severity FROM x WHERE n_lines > 50
+         |  UNION ALL
+         |  SELECT chunk_id, file_path, name, 'high_complexity', 'critical'
+         |  FROM x WHERE complexity > 10
+         |  UNION ALL
+         |  SELECT chunk_id, file_path, name, 'moderate_complexity', 'minor'
+         |  FROM x WHERE complexity > 5 AND complexity <= 10
+         |  UNION ALL
+         |  SELECT chunk_id, file_path, name, 'too_many_params', 'major'
+         |  FROM x WHERE n_params > 5
+         |  UNION ALL
+         |  SELECT chunk_id, file_path, name, 'missing_docstring', 'info'
+         |  FROM x WHERE docstring = ''
+         |    AND chunk_type IN ('function', 'method', 'class')
+         |    AND n_lines > 10)
+         |SELECT * FROM sm ORDER BY chunk_id, smell LIMIT 2000""".stripMargin,
+
+    "a13_dead_code" ->
+      s"""WITH RECURSIVE $deadCodeKgSql
+         |SELECT v.id, v.name, v.label, v.file_path,
+         |  CASE WHEN v.label = 'method' THEN 0.6::DOUBLE
+         |    ELSE 0.8::DOUBLE END AS confidence
+         |FROM v
+         |WHERE v.label IN ('function', 'method', 'class')
+         |  AND v.id NOT IN (SELECT id FROM walk)
+         |ORDER BY v.id LIMIT 500""".stripMargin,
+
+    "a14_hotspots" ->
+      s"""WITH ch AS ($smellChunksSql)
+         |SELECT file_path, name, chunk_type, complexity, token_count
+         |FROM ch WHERE chunk_type IN ('function', 'method', 'class')
+         |ORDER BY complexity DESC, chunk_id LIMIT 30""".stripMargin,
+
+    "a16_dir_rollups" ->
+      """WITH ch AS (SELECT
+        |    'src/m' || (doc_id % 5) || '/sub' || (doc_id % 3) || '/f'
+        |      || (doc_id % 40) || '.py' AS file_path,
+        |    (['python', 'go', 'java', 'markdown'])
+        |      [CAST(doc_id % 4 AS INTEGER) + 1] AS language
+        |  FROM documents),
+        |e AS (SELECT file_path, language,
+        |    array_to_string((string_split(file_path, '/'))[1:i], '/') AS dir
+        |  FROM ch,
+        |    unnest(generate_series(1,
+        |      len(string_split(file_path, '/')) - 1)) AS t(i))
+        |SELECT dir,
+        |  CAST(COUNT(DISTINCT file_path) AS BIGINT) AS file_count,
+        |  CAST(COUNT(*) AS BIGINT) AS total_chunks,
+        |  CAST(len(string_split(dir, '/')) AS INTEGER) AS depth,
+        |  CAST(COUNT(DISTINCT language) AS INTEGER) AS n_languages
+        |FROM e GROUP BY dir ORDER BY dir""".stripMargin)
+}
