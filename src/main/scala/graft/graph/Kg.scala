@@ -126,15 +126,34 @@ object Kg {
   def minDist(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       reverse: Boolean = false): DataFrame = {
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+    // Deep walks pay per-hop job overhead, so: materialize the static
+    // edge relation once (every hop joins it; unmaterialized it would be
+    // re-derived per hop), eagerly checkpoint every frontier (plan
+    // truncation — persist() instead was measured to send Catalyst into
+    // quadratic re-optimization of the growing lineage), and stop as
+    // soon as a frontier comes back empty (the probe on a materialized
+    // checkpoint reads one cached partition — trivial). Shallow walks
+    // (g3-style 1-2 hops) stay fully lazy — one Catalyst plan, no extra
+    // jobs.
+    val deep = maxHops >= 3
+    val e0 = edges.select(col(from).as("walk_from"), col(to).as("walk_to"))
+    val e = if (deep) e0.localCheckpoint(eager = true) else e0
     var acc = seeds.select(col("id"), lit(0).as("dist"))
     var frontier = acc
-    for (hop <- 1 to maxHops) {
-      val next = edges.join(frontier, edges(from) === frontier("id"))
-        .select(edges(to).as("id"), lit(hop).as("dist"))
+    var hop = 1
+    var growing = true
+    while (growing && hop <= maxHops) {
+      val next = e.join(frontier, e("walk_from") === frontier("id"))
+        .select(col("walk_to").as("id"), lit(hop).as("dist"))
         .distinct()
         .join(acc.select("id"), Seq("id"), "left_anti")
-      frontier = if (hop >= 3) next.localCheckpoint(eager = true) else next
+      if (deep) {
+        val p = next.localCheckpoint(eager = true)
+        growing = p.limit(1).count() > 0
+        frontier = p
+      } else frontier = next
       acc = acc.unionByName(frontier)
+      hop += 1
     }
     acc.groupBy("id").agg(min("dist").as("dist"))
   }
@@ -456,7 +475,11 @@ object Kg {
       // per-hop eager checkpoint: `acc` feeds the anti-join of every
       // later hop, so an unmaterialized step would be recomputed
       // quadratically as the union grows (measured 3× slower with
-      // every-3rd-hop checkpointing)
+      // every-3rd-hop checkpointing). The checkpoint must TRUNCATE the
+      // plan (localCheckpoint, not persist) — a persist-based variant
+      // was measured to blow up Catalyst on the growing lineage. The
+      // emptiness probe on the materialized checkpoint reads one cached
+      // partition; the real cross-query saving is AncestryCache.
       val next = par.join(frontier, Seq("commit_hash"))
         .select(col("parent_hash").as("commit_hash"))
         .distinct()
@@ -478,7 +501,7 @@ object Kg {
     */
   def entitiesAtCommit(entities: DataFrame, parents: DataFrame,
       refSha: String): DataFrame = {
-    val anc = ancestorClosure(parents, refSha)
+    val anc = AncestryCache.closure(parents, refSha)
       .withColumnRenamed("commit_hash", "commit_sha")
     entities.filter(col("commit_sha") =!= "")
       .join(broadcast(anc), Seq("commit_sha"), "left_semi")
@@ -547,7 +570,7 @@ object Kg {
       calleeName: String, parents: DataFrame, refSha: String): DataFrame = {
     val callees = entities.filter(col("name") === calleeName)
       .select(col("id").as("dst"), col("name").as("callee_name"))
-    val anc = ancestorClosure(parents, refSha)
+    val anc = AncestryCache.closure(parents, refSha)
       .withColumnRenamed("commit_hash", "caller_commit_sha")
     callsEdges.filter(col("rel_type") === "CALLS")
       .join(broadcast(callees), Seq("dst"))
