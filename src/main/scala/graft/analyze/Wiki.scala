@@ -57,7 +57,10 @@ object Wiki {
   def concepts(chunks: DataFrame, minFreq: Int = 2): DataFrame =
     conceptRows(chunks)
       .groupBy(col("name"))
-      .agg(countDistinct(col("chunk_id")).as("frequency"))
+      // conceptSet is array_distinct'ed upstream, so (name, chunk_id) is
+      // already unique per row — count(*) is equivalent to the distinct
+      // count and partial-aggregable without the extra dedup shuffle
+      .agg(count(lit(1)).as("frequency"))
       .filter(col("frequency") >= minFreq)
       .select(
         substring(sha2(concat(col("name"), lit(":")), 256), 1, 12)

@@ -167,14 +167,22 @@ object RelationalPack {
 
     // §2.8 scalar functions: JSON extraction (props parse), string ops,
     // conditional classification (smells-style when/otherwise rules).
+    // Two-level aggregate so the JSON parse happens EXACTLY once per
+    // row: a single-projection `k` referenced from the bucket whens and
+    // the sum gets inlined by CollapseProject into ~4 parses per row.
+    // Here the hot scan parses once into the partial agg on
+    // (event_type, k); bucketing runs on the tiny aggregated set.
     "q12_json_and_case" -> ((s, d) => {
       import s.implicits._
       Tables.events(s, d)
-        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("int").as("k"))
+        .groupBy($"event_type", $"k")
+        .agg(count(lit(1)).as("n0"), sum($"k".cast("long")).as("sum_k0"))
         .withColumn("bucket",
           when($"k" < 25, "low").when($"k" < 75, "mid").otherwise("high"))
         .groupBy($"event_type", $"bucket")
-        .agg(count(lit(1)).as("n"), sum($"k".cast("long")).as("sum_k"))
+        .agg(sum($"n0").as("n"), sum($"sum_k0").as("sum_k"))
     }),
 
     // P2/P9 predicate pack: IN-list + between + LIKE pushdown shapes.

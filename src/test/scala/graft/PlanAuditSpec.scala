@@ -34,4 +34,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(offenders.isEmpty, offenders.mkString("; "))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q12 parses the props JSON exactly once per row") {
+    import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, JsonToStructs}
+    val df = SparkEntry.queries("q12_json_and_case")(spark, sfDir)
+    val parses = df.queryExecution.optimizedPlan.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case g: GetJsonObject => g
+        case j: JsonToStructs => j
+      })
+    }.flatten
+    assert(parses.size == 1,
+      s"expected exactly one JSON parse in the optimized plan, got ${parses.size}")
+  }
 }
