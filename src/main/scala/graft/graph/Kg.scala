@@ -23,8 +23,15 @@ object Kg {
   /** Build entity/file/module vertices + CONTAINS/CALLS/IMPORTS/INHERITS
     * edges from a chunks table (`core/kg_builder.py:949-1236` semantics:
     * name-resolved via a global entity-name map, self-references dropped).
+    *
+    * `extraNames` widens the name-resolution map beyond the chunks being
+    * built — the differential rebuild passes the surviving entity
+    * vertices so a changed file's calls still resolve to entities in
+    * unchanged files (the reference's global prescan,
+    * `kg_builder.py:1237-1268`, plays the same role).
     */
-  def fromChunks(chunks: DataFrame): KgTables = {
+  def fromChunks(chunks: DataFrame,
+      extraNames: Option[DataFrame] = None): KgTables = {
     val entities = chunks
       .filter(col("chunk_type").isin("function", "class", "method"))
       .select(
@@ -52,7 +59,11 @@ object Kg {
         col("id").as("dst"), lit("CONTAINS").as("rel_type"))
 
     // name-resolution map (global prescan, `kg_builder.py:1237-1268`)
-    val byName = entities.select(col("name").as("target_name"), col("id").as("dst"))
+    val localNames = entities.select(col("name").as("target_name"), col("id").as("dst"))
+    val byName = extraNames
+      .map(x => localNames.unionByName(
+        x.select(col("name").as("target_name"), col("id").as("dst"))).distinct())
+      .getOrElse(localNames)
 
     val calls = chunks
       .filter(col("chunk_type").isin("function", "class", "method"))
@@ -96,6 +107,73 @@ object Kg {
       .withColumn("weight", lit(1.0))
       .dropDuplicates("src", "dst", "rel_type")
     KgTables(vertices.unionByName(tagVertices).dropDuplicates("id"), edges)
+  }
+
+  /** Hash-based change detection (`kg_builder.py` `_get_changed_files`,
+    * issue #108 semantics): full-outer join current vs stored
+    * (file_path, content_hash) → (file_path, status) with status in
+    * {changed, new, deleted}; unchanged files drop out. An empty/missing
+    * stored side classifies every current file as new, mirroring the
+    * no-prior-metadata case.
+    */
+  def changedFileSets(current: DataFrame, stored: DataFrame): DataFrame = {
+    val c = current.select(col("file_path"), col("content_hash").as("cur_h"))
+    val s = stored.select(col("file_path"), col("content_hash").as("old_h"))
+    c.join(s, Seq("file_path"), "full_outer")
+      .withColumn("status",
+        when(col("old_h").isNull, "new")
+          .when(col("cur_h").isNull, "deleted")
+          .when(col("cur_h") =!= col("old_h"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("file_path"), col("status"))
+  }
+
+  /** Remove every vertex belonging to `files` plus all edges touching a
+    * removed vertex (`knowledge_graph.py` `delete_entities_for_files`,
+    * which Kuzu-DETACH-deletes nodes by file_path). Module/tag vertices
+    * carry no file_path and survive; an empty or non-matching file set
+    * is a no-op.
+    */
+  def deleteEntitiesForFiles(kg: KgTables, files: DataFrame): KgTables = {
+    val f = broadcast(files.select(col("file_path")).distinct())
+    val removed = kg.vertices.filter(col("file_path") =!= "")
+      .join(f, Seq("file_path"), "left_semi")
+      .select(col("id"))
+    val vertices = kg.vertices.join(removed, Seq("id"), "left_anti")
+    val edges = kg.edges
+      .join(removed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(removed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+    KgTables(vertices, edges)
+  }
+
+  /** Differential (incremental) KG rebuild (issue #108 /
+    * `test_differential_kg.py`): delete the vertices+edges of changed
+    * and deleted files, rebuild only the re-chunked files' subgraph —
+    * resolving its calls against surviving entities too — and merge.
+    * The whole update touches O(changed files), not the corpus.
+    *
+    * Reference-faithful drift: edges FROM unchanged files INTO entities
+    * that first appear in this delta are not created (the reference's
+    * differential path re-processes only changed files); a periodic full
+    * `fromChunks` rebuild reconciles, exactly as the reference's full
+    * rebuild does.
+    *
+    * @param rechunked chunk rows for changed+new files only
+    * @param deleted   file paths that disappeared
+    */
+  def differentialUpdate(kg: KgTables, rechunked: DataFrame,
+      deleted: DataFrame): KgTables = {
+    val rechunkedFiles = rechunked.select(col("file_path")).distinct()
+    val survivors = deleteEntitiesForFiles(kg,
+      rechunkedFiles.unionByName(deleted.select(col("file_path"))))
+    val survivingEntities = survivors.vertices
+      .filter(col("label").isin("function", "class", "method"))
+      .select(col("name"), col("id"))
+    val delta = fromChunks(rechunked, Some(survivingEntities))
+    KgTables(
+      survivors.vertices.unionByName(delta.vertices).dropDuplicates("id"),
+      survivors.edges.unionByName(delta.edges)
+        .dropDuplicates("src", "dst", "rel_type"))
   }
 
   /** Multi-tag AND filter (`knowledge_graph.py:3104-3124`): nodes that

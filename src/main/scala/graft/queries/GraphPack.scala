@@ -218,6 +218,52 @@ object GraphPack {
         .limit(300)
     }),
 
+    // Differential KG rebuild (issue #108): baseline graph over 30
+    // files; file f1 changes (entities renamed, calls re-targeted), f2
+    // is deleted, f30 appears. The delta is drift-free by construction
+    // (surviving files only call same-file entities), so the updated
+    // graph must equal a full rebuild over the final corpus — which is
+    // what the oracle computes. Output = every vertex and edge.
+    "g12_differential_kg" -> ((s, d) => {
+      import s.implicits._
+      val ks = Tables.documents(s, d)
+        .select((col("doc_id") % 120).cast("int").as("k")).distinct()
+      def chunkRows(rows: DataFrame): DataFrame = rows.select(
+        col("file_path"), col("name"),
+        lit("function").as("chunk_type"),
+        col("name").as("hierarchy_path"),
+        lit("").as("parent_name"),
+        col("calls"), col("imports"),
+        array().cast("array<string>").as("inherits_from"),
+        lit("").as("content"))
+      val baseline = chunkRows(ks.select(
+        concat(lit("src/f"), col("k") % 30, lit(".py")).as("file_path"),
+        concat(lit("fn_"), col("k")).as("name"),
+        array(concat(lit("fn_"), (col("k") + 30) % 120)).as("calls"),
+        array(concat(lit("mod"), col("k") % 5)).as("imports")))
+      val changed = chunkRows(ks.filter(col("k") % 30 === 1).select(
+        lit("src/f1.py").as("file_path"),
+        concat(lit("g_"), col("k")).as("name"),
+        array(concat(lit("g_"), (col("k") + 30) % 120),
+          concat(lit("fn_"), lit(3) + lit(30) * (col("k") % 4))).as("calls"),
+        array(lit("mod9")).as("imports")))
+      val added = chunkRows(ks.filter(col("k") % 30 === 7).select(
+        lit("src/f30.py").as("file_path"),
+        concat(lit("h_"), col("k")).as("name"),
+        array(concat(lit("fn_"), lit(3) + lit(30) * (col("k") % 4))).as("calls"),
+        array(concat(lit("mod"), col("k") % 5)).as("imports")))
+      val kg0 = Kg.fromChunks(baseline)
+      val updated = Kg.differentialUpdate(kg0,
+        changed.unionByName(added), Seq("src/f2.py").toDF("file_path"))
+      updated.vertices
+        .select(lit("V").as("kind"), col("id").as("a"),
+          col("label").as("b"), col("name").as("c"))
+        .unionByName(updated.edges.select(lit("E").as("kind"),
+          col("src").as("a"), col("dst").as("b"), col("rel_type").as("c")))
+        .orderBy(col("kind"), col("a"), col("b"), col("c"))
+        .limit(2000)
+    }),
+
     // Codebase profiler → optimization preset: extension distribution,
     // size/type detection, per-size batch preset.
     "p1_codebase_profile" -> ((s, d) => {
@@ -565,6 +611,54 @@ object GraphPack {
          |  SELECT * FROM extras)
          |ORDER BY file_path, metric_name LIMIT 300""".stripMargin
     },
+
+    "g12_differential_kg" ->
+      """WITH ks AS (SELECT DISTINCT CAST(doc_id % 120 AS INTEGER) AS k
+        |  FROM documents),
+        |base AS (SELECT k, 'src/f' || (k % 30) || '.py' AS file_path,
+        |    'fn_' || k AS name,
+        |    ['fn_' || ((k + 30) % 120)] AS calls,
+        |    ['mod' || (k % 5)] AS imports
+        |  FROM ks),
+        |changed AS (SELECT k, 'src/f1.py' AS file_path, 'g_' || k AS name,
+        |    ['g_' || ((k + 30) % 120), 'fn_' || (3 + 30 * (k % 4))] AS calls,
+        |    ['mod9'] AS imports
+        |  FROM ks WHERE k % 30 = 1),
+        |newf AS (SELECT k, 'src/f30.py' AS file_path, 'h_' || k AS name,
+        |    ['fn_' || (3 + 30 * (k % 4))] AS calls,
+        |    ['mod' || (k % 5)] AS imports
+        |  FROM ks WHERE k % 30 = 7),
+        |final AS (SELECT * FROM base WHERE k % 30 NOT IN (1, 2)
+        |  UNION ALL SELECT * FROM changed
+        |  UNION ALL SELECT * FROM newf),
+        |ents AS (SELECT file_path || '::' || name AS id, name, file_path
+        |  FROM final),
+        |verts AS (
+        |  SELECT id, 'function' AS label, name FROM ents
+        |  UNION ALL
+        |  SELECT DISTINCT file_path, 'file',
+        |    regexp_extract(file_path, '([^/]+)$', 1) FROM final
+        |  UNION ALL
+        |  SELECT DISTINCT m, 'module', m FROM (
+        |    SELECT unnest(imports) AS m FROM final)),
+        |contains_e AS (SELECT file_path AS src, id AS dst,
+        |    'CONTAINS' AS rel_type FROM ents),
+        |callpairs AS (SELECT file_path || '::' || name AS src,
+        |    unnest(calls) AS cname FROM final),
+        |calls_e AS (SELECT DISTINCT c.src, b.id AS dst, 'CALLS' AS rel_type
+        |  FROM callpairs c JOIN ents b ON b.name = c.cname
+        |  WHERE c.src <> b.id),
+        |imports_e AS (SELECT DISTINCT file_path AS src, m AS dst,
+        |    'IMPORTS' AS rel_type FROM (
+        |    SELECT file_path, unnest(imports) AS m FROM final)),
+        |allrows AS (
+        |  SELECT 'V' AS kind, id AS a, label AS b, name AS c FROM verts
+        |  UNION ALL
+        |  SELECT 'E', src, dst, rel_type FROM contains_e
+        |  UNION ALL SELECT 'E', src, dst, rel_type FROM calls_e
+        |  UNION ALL SELECT 'E', src, dst, rel_type FROM imports_e)
+        |SELECT kind, a, b, c FROM allrows
+        |ORDER BY kind, a, b, c LIMIT 2000""".stripMargin,
 
     "p1_codebase_profile" -> {
       val extsLit = ProfileExts.map(x => s"'$x'").mkString("[", ", ", "]")

@@ -55,9 +55,14 @@ object WatchStream {
         max_by(col("dest_path"), col("ts")).as("dest_path"))
   }
 
-  /** ST3: apply one debounced micro-batch to the chunks/vectors tables. */
+  /** ST3: apply one debounced micro-batch to the chunks/vectors tables —
+    * and, when `kgPath` is given, to the knowledge-graph tables via the
+    * differential rebuild (issue #108): only the batch's files are
+    * deleted/re-added; the rest of the graph is untouched.
+    */
   def applyBatch(spark: SparkSession, batch: DataFrame,
-      chunksPath: String, vectorsPath: String): Unit = {
+      chunksPath: String, vectorsPath: String,
+      kgPath: Option[String] = None): Unit = {
     Seq(chunksPath, vectorsPath).foreach { p =>
       try spark.catalog.refreshByPath(p) catch { case _: Throwable => }
     }
@@ -104,6 +109,41 @@ object WatchStream {
         .unionByName(newVectors)
       IndexStore.overwriteSafe(spark, outChunks, chunksPath)
       IndexStore.overwriteSafe(spark, outVectors, vectorsPath)
+
+      // differential KG refresh: moved files are treated as changed at
+      // their destination (delete old path, re-chunk the new one) — one
+      // metadata-scale re-chunk instead of a non-equi id-prefix rewrite
+      kgPath.foreach { kp =>
+        Seq(s"$kp/vertices", s"$kp/edges").foreach { p =>
+          try spark.catalog.refreshByPath(p) catch { case _: Throwable => }
+        }
+        val kg = graft.graph.Kg.KgTables(
+          IndexStore.read(spark, s"$kp/vertices"),
+          IndexStore.read(spark, s"$kp/edges"))
+        val movedDests = moves.select(col("new_path").as("file_path"))
+          .collect().map(_.getString(0)).filter(p => new java.io.File(p).isFile)
+        val movedRecords: Seq[FileRecord] = movedDests.toSeq.map { p =>
+          val content = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+          val ext = p.replaceAll(""".*\.""", "").toLowerCase
+          FileRecord(p,
+            FileDiscovery.LanguageByExtension.getOrElse(ext, "text"),
+            Chunker.sha256Hex(content), new Timestamp(System.currentTimeMillis()),
+            content.length.toLong, content)
+        }
+        val rechunked = newChunks.unionByName(
+          movedRecords.toDS().flatMap(Chunker.chunkFile _).toDF())
+        val deletedForKg = deleted.unionByName(
+          moves.select(col("old_path").as("file_path")))
+        val updated = graft.graph.Kg.differentialUpdate(kg, rechunked, deletedForKg)
+        // materialize BOTH before either write: the edges plan anti-joins
+        // against the vertices path, so writing vertices first would
+        // invalidate the files the edges computation still reads
+        val updatedV = updated.vertices.localCheckpoint(eager = true)
+        val updatedE = updated.edges.localCheckpoint(eager = true)
+        IndexStore.overwriteSafe(spark, updatedV, s"$kp/vertices")
+        IndexStore.overwriteSafe(spark, updatedE, s"$kp/edges")
+      }
     } finally events.unpersist()
   }
 
