@@ -180,6 +180,9 @@ object AnalyticsPack {
 
   val RollupLangs = Seq("python", "go", "java", "markdown")
 
+  val SubprojectDirs = Seq("apps/web/src", "apps/api", "libs/core/x",
+    "apps/web/deep/y", "go/svc", "other/misc")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A9: Halstead n1/n2/N1/N2 → vocabulary, length, volume, difficulty,
     // effort from regex token classes (halstead.py:83 from_counts).
@@ -222,6 +225,35 @@ object AnalyticsPack {
     // A14: complexity hotspots top-N with deterministic tiebreak.
     "a14_hotspots" -> ((s, d) => {
       Analytics.hotspots(smellChunks(s, d), 30)
+    }),
+
+    // Monorepo subproject detection + assignment + rollup
+    // (utils/monorepo.py, models.py:247-248): marker-file roots with the
+    // exclusion list and depth cap, deepest-root assignment, per-
+    // subproject counts. Fixture hits every rule: root-level marker,
+    // excluded dir, too-deep marker, nested root (deepest wins), files
+    // outside any root.
+    "m1_subprojects" -> ((s, d) => {
+      import graft.ingest.Monorepo
+      val k = col("k")
+      val paths = Tables.documents(s, d)
+        .select((col("doc_id") % 60).cast("int").as("k")).distinct()
+        .select(
+          when(k === 0, "package.json")
+            .when(k === 1, "apps/web/package.json")
+            .when(k === 2, "apps/api/package.json")
+            .when(k === 3, "libs/core/pyproject.toml")
+            .when(k === 4, "tools/gen/package.json")
+            .when(k === 5, "apps/web/deep/package.json")
+            .when(k === 6, "services/a/b/c/package.json")
+            .when(k === 7, "go/svc/go.mod")
+            .otherwise(concat(
+              element_at(typedlit(SubprojectDirs), (k % 6).cast("int") + 1),
+              lit("/f"), k, lit(".py")))
+            .as("file_path"))
+      val sps = Monorepo.subprojects(paths)
+      Monorepo.rollup(Monorepo.withSubproject(paths, sps))
+        .orderBy(col("subproject_name"), col("subproject_path"))
     }),
 
     // A16: recursive per-directory rollups via path-prefix explode
@@ -336,6 +368,50 @@ object AnalyticsPack {
          |SELECT file_path, name, chunk_type, complexity, token_count
          |FROM ch WHERE chunk_type IN ('function', 'method', 'class')
          |ORDER BY complexity DESC, chunk_id LIMIT 30""".stripMargin,
+
+    "m1_subprojects" -> {
+      val dirsLit = SubprojectDirs.map(x => s"'$x'").mkString("[", ", ", "]")
+      val markersIn = graft.ingest.Monorepo.MarkerFiles
+        .map(m => s"'$m'").mkString(", ")
+      val excludedLit = graft.ingest.Monorepo.ExcludedDirs
+        .map(e => s"'$e'").mkString("[", ", ", "]")
+      s"""WITH ks AS (SELECT DISTINCT CAST(doc_id % 60 AS INTEGER) AS k
+         |  FROM documents),
+         |paths AS (SELECT CASE k
+         |    WHEN 0 THEN 'package.json'
+         |    WHEN 1 THEN 'apps/web/package.json'
+         |    WHEN 2 THEN 'apps/api/package.json'
+         |    WHEN 3 THEN 'libs/core/pyproject.toml'
+         |    WHEN 4 THEN 'tools/gen/package.json'
+         |    WHEN 5 THEN 'apps/web/deep/package.json'
+         |    WHEN 6 THEN 'services/a/b/c/package.json'
+         |    WHEN 7 THEN 'go/svc/go.mod'
+         |    ELSE ($dirsLit)[CAST(k % 6 AS INTEGER) + 1]
+         |      || '/f' || k || '.py' END AS file_path
+         |  FROM ks),
+         |roots AS (SELECT DISTINCT
+         |    regexp_extract(file_path, '^(.*)/[^/]+$$', 1) AS path,
+         |    regexp_extract(regexp_extract(file_path, '^(.*)/[^/]+$$', 1),
+         |      '([^/]+)$$', 1) AS name
+         |  FROM paths
+         |  WHERE regexp_extract(file_path, '([^/]+)$$', 1) IN ($markersIn)
+         |    AND contains(file_path, '/')
+         |    AND len(string_split(file_path, '/')) <= 4
+         |    AND len(list_intersect(string_split(file_path, '/'),
+         |      $excludedLit)) = 0),
+         |assigned AS (SELECT p.file_path,
+         |    max_by(r.name, len(r.path)) AS subproject_name,
+         |    max_by(r.path, len(r.path)) AS subproject_path
+         |  FROM paths p LEFT JOIN roots r
+         |    ON starts_with(p.file_path, r.path || '/')
+         |  GROUP BY p.file_path)
+         |SELECT COALESCE(subproject_name, '(none)') AS subproject_name,
+         |  COALESCE(subproject_path, '') AS subproject_path,
+         |  CAST(COUNT(DISTINCT file_path) AS BIGINT) AS n_files,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunks
+         |FROM assigned
+         |GROUP BY 1, 2 ORDER BY subproject_name, subproject_path""".stripMargin
+    },
 
     "a16_dir_rollups" ->
       """WITH ch AS (SELECT

