@@ -40,6 +40,47 @@ object IndexStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Additive schema evolution on read (`vectors_backend.py:182-215`
+    * `_evolve_schema_if_needed`): columns in `target` missing from the
+    * stored table are added as typed nulls; columns whose type CHANGED
+    * are rejected (the reference only ever adds, never mutates);
+    * existing columns beyond `target` are preserved. A round-1 table is
+    * therefore readable by a round-3 reader without a rewrite.
+    */
+  def readEvolved(spark: SparkSession, path: String,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val df = read(spark, path)
+    val existing = df.schema.map(f => f.name -> f.dataType).toMap
+    val conflicts = target.fields.flatMap { f =>
+      existing.get(f.name).collect {
+        case dt if dt != f.dataType => s"${f.name}: $dt -> ${f.dataType}"
+      }
+    }
+    require(conflicts.isEmpty,
+      s"schema evolution is additive-only; type changes rejected: ${conflicts.mkString(", ")}")
+    target.fields.filterNot(f => existing.contains(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
+  /** Evolve-on-write: append `rows` to the table at `path`, widening
+    * BOTH sides to the union schema with typed nulls (additive-only —
+    * type changes rejected as in `readEvolved`). Missing table → plain
+    * write.
+    */
+  def appendEvolved(spark: SparkSession, rows: DataFrame, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      rows.write.mode(SaveMode.Overwrite).parquet(path)
+    } else {
+      val stored = readEvolved(spark, path, rows.schema)
+      val newCols = stored.columns.filterNot(rows.columns.contains)
+      val widened = newCols.foldLeft(rows)((d, c) =>
+        d.withColumn(c, lit(null).cast(stored.schema(c).dataType)))
+      overwriteSafe(spark, stored.unionByName(widened), path)
+    }
+  }
+
   /** S4 compaction: rewrite a table into ~targetBytes files (the
     * reference compacts every ~20k appended rows,
     * `chunks_backend.py:553-605`; here it is one repartition rewrite,
