@@ -157,6 +157,32 @@ object GitPack {
       graft.analyze.Engineers.profiles(
           functionTable(s, d), blameTable(s, d), changesTable(s, d))
         .orderBy(col("quality_score").desc, col("author"))
+    }),
+
+    // Issues story source (story/extractor.py:452-530): gh-CLI-shaped
+    // JSON payloads parsed through the explicit schema, rolled into
+    // per-state stats. The oracle computes the same stats from the
+    // generator arithmetic directly, checking the parser end-to-end.
+    "gh1_issue_stats" -> ((s, d) => {
+      import graft.ingest.GhStory
+      val k = col("k")
+      val raw = Tables.documents(s, d)
+        .select((col("doc_id") % 40).cast("int").as("k")).distinct()
+        .select(concat(
+          lit("[{\"number\": "), k,
+          lit(", \"title\": \"Issue "), k, lit("\""),
+          lit(", \"state\": \""),
+          when(k % 3 === 0, "closed").otherwise("open"), lit("\""),
+          lit(", \"labels\": "),
+          when(k % 2 === 0, "[{\"name\": \"bug\"}]").otherwise("[]"),
+          lit(", \"createdAt\": \"2024-01-"),
+          lpad((k % 28 + 1).cast("string"), 2, "0"), lit("T00:00:00Z\""),
+          when(k % 3 === 0, concat(lit(", \"closedAt\": \"2024-02-"),
+            lpad((k * 3 % 28 + 1).cast("string"), 2, "0"),
+            lit("T00:00:00Z\""))).otherwise(lit("")),
+          lit(", \"body\": \"b\"}]")).as("payload"))
+      GhStory.issueStats(GhStory.parseIssues(raw, "payload"))
+        .orderBy(col("state"))
     }))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -312,5 +338,21 @@ object GitPack {
          |        / o.total_lines * 1000.0 * 10.0), 1) END AS quality_score
          |FROM base b LEFT JOIN owned o USING (author)
          |  LEFT JOIN fx f USING (author)
-         |ORDER BY quality_score DESC, author""".stripMargin)
+         |ORDER BY quality_score DESC, author""".stripMargin,
+
+    "gh1_issue_stats" ->
+      """WITH ks AS (SELECT DISTINCT CAST(doc_id % 40 AS INTEGER) AS k
+        |  FROM documents),
+        |i AS (SELECT k,
+        |    CASE WHEN k % 3 = 0 THEN 'closed' ELSE 'open' END AS state,
+        |    k % 2 = 0 AS labeled,
+        |    CASE WHEN k % 3 = 0
+        |      THEN 31 + ((k * 3) % 28) - (k % 28) END AS days_open
+        |  FROM ks)
+        |SELECT state, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN labeled THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_labels,
+        |  AVG(CAST(days_open AS DOUBLE)) AS avg_days_open,
+        |  MIN(k) AS min_number, MAX(k) AS max_number
+        |FROM i GROUP BY state ORDER BY state""".stripMargin)
 }
