@@ -37,7 +37,9 @@ object FileDiscovery {
     "h" -> "c", "cpp" -> "cpp", "hpp" -> "cpp", "md" -> "markdown",
     "txt" -> "text", "html" -> "html", "css" -> "css", "sql" -> "sql",
     "sh" -> "shell", "yaml" -> "yaml", "yml" -> "yaml", "json" -> "json",
-    "toml" -> "toml", "xml" -> "xml")
+    "toml" -> "toml", "xml" -> "xml",
+    // subproject markers the monorepo detector needs in the listing
+    "mod" -> "text", "sbt" -> "scala")
 
   /** Discover indexable files under `root` as a Dataset[FileRecord]. */
   def discover(spark: SparkSession, root: String): Dataset[FileRecord] = {

@@ -27,10 +27,16 @@ import graft.ingest.FileDiscovery
 class SearchEngine(spark: SparkSession) {
   import spark.implicits._
 
-  /** Index a repository root into chunks+vectors DataFrames. */
+  /** Index a repository root into chunks+vectors DataFrames. Every chunk
+    * carries subproject_name/subproject_path (`models.py:247-248`) from
+    * the monorepo detector over the same discovery listing.
+    */
   def buildIndex(root: String): (DataFrame, DataFrame) = {
     val files = FileDiscovery.discover(spark, root)
-    val chunks = files.flatMap(Chunker.chunkFile _).toDF()
+    val subprojects = graft.ingest.Monorepo.subprojects(
+      files.toDF().select(col("file_path"), col("content")))
+    val chunks = graft.ingest.Monorepo.withSubproject(
+      files.flatMap(Chunker.chunkFile _).toDF(), subprojects)
     val enriched = chunks.withColumn("ctx",
       HashEmbedder.contextText(col("file_path"), col("language"), col("name"), col("content")))
     val vectors = HashEmbedder.embed(enriched, "chunk_id", "ctx")
@@ -70,7 +76,12 @@ class SearchEngine(spark: SparkSession) {
       .join(moves.select(col("old_path")), col("file_path") === col("old_path"), "left_anti")
 
     val changedFiles = changed.as[FileRecord]
-    val newChunks = changedFiles.flatMap(Chunker.chunkFile _).toDF()
+    // the full disk listing is in hand, so changed chunks get their
+    // subproject assignment exactly as a full build would
+    val subprojects = graft.ingest.Monorepo.subprojects(
+      disk.select(col("file_path"), col("content")))
+    val newChunks = graft.ingest.Monorepo.withSubproject(
+      changedFiles.flatMap(Chunker.chunkFile _).toDF(), subprojects)
     val enriched = newChunks.withColumn("ctx",
       HashEmbedder.contextText(col("file_path"), col("language"), col("name"), col("content")))
     val newVectors = HashEmbedder.embed(enriched, "chunk_id", "ctx")
@@ -87,8 +98,10 @@ class SearchEngine(spark: SparkSession) {
       IndexStore.deleteByFiles(
         IndexStore.deleteByFiles(storedVec, deleted), changedPaths), moves)
 
-    val outChunks = keptChunks.unionByName(newChunks)
-    val outVectors = keptVectors.unionByName(newVectors)
+    // allowMissingColumns: a pre-subproject (round-1 schema) stored
+    // table widens with nulls instead of failing — additive evolution
+    val outChunks = keptChunks.unionByName(newChunks, allowMissingColumns = true)
+    val outVectors = keptVectors.unionByName(newVectors, allowMissingColumns = true)
     IndexStore.overwriteSafe(spark, outChunks, chunksPath)
     IndexStore.overwriteSafe(spark, outVectors, vectorsPath)
     moves.unpersist()

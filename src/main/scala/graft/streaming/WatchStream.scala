@@ -101,12 +101,22 @@ object WatchStream {
       val touchedDf = touched.toSeq.toDF("file_path")
       val stored = IndexStore.read(spark, chunksPath)
       val storedVec = IndexStore.read(spark, vectorsPath)
+      // streamed re-chunks inherit the file's known subproject from the
+      // stored table (no full listing in a micro-batch to re-detect
+      // from); brand-new files get it on the next incremental pass
+      val newChunksOut =
+        if (stored.columns.contains("subproject_name"))
+          newChunks.join(
+            stored.select("file_path", "subproject_name", "subproject_path")
+              .distinct(),
+            Seq("file_path"), "left")
+        else newChunks
       val outChunks = IndexStore.applyMoves(IndexStore
         .deleteByFiles(IndexStore.deleteByFiles(stored, deleted), touchedDf), moves)
-        .unionByName(newChunks)
+        .unionByName(newChunksOut, allowMissingColumns = true)
       val outVectors = IndexStore.applyMoves(IndexStore
         .deleteByFiles(IndexStore.deleteByFiles(storedVec, deleted), touchedDf), moves)
-        .unionByName(newVectors)
+        .unionByName(newVectors, allowMissingColumns = true)
       IndexStore.overwriteSafe(spark, outChunks, chunksPath)
       IndexStore.overwriteSafe(spark, outVectors, vectorsPath)
 
