@@ -252,7 +252,13 @@ object GraphPack {
         concat(lit("h_"), col("k")).as("name"),
         array(concat(lit("fn_"), lit(3) + lit(30) * (col("k") % 4))).as("calls"),
         array(concat(lit("mod"), col("k") % 5)).as("imports")))
-      val kg0 = Kg.fromChunks(baseline)
+      // a real differential update reads an EXISTING stored graph
+      // (applyBatch reads parquet); materialize the baseline likewise so
+      // the delete/merge branches don't each re-derive it from source
+      val kg0raw = Kg.fromChunks(baseline)
+      val kg0 = Kg.KgTables(
+        kg0raw.vertices.localCheckpoint(true),
+        kg0raw.edges.localCheckpoint(true))
       val updated = Kg.differentialUpdate(kg0,
         changed.unionByName(added), Seq("src/f2.py").toDF("file_path"))
       updated.vertices
