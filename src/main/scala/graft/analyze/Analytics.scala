@@ -83,6 +83,57 @@ object Analytics {
     cycles.toSeq
   }
 
+  /** A11 (distributed companion to `importCycles`): files participating
+    * in an import cycle — self-reachability over the resolved file→file
+    * import graph within `maxHops`. The DFS above enumerates the cycle
+    * paths driver-side (sanctioned: the edge list is metadata-scale);
+    * this variant is pure DataFrame algebra — module resolution is an
+    * equi-join on the module's last dotted segment vs the file basename
+    * (the heuristic resolution of `coupling.py:761-900` recast as a
+    * joinable key), the closure is `Kg.closure`'s bounded frontier walk
+    * — so it scales with the cluster and mirrors as a recursive CTE.
+    */
+  def cyclicFiles(chunks: DataFrame, maxHops: Int = 12): DataFrame = {
+    val imp = chunks
+      .select(col("file_path"), explode(col("imports")).as("module"))
+      .distinct()
+      .select(col("file_path").as("src"),
+        element_at(split(col("module"), "\\."), -1).as("modname"))
+    val tgt = chunks.select(col("file_path")).distinct()
+      .select(col("file_path").as("dst"),
+        regexp_extract(col("file_path"), "([^/]+?)\\.[a-z]+$", 1).as("modname"))
+    // materialize once, then close by PATH DOUBLING: acc ∪ acc∘acc
+    // covers 2^i-hop paths after i rounds, so 12 hops cost 4 iterations
+    // instead of 12 frontier jobs — the per-hop job-scheduling floor is
+    // the cost driver on this metadata-scale graph, not data volume.
+    // Each round re-bases on a bare LogicalRDD (createDataFrame over the
+    // checkpointed RDD): the self-join + union would otherwise trip
+    // Union.rewriteConstraints on stale pre-checkpoint attribute ids.
+    def strip(df: DataFrame): DataFrame =
+      chunks.sparkSession.createDataFrame(df.rdd, df.schema)
+    var acc = strip(imp.join(tgt, "modname")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true))
+    var span = 1
+    var n = acc.count()
+    var growing = true
+    while (growing && span < maxHops) {
+      val next = strip(acc.as("x")
+        .join(acc.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .unionByName(acc).distinct()
+        .localCheckpoint(true))
+      val m = next.count()
+      growing = m > n
+      n = m
+      acc = next
+      span *= 2
+    }
+    acc.filter(col("src") === col("dst"))
+      .select(col("src").as("file_path")).distinct()
+  }
+
   /** A12 code smells: threshold rules → exploded (chunk_id, smell,
     * severity) rows (`analysis/collectors/smells.py` semantics).
     */

@@ -64,6 +64,37 @@ object AnalyticsPack {
         concat(lit("util"), col("doc_id") % 3),
         concat(lit("pkg.mod"), col("doc_id") % 11)).as("imports"))
 
+  /** Chunk rows for the import-cycle gate: 20 files, one resolvable
+    * import each — a 6-ring (mod0→…→mod5→mod0), a chain feeding a mutual
+    * 2-cycle (mod6→…→mod12↔mod13, dotted-module spelling so the
+    * last-segment resolution is exercised), and unresolvable externals.
+    * On-cycle files: mod0..mod5, mod12, mod13 — the chain files REACH a
+    * cycle but are not on one.
+    */
+  private def cyclicChunks(s: SparkSession, d: String): DataFrame = {
+    val k = (col("doc_id") % 20).cast("int")
+    Tables.documents(s, d).select(
+      concat(lit("ch"), col("doc_id")).as("chunk_id"),
+      concat(lit("src/mod"), k, lit(".py")).as("file_path"),
+      array(
+        when(k < 6, concat(lit("mod"), (k + 1) % 6))
+          .when(k < 12, concat(lit("pkg.mod"), k + 1))
+          .when(k === 12, lit("mod13"))
+          .when(k === 13, lit("mod12"))
+          .otherwise(concat(lit("ext"), k))).as("imports"))
+  }
+
+  private val cyclicChunksSql =
+    """SELECT 'ch' || doc_id AS chunk_id,
+      |    'src/mod' || CAST(doc_id % 20 AS INTEGER) || '.py' AS file_path,
+      |    [CASE WHEN doc_id % 20 < 6
+      |        THEN 'mod' || ((doc_id % 20 + 1) % 6)
+      |      WHEN doc_id % 20 < 12 THEN 'pkg.mod' || (doc_id % 20 + 1)
+      |      WHEN doc_id % 20 = 12 THEN 'mod13'
+      |      WHEN doc_id % 20 = 13 THEN 'mod12'
+      |      ELSE 'ext' || CAST(doc_id % 20 AS INTEGER) END] AS imports
+      |  FROM documents""".stripMargin
+
   /** Chunk rows for smells/hotspots: every rule threshold straddled —
     * complexity 0..11, lines 1..80, params 0..7, 1-in-3 empty docstring,
     * 1-in-6 non-code chunk_type.
@@ -204,6 +235,36 @@ object AnalyticsPack {
         .orderBy(col("file_path"))
     }),
 
+    // A11: files on an import cycle — equi-join module resolution, then
+    // Kg.closure's bounded frontier walk, keep self-reaching files.
+    // (The cycle-path enumeration itself stays the sanctioned driver
+    // DFS; this proves the distributed participant set.)
+    "a11_cycle_files" -> ((s, d) => {
+      Analytics.cyclicFiles(cyclicChunks(s, d))
+        .orderBy(col("file_path"))
+    }),
+
+    // A15: per-file debt score + run-over-run trend (analysis/debt.py +
+    // trend_tracker.py): two snapshot runs (run 2 drops odd-complexity
+    // chunks), lag-window delta, direction classification.
+    "a15_debt" -> ((s, d) => {
+      import graft.analyze.Debt
+      val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val ts2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+      val snaps = Debt.snapshot(smellChunks(s, d), ts1)
+        .unionByName(Debt.snapshot(
+          smellChunks(s, d).filter(col("complexity") % 2 === 0), ts2))
+      Debt.trend(snaps)
+        .withColumn("run", when(col("run_ts") === lit(ts1), "r1")
+          .otherwise("r2"))
+        .select(col("run"), col("file_path"),
+          round(col("debt_score"), 4).as("debt_score"),
+          col("smell_weight"), col("total_complexity"), col("n_chunks"),
+          col("tokens"), round(col("delta"), 4).as("delta"),
+          col("direction"))
+        .orderBy(col("run"), col("file_path"))
+    }),
+
     // A12: threshold smell rules → exploded (chunk, smell, severity)
     // rows (smells.py:268, thresholds from config/thresholds.py).
     "a12_smells" -> ((s, d) => {
@@ -330,6 +391,78 @@ object AnalyticsPack {
         |    WHEN instability <= 0.6 THEN 'C'
         |    WHEN instability <= 0.8 THEN 'D' ELSE 'F' END AS grade
         |FROM i ORDER BY file_path""".stripMargin,
+
+    "a11_cycle_files" ->
+      s"""WITH RECURSIVE ch AS ($cyclicChunksSql),
+         |u AS (SELECT DISTINCT file_path, unnest(imports) AS module
+         |  FROM ch),
+         |imp AS (SELECT DISTINCT file_path AS src,
+         |    string_split(module, '.')[-1] AS modname FROM u),
+         |tgt AS (SELECT DISTINCT file_path AS dst,
+         |    regexp_extract(file_path, '([^/]+?)\\.[a-z]+$$', 1) AS modname
+         |  FROM ch),
+         |e AS (SELECT DISTINCT src, dst FROM imp JOIN tgt USING (modname)
+         |  WHERE src <> dst),
+         |walk(src, dst, hops) AS (
+         |  SELECT src, dst, 1 FROM e
+         |  UNION
+         |  SELECT w.src, e.dst, w.hops + 1 FROM walk w
+         |  JOIN e ON w.dst = e.src WHERE w.hops < 12)
+         |SELECT DISTINCT src AS file_path FROM walk WHERE src = dst
+         |ORDER BY file_path""".stripMargin,
+
+    "a15_debt" ->
+      s"""WITH ch AS ($smellChunksSql),
+         |x AS (SELECT *, end_line - start_line + 1 AS n_lines FROM ch),
+         |runs AS (
+         |  SELECT 'r1' AS run, * FROM x
+         |  UNION ALL
+         |  SELECT 'r2' AS run, * FROM x WHERE complexity % 2 = 0),
+         |sm AS (
+         |  SELECT run, file_path, 'major' AS severity FROM runs
+         |  WHERE n_lines > 50
+         |  UNION ALL
+         |  SELECT run, file_path, 'critical' FROM runs WHERE complexity > 10
+         |  UNION ALL
+         |  SELECT run, file_path, 'minor' FROM runs
+         |  WHERE complexity > 5 AND complexity <= 10
+         |  UNION ALL
+         |  SELECT run, file_path, 'major' FROM runs WHERE n_params > 5
+         |  UNION ALL
+         |  SELECT run, file_path, 'info' FROM runs WHERE docstring = ''
+         |    AND chunk_type IN ('function', 'method', 'class')
+         |    AND n_lines > 10),
+         |sw AS (SELECT run, file_path,
+         |    SUM(CASE severity WHEN 'critical' THEN 5.0::DOUBLE
+         |      WHEN 'major' THEN 3.0::DOUBLE
+         |      WHEN 'minor' THEN 1.0::DOUBLE
+         |      ELSE 0.5::DOUBLE END) AS smell_weight
+         |  FROM sm GROUP BY run, file_path),
+         |agg AS (SELECT run, file_path,
+         |    CAST(SUM(complexity) AS BIGINT) AS total_complexity,
+         |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(token_count) AS BIGINT) AS tokens
+         |  FROM runs GROUP BY run, file_path),
+         |snap AS (SELECT a.run, a.file_path,
+         |    COALESCE(s.smell_weight, 0.0::DOUBLE) AS smell_weight,
+         |    a.total_complexity, a.n_chunks, a.tokens,
+         |    LEAST(100.0::DOUBLE,
+         |      COALESCE(s.smell_weight, 0.0::DOUBLE) * 4.0::DOUBLE
+         |      + CAST(a.total_complexity AS DOUBLE) / a.n_chunks
+         |        * 2.0::DOUBLE
+         |      + a.tokens / 1000.0::DOUBLE) AS debt_score
+         |  FROM agg a LEFT JOIN sw s
+         |    ON a.run = s.run AND a.file_path = s.file_path),
+         |tr AS (SELECT *, debt_score - COALESCE(
+         |    LAG(debt_score) OVER (PARTITION BY file_path ORDER BY run),
+         |    debt_score) AS delta
+         |  FROM snap)
+         |SELECT run, file_path, round(debt_score, 4) AS debt_score,
+         |  smell_weight, total_complexity, n_chunks, tokens,
+         |  round(delta, 4) AS delta,
+         |  CASE WHEN delta > 0 THEN 'worsening'
+         |    WHEN delta < 0 THEN 'improving' ELSE 'stable' END AS direction
+         |FROM tr ORDER BY run, file_path""".stripMargin,
 
     "a12_smells" ->
       s"""WITH ch AS ($smellChunksSql),

@@ -270,6 +270,30 @@ object GraphPack {
         .limit(2000)
     }),
 
+    // J9: BFS with full path capture (trace_execution_flow) over a
+    // 30-node DAG with stride-3 spine, branch edges at multiples of 4,
+    // and one back edge (v20→v2) so the cycle-avoidance filter fires.
+    // Branching ≤3 at depth ≤8 keeps every per-depth frontier far under
+    // bfsPaths' maxPaths cut, so the output is deterministic; paths are
+    // emitted as '>'-joined strings (arrays don't hash portably).
+    "g13_bfs_paths" -> ((s, d) => {
+      val ks = Tables.documents(s, d)
+        .select((col("doc_id") % 30).cast("int").as("k")).distinct()
+      val spine = ks.filter(col("k") < 27).select(
+        concat(lit("v"), col("k")).as("src"),
+        concat(lit("v"), col("k") + 3).as("dst"))
+      val branch = ks.filter(col("k") % 4 === 0 && col("k") < 25).select(
+        concat(lit("v"), col("k")).as("src"),
+        concat(lit("v"), col("k") + 5).as("dst"))
+      val back = ks.filter(col("k") === 20).select(
+        lit("v20").as("src"), lit("v2").as("dst"))
+      val edges = spine.unionByName(branch).unionByName(back)
+      Kg.bfsPaths(edges, "v0", maxDepth = 8)
+        .select(col("id"), array_join(col("path"), ">").as("path"),
+          size(col("path")).as("path_len"))
+        .orderBy(col("path"))
+    }),
+
     // Codebase profiler → optimization preset: extension distribution,
     // size/type detection, per-size batch preset.
     "p1_codebase_profile" -> ((s, d) => {
@@ -665,6 +689,29 @@ object GraphPack {
         |  UNION ALL SELECT 'E', src, dst, rel_type FROM imports_e)
         |SELECT kind, a, b, c FROM allrows
         |ORDER BY kind, a, b, c LIMIT 2000""".stripMargin,
+
+    "g13_bfs_paths" ->
+      """WITH RECURSIVE ks AS (
+        |  SELECT DISTINCT CAST(doc_id % 30 AS INTEGER) AS k
+        |  FROM documents),
+        |e AS (
+        |  SELECT 'v' || k AS src, 'v' || (k + 3) AS dst FROM ks
+        |  WHERE k < 27
+        |  UNION ALL
+        |  SELECT 'v' || k, 'v' || (k + 5) FROM ks
+        |  WHERE k % 4 = 0 AND k < 25
+        |  UNION ALL
+        |  SELECT 'v20', 'v2' FROM ks WHERE k = 20),
+        |walk(id, path) AS (
+        |  SELECT 'v0', ['v0']
+        |  UNION ALL
+        |  SELECT e.dst, list_append(w.path, e.dst)
+        |  FROM walk w JOIN e ON e.src = w.id
+        |  WHERE NOT list_contains(w.path, e.dst) AND len(w.path) <= 8)
+        |SELECT id, array_to_string(path, '>') AS path,
+        |  CAST(len(path) AS INTEGER) AS path_len
+        |FROM walk WHERE len(path) > 1
+        |ORDER BY path""".stripMargin,
 
     "p1_codebase_profile" -> {
       val extsLit = ProfileExts.map(x => s"'$x'").mkString("[", ", ", "]")

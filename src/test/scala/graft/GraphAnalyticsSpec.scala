@@ -122,6 +122,20 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(!names.contains("__init__"))
   }
 
+  test("cyclicFiles finds exactly the files on import cycles") {
+    // ring a→b→c→a; chain d→a reaches the cycle but is not on it;
+    // f↔g mutual via dotted module spelling; e imports nothing resolvable
+    val ch = Seq(
+      ("src/a.py", Seq("b")), ("src/b.py", Seq("c")),
+      ("src/c.py", Seq("pkg.a")), ("src/d.py", Seq("a")),
+      ("src/e.py", Seq("numpy")), ("src/f.py", Seq("g")),
+      ("src/g.py", Seq("deep.nested.f"))
+    ).toDF("file_path", "imports")
+    val cyc = Analytics.cyclicFiles(ch).as[String].collect().toSet
+    assert(cyc == Set("src/a.py", "src/b.py", "src/c.py",
+      "src/f.py", "src/g.py"))
+  }
+
   test("git log parse + story phases") {
     val raw =
       "@aaa||alice|1700000000\n3\t1\tsrc/a.py\n2\t2\tsrc/b.py\n\n" +
