@@ -29,12 +29,12 @@ object SearchPack {
     graft.search.QueryProcessor.expand("fast table scan")
       .map(_.split(" ").toSeq)
 
-  private def docTokens = {
+  private[queries] def docTokens = {
     val t = TextFunctions.tokens(col("text"))
     filter(t, tok => !tok.rlike("^[0-9]+$"))
   }
 
-  private val docTokensSql =
+  private[queries] val docTokensSql =
     s"list_filter(${TextFunctions.tokensSql("text")}, t -> NOT regexp_matches(t, '^[0-9]+$$'))"
 
   /** Per-JVM persisted BM25 index over the documents table (S8): built +
@@ -45,7 +45,7 @@ object SearchPack {
   private val idxCache =
     scala.collection.concurrent.TrieMap[String, Bm25.Bm25Index]()
 
-  private def bm25Index(s: SparkSession, d: String): Bm25.Bm25Index =
+  private[queries] def bm25Index(s: SparkSession, d: String): Bm25.Bm25Index =
     idxCache.getOrElseUpdate(d, {
       val path = s"target/bm25/${java.lang.Long.toHexString(
         graft.functions.PortableHash.hash60Local("bm25", d))}"
