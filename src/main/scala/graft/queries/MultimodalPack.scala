@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.tables.Tables
+
+/** Multimodal-pipeline pack: the binary-column plumbing (decode →
+  * features → frame sampling, all `mapPartitions` over
+  * `Dataset[MediaRecord]`) exercised end-to-end with a DuckDB oracle.
+  *
+  * The codecs are the honest deterministic stubs (`FakeCodec`) — pure
+  * functions of the payload bytes — so with an ASCII payload (the
+  * documents text, where UTF-8 bytes == codepoints) every stage is
+  * byte-for-byte mirrorable in SQL: header-byte dims via `unicode()`,
+  * brightness/energy as codepoint means, frame sampling as
+  * generate_series over ceil(len/256). What the oracle proves is the
+  * PLUMBING: binary column handling, batch iteration, the explode
+  * shape, and the integer windowing math a real codec swap inherits.
+  */
+object MultimodalPack {
+
+  private def media(s: SparkSession, d: String): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        Multimodal.MediaRecord(id, "image", s"synthetic://doc/$id",
+          text.getBytes("UTF-8"), Map.empty)
+      }
+  }
+
+  /** DuckDB sum of codepoints of a string expression. */
+  private def cpSum(e: String): String =
+    s"list_aggregate(list_transform(string_split($e, ''), c -> unicode(c)), 'sum')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_media_pipeline" -> ((s, d) => {
+      val m = media(s, d)
+      val info = Multimodal.decodeImages(m).toDF()
+      val energy = Multimodal.audioFeatures(m, windows = 4)
+        .select(col("media_id"),
+          element_at(col("features"), 1).as("e0"),
+          element_at(col("features"), 2).as("e1"),
+          element_at(col("features"), 3).as("e2"),
+          element_at(col("features"), 4).as("e3"))
+      val frames = Multimodal.sampleFrames(m, everyNth = 2)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame")).cast("long")).as("frame_bytes"))
+      info
+        .join(energy, Seq("media_id"))
+        .join(frames, Seq("media_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("brightness"), col("n_frames"),
+          col("frame_bytes"), col("e0"), col("e1"), col("e2"), col("e3"))
+        .orderBy(col("media_id"))
+    }))
+
+  def oracles: Map[String, String] = {
+    // FakeCodec.audioEnergy window w over n bytes: size = max(1, n/4),
+    // slice [w*size, min((w+1)*size, n)) — empty slice scores 0.0
+    def energySql(w: Int): String =
+      s"""CAST(CASE WHEN LEAST(($w + 1) * sz, n) - $w * sz <= 0
+         |    THEN 0.0::DOUBLE
+         |    ELSE CAST(${cpSum(s"substr(text, $w * sz + 1, LEAST(($w + 1) * sz, n) - $w * sz)")}
+         |        AS DOUBLE)
+         |      / (LEAST(($w + 1) * sz, n) - $w * sz) / 255.0::DOUBLE
+         |    END AS FLOAT) AS e$w""".stripMargin
+    Map(
+      "mm1_media_pipeline" ->
+        s"""WITH d0 AS (SELECT doc_id AS media_id, text,
+           |    CAST(length(text) AS INTEGER) AS n FROM documents),
+           |img AS (SELECT media_id,
+           |    16 + (unicode(substr(text, 1, 1)) % 240) AS width,
+           |    16 + (unicode(substr(text, 2, 1)) % 240) AS height,
+           |    3 AS channels,
+           |    CAST(${cpSum("text")} AS DOUBLE) / n / 255.0::DOUBLE
+           |      AS brightness
+           |  FROM d0),
+           |en AS (SELECT media_id,
+           |    ${energySql(0)}, ${energySql(1)}, ${energySql(2)},
+           |    ${energySql(3)}
+           |  FROM (SELECT media_id, text, n, GREATEST(1, n // 4) AS sz
+           |    FROM d0)),
+           |f AS (SELECT media_id, i,
+           |    LEAST(256, n - i * 256) AS flen
+           |  FROM d0, unnest(generate_series(0,
+           |    CAST(ceil(n / 256.0) AS INTEGER) - 1)) AS t(i)
+           |  WHERE i % 2 = 0),
+           |fr AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           |    CAST(SUM(flen) AS BIGINT) AS frame_bytes
+           |  FROM f GROUP BY media_id)
+           |SELECT media_id, width, height, channels, brightness,
+           |  n_frames, frame_bytes, e0, e1, e2, e3
+           |FROM img JOIN en USING (media_id) JOIN fr USING (media_id)
+           |ORDER BY media_id""".stripMargin)
+  }
+}
