@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ann.Knn
 import graft.functions.VectorFunctions
 import graft.search.{Bm25, Fusion}
 import graft.tables.Tables
@@ -28,6 +29,14 @@ object SearchPack {
   val ExpansionVariants: Seq[Seq[String]] =
     graft.search.QueryProcessor.expand("fast table scan")
       .map(_.split(" ").toSeq)
+
+  /** Query batch for the batched hybrid gate: three independent queries
+    * (query 0 keeps the duplicate-term multiset case).
+    */
+  val BatchQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("fast", "table", "scan", "merge", "table"),
+    1 -> Seq("batch", "window", "spark"),
+    2 -> Seq("customer", "order", "group"))
 
   private[queries] def docTokens = {
     val t = TextFunctions.tokens(col("text"))
@@ -87,6 +96,39 @@ object SearchPack {
         .limit(20)
     }),
 
+    // Batched hybrid: THREE queries end-to-end in one plan — batched
+    // brute-force KNN (Knn.bruteForceTopK already takes a query table),
+    // batched BM25 (Bm25.scoreBatchIndexed), per-query ranks via
+    // PARTITIONED windows, per-(qid,id) RRF with per-qid max-normalize
+    // (Fusion.rrfBatch). The reference answers one query per engine
+    // call; this is the bulk-pipeline shape.
+    "hb1_hybrid_batch" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vRanks = Knn.bruteForceTopK(emb, "vec_id", "embedding",
+        qs, "qid", "qvec", 50).select("qid", "id", "rank")
+      val qterms = BatchQueries.flatMap { case (q, toks) =>
+        toks.groupBy(identity).map { case (t, os) => (q.toLong, t, os.size) }
+      }.toDF("qid", "term", "qtf")
+      val kw = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("id"))
+      val kRanks = Bm25.scoreBatchIndexed(bm25Index(s, d), qterms)
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+        .withColumn("rank", row_number().over(kw))
+        .filter(col("rank") <= 50)
+        .select("qid", "id", "rank")
+      val ow = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_score").desc, col("id"))
+      Fusion.rrfBatch(vRanks, kRanks, Alpha)
+        .select(col("qid"), col("id"),
+          round(col("rrf_score"), 6).as("rrf_score"))
+        .withColumn("rank", row_number().over(ow))
+        .filter(col("rank") <= 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // A5 variant merge: expansion variants scored independently, each
     // doc keeps its best score (search.py:297-349), via BM25 so the
     // whole thing is oracle-checkable.
@@ -138,6 +180,55 @@ object SearchPack {
            |${Fusion.rrfSql(Alpha)}
            |SELECT id, round(rrf_score, 6) AS rrf_score FROM rrf
            |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin,
+
+      "hb1_hybrid_batch" -> {
+        val prefix = bm25Ctes.substring(0, bm25Ctes.indexOf("q(term, qtf) AS"))
+        val qbVals = BatchQueries.flatMap { case (q, toks) =>
+          toks.groupBy(identity).toSeq.sortBy(_._1).map { case (t, os) =>
+            s"($q, '$t', ${os.size})"
+          }
+        }.mkString(", ")
+        s"""WITH ${prefix}qb(qid, term, qtf) AS (VALUES $qbVals),
+           |ksb AS (SELECT q.qid, p.id,
+           |    round(SUM(q.qtf * idf.idf * (p.tf * (${Bm25.K1} + 1)) /
+           |        (p.tf + ${Bm25.K1} * (1 - ${Bm25.B} + ${Bm25.B} * ds.dl / c.avgdl))), 6)
+           |      AS score
+           |  FROM postings p
+           |  JOIN qb q ON q.term = p.term
+           |  JOIN idf ON idf.term = p.term
+           |  JOIN doc_stats ds ON ds.id = p.id
+           |  CROSS JOIN corpus c
+           |  GROUP BY q.qid, p.id),
+           |kr AS (SELECT qid, id, rank FROM (SELECT qid, id,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, id) AS INTEGER) AS rank
+           |  FROM ksb) WHERE rank <= 50),
+           |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           |  WHERE vec_id <= 2),
+           |sims AS (SELECT q.qid, e.vec_id AS id,
+           |    ${VectorFunctions.cosineSql("e.embedding", "q.qvec")} AS sim
+           |  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.qid),
+           |vr AS (SELECT qid, id, rank FROM (SELECT qid, id,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, id) AS INTEGER) AS rank
+           |  FROM sims) WHERE rank <= 50),
+           |fused AS (SELECT COALESCE(vr.qid, kr.qid) AS qid,
+           |    COALESCE(vr.id, kr.id) AS id,
+           |    COALESCE($Alpha / (${Fusion.RrfK} + vr.rank), 0.0) +
+           |    COALESCE(${1 - Alpha} / (${Fusion.RrfK} + kr.rank), 0.0)
+           |      AS rrf_raw
+           |  FROM vr FULL OUTER JOIN kr
+           |    ON vr.qid = kr.qid AND vr.id = kr.id),
+           |mx AS (SELECT qid, MAX(rrf_raw) AS rrf_max FROM fused
+           |  GROUP BY qid),
+           |r AS (SELECT qid, id, round(rrf_raw / rrf_max, 6) AS rrf_score
+           |  FROM fused JOIN mx USING (qid)),
+           |o AS (SELECT qid, id, rrf_score,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY rrf_score DESC, id) AS INTEGER) AS rank FROM r)
+           |SELECT qid, id, rrf_score, rank FROM o WHERE rank <= 10
+           |ORDER BY qid, rank""".stripMargin
+      },
 
       "a5_variant_merge" ->
         s"""WITH ${Bm25.multiScoreSqlCtes("documents", "doc_id", docTokensSql, ExpansionVariants)}

@@ -142,6 +142,25 @@ object Bm25 {
       postings: DataFrame, variants: Seq[Seq[String]]): DataFrame =
     scoreVariantsIndexed(spark, buildIndex(postings), variants)
 
+  /** Batched multi-QUERY scoring: `queryTerms` is (qid, term, qtf) for N
+    * independent queries; every query scores against the index in ONE
+    * postings join, aggregated per (qid, id). The per-query loop the
+    * reference runs (one engine call per search) becomes a single plan —
+    * the shape batch pipelines need at scale (audit evidence collection,
+    * bulk relevance jobs). Output: (qid, id, score).
+    */
+  def scoreBatchIndexed(idx: Bm25Index, queryTerms: DataFrame): DataFrame =
+    idx.postings
+      .join(broadcast(queryTerms), Seq("term"))
+      .join(broadcast(idx.idf), Seq("term"))
+      .join(idx.docStats, Seq("id"))
+      .crossJoin(broadcast(idx.corpus))
+      .withColumn("contrib",
+        col("qtf") * col("idf") * (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("contrib")).as("score"))
+
   // ---- DuckDB SQL mirror (for oracle checks) --------------------------
 
   /** Multi-variant CTE chain: q carries a variant tag, bm25 scores per

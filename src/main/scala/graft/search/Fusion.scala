@@ -66,6 +66,25 @@ object Fusion {
       .select(col("id"), col("rrf_score"))
   }
 
+  /** Batched RRF for N queries at once: rank inputs carry a qid column,
+    * fusion joins on (qid, id), and the max-normalizer is a per-qid
+    * aggregate broadcast back in (the query set is small; the fused rows
+    * are not). Inputs: (qid, id, rank) each. Output: (qid, id, rrf_score).
+    */
+  def rrfBatch(vecRanks: DataFrame, kwRanks: DataFrame, alpha: Double): DataFrame = {
+    val v = vecRanks.select(col("qid"), col("id"), col("rank").as("rank_v"))
+    val k = kwRanks.select(col("qid"), col("id"), col("rank").as("rank_k"))
+    val fused = v.join(k, Seq("qid", "id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(alpha) / (lit(RrfK) + col("rank_v")), lit(0.0)) +
+          coalesce(lit(1 - alpha) / (lit(RrfK) + col("rank_k")), lit(0.0)))
+    val mx = fused.groupBy(col("qid")).agg(max(col("rrf_raw")).as("rrf_max"))
+    fused
+      .join(broadcast(mx), Seq("qid"))
+      .withColumn("rrf_score", col("rrf_raw") / col("rrf_max"))
+      .select(col("qid"), col("id"), col("rrf_score"))
+  }
+
   /** DuckDB mirror of rrf() over two rank CTEs named vr(id, rank) and
     * kr(id, rank).
     */
