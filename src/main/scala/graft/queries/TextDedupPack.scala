@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ann.Knn
+import graft.ann.{Knn, Quantize}
 import graft.dedup.Dedup
 import graft.functions.{PortableHash, VectorFunctions}
 import graft.tables.Tables
@@ -181,6 +181,24 @@ object TextDedupPack {
       val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
       Knn.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", 10)
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
+    // Scalar-quantized two-stage retrieval (the SQ in IVF_SQ,
+    // vectors_backend.py:1316-1335): int8 codes + per-vector affine
+    // (min, scale), approx rank over decoded codes, exact rerank of the
+    // k*refine survivors. The quantization is pure affine arithmetic, so
+    // the WHOLE two-stage path mirrors exactly in SQL — including the
+    // lossy round-trip through tinyint.
+    "a4_knn_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val enc = Quantize.encode(emb, "embedding")
+      val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Quantize.requantizedTopK(enc, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, refine = 3)
+        .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"),
+          col("rank"))
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // IVF ANN: persisted cluster-partitioned index (built once per run —
@@ -400,6 +418,44 @@ object TextDedupPack {
          |  FROM scored)
          |SELECT qid, id, round(sim, 6) AS sim, rank
          |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "a4_knn_quantized" ->
+      s"""WITH enc AS (SELECT vec_id, embedding,
+         |    CAST(list_min(embedding) AS DOUBLE) AS qmin,
+         |    CASE WHEN CAST(list_max(embedding) AS DOUBLE)
+         |        > CAST(list_min(embedding) AS DOUBLE)
+         |      THEN CAST(list_max(embedding) AS DOUBLE)
+         |        - CAST(list_min(embedding) AS DOUBLE)
+         |      ELSE 1.0::DOUBLE END AS qscale
+         |  FROM embeddings),
+         |codes AS (SELECT vec_id, embedding, qmin, qscale,
+         |    list_transform(embedding, x ->
+         |      CAST(round((CAST(x AS DOUBLE) - qmin) / qscale * 255) - 128
+         |        AS TINYINT)) AS codes
+         |  FROM enc),
+         |dec AS (SELECT vec_id, embedding,
+         |    list_transform(codes, c ->
+         |      CAST((CAST(c AS DOUBLE) + 128) / 255.0::DOUBLE * qscale
+         |        + qmin AS FLOAT)) AS deq
+         |  FROM codes),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |  WHERE vec_id IN (0, 1, 2)),
+         |approx AS (SELECT q.qid, e.vec_id AS id, e.embedding,
+         |    ${VectorFunctions.cosineSql("e.deq", "q.qvec")} AS asim
+         |  FROM dec e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |cand AS (SELECT qid, id, embedding FROM (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY asim DESC, id) AS INTEGER) AS arank FROM approx)
+         |  WHERE arank <= 30),
+         |ex AS (SELECT c.qid, c.id,
+         |    ${VectorFunctions.cosineSql("c.embedding", "q.qvec")} AS sim
+         |  FROM cand c JOIN q USING (qid)),
+         |ranked AS (SELECT qid, id, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, id) AS INTEGER) AS rank
+         |  FROM ex)
+         |SELECT qid, id, round(sim, 6) AS sim, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "a2_knn_bucketed" ->
       s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec,
