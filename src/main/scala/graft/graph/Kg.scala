@@ -247,15 +247,21 @@ object Kg {
     import spark.implicits._
     var paths = Seq((srcId, Array(srcId))).toDF("id", "path")
     var done = paths.limit(0)
-    for (depth <- 1 to maxDepth) {
+    var depth = 1
+    var exhausted = false
+    while (depth <= maxDepth && !exhausted) {
       val next = edges.join(paths, edges("src") === paths("id"))
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"),
           concat(col("path"), array(col("dst"))).as("path"))
         .limit(maxPaths)
       val checkpointed = if (depth >= 3) next.localCheckpoint(eager = true) else next
+      // once checkpointed, the emptiness probe is one cached-partition
+      // read — stop scheduling joins after the frontier dies out
+      if (depth >= 3) exhausted = checkpointed.limit(1).count() == 0
       done = done.unionByName(checkpointed)
       paths = checkpointed
+      depth += 1
     }
     done
   }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.search.{Bm25, Fusion}
+
+/** Batch search consistency: the batched multi-query paths must agree
+  * with the single-query operators they generalize (the hb1 oracle
+  * proves cross-engine exactness; this guards refactors cheaply).
+  */
+class BatchSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, Seq("fast", "table", "scan")),
+    (2L, Seq("table", "merge", "table", "join")),
+    (3L, Seq("slow", "row", "scan", "scan")),
+    (4L, Seq("window", "agg", "table"))
+  ).toDF("id", "toks")
+
+  private lazy val idx =
+    Bm25.buildIndex(Bm25.postings(docs, "id", col("toks")))
+
+  test("scoreBatchIndexed with one query equals scoreIndexed") {
+    val q = Seq("table", "scan", "table")
+    val single = Bm25.scoreIndexed(spark, idx, q)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val qterms = q.groupBy(identity).map { case (t, os) => (0L, t, os.size) }
+      .toSeq.toDF("qid", "term", "qtf")
+    val batch = Bm25.scoreBatchIndexed(idx, qterms)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("score")))
+    assert(batch.toSeq == single.toSeq)
+  }
+
+  test("rrfBatch with one qid equals rrf") {
+    val v = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val k = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val single = Fusion.rrf(v, k, 0.7)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("rrf_score")))
+    val vb = v.withColumn("qid", lit(9L))
+    val kb = k.withColumn("qid", lit(9L))
+    val batch = Fusion.rrfBatch(vb, kb, 0.7)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("rrf_score")))
+    assert(batch.toSeq == single.toSeq)
+  }
+
+  test("rrfBatch normalizes per qid independently") {
+    // qid 1's best fused score must map to 1.0 regardless of qid 2
+    val v = Seq((1L, 1L, 1), (2L, 10L, 1)).toDF("qid", "id", "rank")
+    val k = Seq((1L, 1L, 1), (2L, 10L, 5)).toDF("qid", "id", "rank")
+    val out = Fusion.rrfBatch(v, k, 0.5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Double]("rrf_score"))).toMap
+    assert(out(1L) == 1.0 && out(2L) == 1.0)
+  }
+}
