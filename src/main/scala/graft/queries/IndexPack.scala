@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexStore
+import graft.tables.Tables
+
+/** Incremental-index set algebra pack (SURVEY §2.3 J3/J4/J5): the
+  * reference's embedding_status/mtime state machine re-expressed as
+  * joins over two snapshots — proven here with a fixture that hits
+  * every branch: hash-changed files, torn (mixed-hash) stored files,
+  * moves (same hash at a new path), brand-new paths, and deletions.
+  */
+object IndexPack {
+
+  /** Disk snapshot: k<10 changed hashes, 10..49 unchanged (but 50..54's
+    * stored paths have MOVED here under moved/), 55..59 brand new.
+    */
+  private def disk(s: SparkSession, d: String): DataFrame = {
+    val k = (col("doc_id") % 60).cast("int")
+    Tables.documents(s, d).select(k.as("k")).distinct().select(
+      when(col("k") < 50, concat(lit("src/f"), col("k"), lit(".py")))
+        .when(col("k") < 55, concat(lit("moved/f"), col("k"), lit(".py")))
+        .otherwise(concat(lit("new/f"), col("k"), lit(".py")))
+        .as("file_path"),
+      when(col("k") < 10, concat(lit("chg"), col("k"), lit("_new")))
+        .when(col("k") < 55, concat(lit("same"), col("k")))
+        .otherwise(concat(lit("new"), col("k")))
+        .as("file_hash"))
+  }
+
+  private val diskSql =
+    """SELECT CASE WHEN k < 50 THEN 'src/f' || k || '.py'
+      |    WHEN k < 55 THEN 'moved/f' || k || '.py'
+      |    ELSE 'new/f' || k || '.py' END AS file_path,
+      |  CASE WHEN k < 10 THEN 'chg' || k || '_new'
+      |    WHEN k < 55 THEN 'same' || k
+      |    ELSE 'new' || k END AS file_hash
+      |FROM ks""".stripMargin
+
+  /** Stored snapshot: k<55 at src/ paths (old hashes for k<10), plus a
+    * second conflicting hash row for k in (30, 31) — the torn-update
+    * case that must always reindex.
+    */
+  private def stored(s: SparkSession, d: String): DataFrame = {
+    val ks = Tables.documents(s, d)
+      .select((col("doc_id") % 60).cast("int").as("k")).distinct()
+    val base = ks.filter(col("k") < 55).select(
+      concat(lit("src/f"), col("k"), lit(".py")).as("file_path"),
+      when(col("k") < 10, concat(lit("chg"), col("k"), lit("_old")))
+        .otherwise(concat(lit("same"), col("k"))).as("file_hash"))
+    val torn = ks.filter(col("k").isin(30, 31)).select(
+      concat(lit("src/f"), col("k"), lit(".py")).as("file_path"),
+      concat(lit("torn"), col("k")).as("file_hash"))
+    base.unionByName(torn)
+  }
+
+  private val storedSql =
+    """SELECT 'src/f' || k || '.py' AS file_path,
+      |  CASE WHEN k < 10 THEN 'chg' || k || '_old'
+      |    ELSE 'same' || k END AS file_hash
+      |FROM ks WHERE k < 55
+      |UNION ALL
+      |SELECT 'src/f' || k || '.py', 'torn' || k
+      |FROM ks WHERE k IN (30, 31)""".stripMargin
+
+  private val ksSql =
+    "ks AS (SELECT DISTINCT CAST(doc_id % 60 AS INTEGER) AS k FROM documents)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J4: hash-based change detection — changed + torn + moved-target +
+    // new paths all must reindex.
+    "j4_changed_files" -> ((s, d) => {
+      IndexStore.changedFiles(disk(s, d), stored(s, d))
+        .orderBy(col("file_path"))
+    }),
+
+    // J5: move detection — a vanished stored path whose hash reappears
+    // at a new disk path (metadata-only rewrite, no re-embedding).
+    "j5_moved_files" -> ((s, d) => {
+      IndexStore.movedFiles(disk(s, d), stored(s, d))
+        .orderBy(col("old_path"))
+    }),
+
+    // J3: unembedded anti-join — chunks without a vector row.
+    "j3_unembedded" -> ((s, d) => {
+      val ks = Tables.documents(s, d)
+        .select((col("doc_id") % 60).cast("int").as("k")).distinct()
+      val chunks = ks.select(concat(lit("c"), col("k")).as("chunk_id"),
+        concat(lit("src/f"), col("k"), lit(".py")).as("file_path"))
+      val vectors = ks.filter(col("k") < 45)
+        .select(concat(lit("c"), col("k")).as("chunk_id"))
+      IndexStore.unembedded(chunks, vectors).orderBy(col("chunk_id"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "j4_changed_files" ->
+      s"""WITH $ksSql,
+         |disk AS ($diskSql),
+         |stored AS ($storedSql),
+         |sh AS (SELECT file_path, MAX(file_hash) AS stored_hash,
+         |    COUNT(DISTINCT file_hash) AS n_hashes
+         |  FROM stored GROUP BY file_path)
+         |SELECT d.file_path, d.file_hash
+         |FROM disk d LEFT JOIN sh USING (file_path)
+         |WHERE sh.stored_hash IS NULL OR sh.n_hashes > 1
+         |  OR sh.stored_hash <> d.file_hash
+         |ORDER BY d.file_path""".stripMargin,
+
+    "j5_moved_files" ->
+      s"""WITH $ksSql,
+         |disk AS ($diskSql),
+         |stored AS ($storedSql),
+         |sh AS (SELECT file_path, MAX(file_hash) AS stored_hash,
+         |    COUNT(DISTINCT file_hash) AS n_hashes
+         |  FROM stored GROUP BY file_path),
+         |changed AS (SELECT d.file_path, d.file_hash
+         |  FROM disk d LEFT JOIN sh USING (file_path)
+         |  WHERE sh.stored_hash IS NULL OR sh.n_hashes > 1
+         |    OR sh.stored_hash <> d.file_hash),
+         |gone AS (SELECT s.file_path AS old_path, s.file_hash
+         |  FROM (SELECT DISTINCT file_path, file_hash FROM stored) s
+         |  WHERE s.file_path NOT IN (SELECT file_path FROM disk))
+         |SELECT g.old_path, c.file_path AS new_path, g.file_hash
+         |FROM gone g JOIN changed c USING (file_hash)
+         |ORDER BY g.old_path""".stripMargin,
+
+    "j3_unembedded" ->
+      s"""WITH $ksSql
+         |SELECT 'c' || k AS chunk_id, 'src/f' || k || '.py' AS file_path
+         |FROM ks
+         |WHERE 'c' || k NOT IN (SELECT 'c' || k FROM ks WHERE k < 45)
+         |ORDER BY chunk_id""".stripMargin)
+}
