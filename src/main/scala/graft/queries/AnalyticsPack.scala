@@ -212,6 +212,58 @@ object AnalyticsPack {
       |  JOIN walk w ON e.src = w.id
       |  WHERE w.dist < 8 AND e.rel_type IN ('CALLS', 'CONTAINS'))""".stripMargin
 
+  /** Change-set rows for the review gate: 12 changes × 5 files with
+    * per-change shapes — c0 big (50 lines), c1/c9/c10 many files, c2/c7
+    * small+plain, c3/c5/c11 security names, c4/c6 structural diffs,
+    * c8 the 21-line boundary; fidx ≥ 2 rows of filtered changes are
+    * .lock files the skip pattern drops.
+    */
+  private def reviewChanges(s: SparkSession, d: String): DataFrame = {
+    val k = (col("doc_id") % 60).cast("int")
+    // integer file index: Spark's / on ints is double division
+    def kk = col("k") % 12
+    def ff = floor(col("k") / 12).cast("int")
+    Tables.documents(s, d).select(k.as("k")).distinct().select(
+      concat(lit("c"), kk).as("change_id"),
+      when(kk.isin(2, 3, 4, 5, 6, 7, 11) && ff >= 2,
+        concat(lit("dep"), ff, lit(".lock")))
+        .when(kk === 3 && ff === 0, lit("src/auth_c3.py"))
+        .when(kk === 5 && ff === 0, lit("src/db_conn.py"))
+        .when(kk === 11 && ff === 1, lit("src/session_mgr.py"))
+        .otherwise(concat(lit("src/m"), kk, lit("_f"), ff, lit(".py")))
+        .as("file_path"),
+      when(kk === 0, 10)
+        .when(kk === 8 && ff === 0, 17)
+        .when(kk === 9 && ff === 0, 16)
+        .otherwise(1).cast("long").as("insertions"),
+      when(kk === 1, 1L).otherwise(0L).as("deletions"),
+      when(kk === 4 && ff === 0, "+def foo():")
+        .when(kk === 6 && ff === 1, "+class Bar:")
+        .otherwise(" context line")
+        .as("diff"))
+  }
+
+  private val reviewChangesSql =
+    """SELECT 'c' || (k % 12) AS change_id,
+      |    CASE WHEN (k % 12) IN (2, 3, 4, 5, 6, 7, 11) AND k // 12 >= 2
+      |        THEN 'dep' || (k // 12) || '.lock'
+      |      WHEN k % 12 = 3 AND k // 12 = 0 THEN 'src/auth_c3.py'
+      |      WHEN k % 12 = 5 AND k // 12 = 0 THEN 'src/db_conn.py'
+      |      WHEN k % 12 = 11 AND k // 12 = 1 THEN 'src/session_mgr.py'
+      |      ELSE 'src/m' || (k % 12) || '_f' || (k // 12) || '.py' END
+      |      AS file_path,
+      |    CAST(CASE WHEN k % 12 = 0 THEN 10
+      |      WHEN k % 12 = 8 AND k // 12 = 0 THEN 17
+      |      WHEN k % 12 = 9 AND k // 12 = 0 THEN 16
+      |      ELSE 1 END AS BIGINT) AS insertions,
+      |    CAST(CASE WHEN k % 12 = 1 THEN 1 ELSE 0 END AS BIGINT)
+      |      AS deletions,
+      |    CASE WHEN k % 12 = 4 AND k // 12 = 0 THEN '+def foo():'
+      |      WHEN k % 12 = 6 AND k // 12 = 1 THEN '+class Bar:'
+      |      ELSE ' context line' END AS diff
+      |  FROM (SELECT DISTINCT CAST(doc_id % 60 AS INTEGER) AS k
+      |    FROM documents)""".stripMargin
+
   /** Chunk rows for rollups: 3-deep paths over 5×3 directories, language
     * cycling through 4 values.
     */
@@ -328,6 +380,17 @@ object AnalyticsPack {
       val sps = Monorepo.subprojects(paths)
       Monorepo.rollup(Monorepo.withSubproject(paths, sps))
         .orderBy(col("subproject_name"), col("subproject_path"))
+    }),
+
+    // Review-gate classifier (review_handlers.py:602-730): batched
+    // substantial-change classification — 12 change sets hitting every
+    // branch (>20 lines incl. the 21/20 boundary, >2 files incl. the
+    // maxFiles cap, security-sensitive paths, structural diff
+    // indicators, skip filters, and the not-substantial fallthrough).
+    "rv1_review_gate" -> ((s, d) => {
+      graft.analyze.Review.classifyChanges(reviewChanges(s, d),
+        skipSuffixes = Seq(".lock"), maxFiles = 3)
+        .orderBy(col("change_id"))
     }),
 
     // A16: recursive per-directory rollups via path-prefix explode
@@ -557,6 +620,45 @@ object AnalyticsPack {
          |  CAST(COUNT(*) AS BIGINT) AS n_chunks
          |FROM assigned
          |GROUP BY 1, 2 ORDER BY subproject_name, subproject_path""".stripMargin
+    },
+
+    "rv1_review_gate" -> {
+      val sec = graft.analyze.Review.SensitivePatterns
+        .map(p => s"contains(lower(file_path), '$p')").mkString(" OR ")
+      val struct = graft.analyze.Review.StructuralIndicators
+        .map(i => s"contains(diff, '$i')").mkString(" OR ")
+      s"""WITH ch AS ($reviewChangesSql),
+         |kept AS (SELECT * FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY change_id
+         |      ORDER BY file_path) AS rk
+         |  FROM ch WHERE NOT ends_with(file_path, '.lock'))
+         |  WHERE rk <= 3),
+         |ka AS (SELECT change_id,
+         |    CAST(COUNT(*) AS BIGINT) AS files_changed,
+         |    MAX(CASE WHEN $sec THEN 1 ELSE 0 END) AS any_sec,
+         |    MAX(CASE WHEN $struct THEN 1 ELSE 0 END) AS any_struct
+         |  FROM kept GROUP BY change_id),
+         |ln AS (SELECT change_id,
+         |    CAST(SUM(insertions) AS BIGINT) AS lines_added,
+         |    CAST(SUM(deletions) AS BIGINT) AS lines_deleted
+         |  FROM ch GROUP BY change_id),
+         |j AS (SELECT l.change_id, l.lines_added, l.lines_deleted,
+         |    COALESCE(k.files_changed, 0) AS files_changed,
+         |    COALESCE(k.any_sec, 0) AS any_sec,
+         |    COALESCE(k.any_struct, 0) AS any_struct,
+         |    l.lines_added + l.lines_deleted AS total_lines
+         |  FROM ln l LEFT JOIN ka k USING (change_id))
+         |SELECT change_id,
+         |  total_lines > 20 OR files_changed > 2 OR any_sec = 1
+         |    OR any_struct = 1 AS is_substantial,
+         |  CASE WHEN total_lines > 20 THEN total_lines || ' lines changed'
+         |    WHEN files_changed > 2 THEN files_changed || ' files modified'
+         |    WHEN any_sec = 1 THEN 'security-sensitive files modified'
+         |    WHEN any_struct = 1 THEN 'structural changes detected'
+         |    ELSE 'only ' || total_lines || ' lines in ' || files_changed
+         |      || ' files' END AS reason,
+         |  files_changed, lines_added, lines_deleted, total_lines
+         |FROM j ORDER BY change_id""".stripMargin
     },
 
     "a16_dir_rollups" ->
