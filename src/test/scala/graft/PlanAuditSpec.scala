@@ -35,6 +35,31 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("batch operators plan the intended scale shapes") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // every window in the batch gates must be PARTITIONED (per-plan /
+      // per-qid top-k), and the small sides (query terms, idf, corpus,
+      // rule tables) must broadcast — the corpus side never shuffles to
+      // a single node
+      Seq("hb1_hybrid_batch", "au1_claim_evidence").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan
+        val windows = plan.collectWithSubqueries { case w: WindowExec => w }
+        assert(windows.nonEmpty, s"$name: expected partitioned windows")
+        assert(windows.forall(_.partitionSpec.nonEmpty),
+          s"$name: found an unpartitioned window")
+        val broadcasts = plan.collectWithSubqueries {
+          case b: BroadcastExchangeExec => b
+        }
+        assert(broadcasts.nonEmpty,
+          s"$name: expected broadcast exchanges for the small sides")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q12 parses the props JSON exactly once per row") {
     import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, JsonToStructs}
     val df = SparkEntry.queries("q12_json_and_case")(spark, sfDir)
