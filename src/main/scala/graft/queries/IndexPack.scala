@@ -83,6 +83,24 @@ object IndexPack {
         .orderBy(col("old_path"))
     }),
 
+    // S7: in-place move rewrite — stored rows whose path moved get the
+    // new path (metadata-only, no re-embedding), everything else kept.
+    "s7_apply_moves" -> ((s, d) => {
+      IndexStore.applyMoves(stored(s, d),
+        IndexStore.movedFiles(disk(s, d), stored(s, d)))
+        .orderBy(col("file_path"), col("file_hash"))
+    }),
+
+    // S6: delete by file set — one anti-join against the doomed paths.
+    "s6_delete_by_files" -> ((s, d) => {
+      val doomed = Tables.documents(s, d)
+        .select((col("doc_id") % 60).cast("int").as("k")).distinct()
+        .filter(col("k") % 4 === 0)
+        .select(concat(lit("src/f"), col("k"), lit(".py")).as("file_path"))
+      IndexStore.deleteByFiles(stored(s, d), doomed)
+        .orderBy(col("file_path"), col("file_hash"))
+    }),
+
     // J3: unembedded anti-join — chunks without a vector row.
     "j3_unembedded" -> ((s, d) => {
       val ks = Tables.documents(s, d)
@@ -125,6 +143,36 @@ object IndexPack {
          |SELECT g.old_path, c.file_path AS new_path, g.file_hash
          |FROM gone g JOIN changed c USING (file_hash)
          |ORDER BY g.old_path""".stripMargin,
+
+    "s7_apply_moves" ->
+      s"""WITH $ksSql,
+         |disk AS ($diskSql),
+         |stored AS ($storedSql),
+         |sh AS (SELECT file_path, MAX(file_hash) AS stored_hash,
+         |    COUNT(DISTINCT file_hash) AS n_hashes
+         |  FROM stored GROUP BY file_path),
+         |changed AS (SELECT d.file_path, d.file_hash
+         |  FROM disk d LEFT JOIN sh USING (file_path)
+         |  WHERE sh.stored_hash IS NULL OR sh.n_hashes > 1
+         |    OR sh.stored_hash <> d.file_hash),
+         |gone AS (SELECT s.file_path AS old_path, s.file_hash
+         |  FROM (SELECT DISTINCT file_path, file_hash FROM stored) s
+         |  WHERE s.file_path NOT IN (SELECT file_path FROM disk)),
+         |moves AS (SELECT g.old_path, c.file_path AS new_path
+         |  FROM gone g JOIN changed c USING (file_hash))
+         |SELECT COALESCE(m.new_path, s.file_path) AS file_path,
+         |  s.file_hash
+         |FROM stored s LEFT JOIN moves m ON s.file_path = m.old_path
+         |ORDER BY file_path, file_hash""".stripMargin,
+
+    "s6_delete_by_files" ->
+      s"""WITH $ksSql,
+         |stored AS ($storedSql),
+         |doomed AS (SELECT 'src/f' || k || '.py' AS file_path
+         |  FROM ks WHERE k % 4 = 0)
+         |SELECT s.file_path, s.file_hash FROM stored s
+         |WHERE s.file_path NOT IN (SELECT file_path FROM doomed)
+         |ORDER BY file_path, file_hash""".stripMargin,
 
     "j3_unembedded" ->
       s"""WITH $ksSql
