@@ -57,6 +57,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantize round-trip error is bounded by half a code step") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 4f))
+    }.toDF("id", "vec")
+    val enc = graft.ann.Quantize.encode(vecs, "vec")
+    val err = enc
+      .withColumn("deq", graft.ann.Quantize.decode(
+        col("codes"), col("qmin"), col("qscale")))
+      .select(col("qscale"),
+        aggregate(zip_with(col("vec"), col("deq"),
+          (x, y) => abs(x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, x) => greatest(a, x)).as("max_err"))
+      .collect()
+    err.foreach { r =>
+      val bound = r.getAs[Double]("qscale") / 255.0 / 2.0 + 1e-4
+      assert(r.getAs[Double]("max_err") <= bound,
+        s"err ${r.getAs[Double]("max_err")} > bound $bound")
+    }
+  }
+
   test("versionKey ordering is numeric per segment, not lexicographic") {
     import scala.math.Ordering.Implicits._
     (1 to 500).foreach { _ =>
