@@ -102,10 +102,16 @@ object Analytics {
     val tgt = chunks.select(col("file_path")).distinct()
       .select(col("file_path").as("dst"),
         regexp_extract(col("file_path"), "([^/]+?)\\.[a-z]+$", 1).as("modname"))
-    // materialize once, then close by PATH DOUBLING: acc ∪ acc∘acc
-    // covers 2^i-hop paths after i rounds, so 12 hops cost 4 iterations
+    // materialize once, then close by PATH DOUBLING with exact min-hop
+    // tracking: dist(u,v) after round i is the exact min-hop distance
+    // for every pair within 2^i hops, so 12 hops cost 4 iterations
     // instead of 12 frontier jobs — the per-hop job-scheduling floor is
     // the cost driver on this metadata-scale graph, not data volume.
+    // Pairs beyond maxHops are pruned each round: a path of length
+    // ≤ maxHops decomposes into parts each ≤ maxHops, so pruning never
+    // loses an in-bound pair, and the final filter enforces the
+    // documented "within maxHops" bound precisely (matching the
+    // 12-hop-capped recursive-CTE oracle).
     // Each round re-bases on a bare LogicalRDD (createDataFrame over the
     // checkpointed RDD): the self-join + union would otherwise trip
     // Union.rewriteConstraints on stale pre-checkpoint attribute ids.
@@ -114,19 +120,28 @@ object Analytics {
     var acc = strip(imp.join(tgt, "modname")
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
+      .withColumn("hops", lit(1L))
       .localCheckpoint(true))
+    def state(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("hops"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var span = 1
-    var n = acc.count()
+    var st = state(acc)
     var growing = true
     while (growing && span < maxHops) {
       val next = strip(acc.as("x")
         .join(acc.as("y"), col("x.dst") === col("y.src"))
-        .select(col("x.src").as("src"), col("y.dst").as("dst"))
-        .unionByName(acc).distinct()
+        .select(col("x.src").as("src"), col("y.dst").as("dst"),
+          (col("x.hops") + col("y.hops")).as("hops"))
+        .unionByName(acc)
+        .groupBy(col("src"), col("dst"))
+        .agg(min(col("hops")).as("hops"))
+        .filter(col("hops") <= maxHops)
         .localCheckpoint(true))
-      val m = next.count()
-      growing = m > n
-      n = m
+      val m = state(next)
+      growing = m != st
+      st = m
       acc = next
       span *= 2
     }

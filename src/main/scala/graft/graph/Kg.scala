@@ -250,10 +250,14 @@ object Kg {
     var depth = 1
     var exhausted = false
     while (depth <= maxDepth && !exhausted) {
+      // Deterministic truncation at the cap: order by (size(path), path)
+      // before the limit so the kept set is byte-stable across runs
+      // (frontier is metadata-scale; TakeOrderedAndProject, no global sort).
       val next = edges.join(paths, edges("src") === paths("id"))
         .filter(!array_contains(col("path"), col("dst")))
         .select(col("dst").as("id"),
           concat(col("path"), array(col("dst"))).as("path"))
+        .orderBy(size(col("path")), col("path"))
         .limit(maxPaths)
       val checkpointed = if (depth >= 3) next.localCheckpoint(eager = true) else next
       // once checkpointed, the emptiness probe is one cached-partition

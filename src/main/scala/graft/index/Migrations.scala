@@ -94,7 +94,8 @@ object Migrations {
           case e: Exception =>
             halted = true
             Result(m.id, m.version, m.name, "failed",
-              e.getMessage.take(200), base + results.size)
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200),
+              base + results.size)
         }
       results += r
     }

@@ -26,6 +26,12 @@ object MultimodalPack {
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
+        // The oracle mirrors FakeCodec byte arithmetic with codepoint
+        // arithmetic (unicode()), which is only equivalent for ASCII.
+        // Fail loudly here if the corpus ever grows non-ASCII text,
+        // rather than as a hash mismatch far from the cause.
+        require(text.forall(_ < 128),
+          s"mm1 fixture requires ASCII text; doc $id has non-ASCII chars")
         Multimodal.MediaRecord(id, "image", s"synthetic://doc/$id",
           text.getBytes("UTF-8"), Map.empty)
       }

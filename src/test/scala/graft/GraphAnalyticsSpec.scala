@@ -65,6 +65,41 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(all.forall(p => p.distinct.size == p.size)) // no revisits
   }
 
+  test("bfs paths truncate deterministically past maxPaths") {
+    // K=40 fan-out twice over = 1600 depth-2 paths, capped at 50: the
+    // kept set must be the ordered-by-(depth, path) prefix, byte-stable
+    // across runs (the determinism contract at the cap boundary).
+    val k = 40
+    val edges = ((1 to k).map(i => ("root", f"a$i%03d")) ++
+      (for { i <- 1 to k; j <- 1 to k } yield (f"a$i%03d", f"b$i%03d_$j%03d")))
+      .toDF("src", "dst")
+    def run() = Kg.bfsPaths(edges, "root", maxDepth = 3, maxPaths = 50)
+      .select("path").as[Seq[String]].collect().map(_.mkString(">")).sorted.toSeq
+    val first = run()
+    assert(first.size > 50) // cap hit at depth 2 (40 + 50 kept)
+    assert(first == run()) // byte-stable
+    // kept depth-2 paths are the lexicographic prefix: all from a001/a002
+    val depth2 = first.filter(_.count(_ == '>') == 2)
+    assert(depth2.size == 50 && depth2.forall(p =>
+      p.startsWith("root>a001>") || p.startsWith("root>a002>")))
+  }
+
+  test("cyclicFiles enforces the maxHops bound exactly") {
+    // a 13-cycle needs 13 hops to close on itself: invisible at
+    // maxHops=12 (matching the oracle's 12-hop recursive CTE), found at
+    // 13; a 2-cycle is found either way.
+    def ring(n: Int, pfx: String) = (1 to n).map { i =>
+      (s"$pfx$i.py", Seq(s"$pfx${i % n + 1}"))
+    }
+    val chunks = (ring(13, "m") ++ ring(2, "z")).toDF("file_path", "imports")
+    val at12 = Analytics.cyclicFiles(chunks, maxHops = 12)
+      .as[String].collect().toSet
+    assert(at12 == Set("z1.py", "z2.py"))
+    val at13 = Analytics.cyclicFiles(chunks, maxHops = 13)
+      .as[String].collect().toSet
+    assert(at13 == (1 to 13).map(i => s"m$i.py").toSet ++ Set("z1.py", "z2.py"))
+  }
+
   test("inheritance closure is transitive") {
     val extra = Seq(("x::C", "x::B", "INHERITS", 1.0), ("x::B", "x::A", "INHERITS", 1.0))
       .toDF("src", "dst", "rel_type", "weight")
