@@ -54,14 +54,23 @@ object Ivf {
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
       .fit(withFeatures)
-    val assigned = model.transform(withFeatures)
-      .withColumnRenamed("prediction", "cluster_id")
-      .drop("features")
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toDF("cluster_id", "centroid")
+    // Assignment is OUR portable argmin over the float32 centroid table,
+    // not model.transform: MLlib's fastSquaredDistance is a norm-shortcut
+    // approximation whose ulp noise could flip near-equidistant argmins,
+    // while this float fold + (cdist, cluster_id) min is deterministic
+    // and bit-mirrorable in the DuckDB oracle. Map-side partial min over
+    // a broadcast k-row table: one shuffle of N rows, no window.
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("cdist", VectorFunctions.l2sqF(col("vec"), col("centroid")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("cdist"), col("cluster_id"), col("vec"))).as("m"))
+      .select(col("id"), col("m.vec").as("vec"),
+        col("m.cluster_id").as("cluster_id"))
     IvfIndex(assigned, centroids, k)
   }
 

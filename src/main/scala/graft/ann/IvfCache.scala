@@ -13,17 +13,35 @@ import graft.tables.Tables
 object IvfCache {
   private val cache = scala.collection.concurrent.TrieMap[String, Ivf.IvfIndex]()
 
+  /** Centroids of the most recent fit in this JVM, as plain literals —
+    * the a3 oracle generator interpolates these into its DuckDB mirror
+    * (the fit itself isn't SQL-expressible; the fitted centroid table is
+    * just data, like p1's extension literals). Collected from the
+    * *persisted* index so the oracle sees exactly the floats queries see
+    * (float32 round-trips parquet losslessly, so either way is
+    * bit-identical — this makes the provenance obvious).
+    */
+  @volatile private var last: Option[Seq[(Int, Seq[Float])]] = None
+  def lastCentroids: Option[Seq[(Int, Seq[Float])]] = last
+
   /** Build+persist once per (JVM, sfDir), then serve the on-disk layout.
     * The first call in a JVM always rebuilds (overwrite), so a stale
     * index from an earlier run is never served.
     */
   def persisted(spark: SparkSession, sfDir: String,
-      kOverride: Option[Int] = Some(8)): Ivf.IvfIndex =
-    cache.getOrElseUpdate(sfDir, {
+      kOverride: Option[Int] = Some(8)): Ivf.IvfIndex = {
+    val idx = cache.getOrElseUpdate(sfDir, {
       val path = s"target/ivf/${java.lang.Long.toHexString(
         graft.functions.PortableHash.hash60Local("ivf", sfDir))}"
       val emb = Tables.embeddings(spark, sfDir)
       Ivf.write(Ivf.build(emb, "vec_id", "embedding", kOverride = kOverride), path)
       Ivf.read(spark, path)
     })
+    if (last.isEmpty) last = Some(
+      idx.centroids.orderBy("cluster_id")
+        .collect()
+        .map(r => (r.getAs[Int]("cluster_id"),
+          r.getSeq[Float](r.fieldIndex("centroid")).toSeq)).toSeq)
+    idx
+  }
 }

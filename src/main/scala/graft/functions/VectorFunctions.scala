@@ -63,6 +63,15 @@ object VectorFunctions {
   /** DuckDB SQL mirrors. */
   def dotFSql(a: String, b: String): String = s"list_dot_product($a, $b)"
 
+  /** Mirror of `l2sqF`: float diff list, then the same sequential float
+    * fold of the squared terms via `list_dot_product(d, d)` — (x-y)² and
+    * (y-x)² are bit-identical in IEEE754, so argument order is free.
+    */
+  def l2sqSql(a: String, b: String): String = {
+    val d = s"list_transform($a, (x, i) -> x - ($b)[i])"
+    s"list_dot_product($d, $d)"
+  }
+
   def cosineSql(a: String, b: String): String =
     s"(CAST(list_dot_product($a, $b) AS DOUBLE) / " +
       s"sqrt(CAST(list_dot_product($a, $a) AS DOUBLE) * " +

@@ -475,7 +475,53 @@ object TextDedupPack {
          |      AS INTEGER) AS rank
          |  FROM cand)
          |SELECT qid, id, round(sim, 6) AS sim, rank
-         |FROM ranked WHERE rank <= 10""".stripMargin)
+         |FROM ranked WHERE rank <= 10""".stripMargin) ++ a3Oracle
+
+  /** a3 oracle, generated AFTER the gate runs (Verify writes
+    * oracle_sql.json once every query has executed): the fitted float32
+    * centroids are interpolated as literals, the way p1 interpolates its
+    * extension table — the KMeans FIT isn't SQL-expressible, but *given*
+    * the centroid table the whole query is exact relational algebra:
+    * assignment = argmin float-L2 with cluster-id tiebreak (mirroring
+    * Ivf.build's portable assignment), probe = top-nprobes centroids per
+    * query, then exact cosine top-k inside probed clusters (Ivf.topK).
+    * If no fit happened in this JVM the entry is omitted and the driver
+    * records the weaker rows-only check (the pre-r4 behavior).
+    */
+  private def a3Oracle: Map[String, String] =
+    graft.ann.IvfCache.lastCentroids.map { cents =>
+      val vals = cents.map { case (cid, vec) =>
+        s"($cid, [${vec.mkString(", ")}]::FLOAT[])"
+      }.mkString(", ")
+      val probeDist = VectorFunctions.l2sqSql("c.centroid", "q.qvec")
+      val assignDist = VectorFunctions.l2sqSql("c.centroid", "e.embedding")
+      "a3_knn_ivf" ->
+        s"""WITH cent(cluster_id, centroid) AS (VALUES $vals),
+           |q AS (SELECT vec_id AS qid, embedding AS qvec
+           |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+           |probes AS (SELECT qid, qvec, cluster_id FROM (
+           |    SELECT q.qid, q.qvec, c.cluster_id,
+           |      row_number() OVER (PARTITION BY q.qid
+           |        ORDER BY $probeDist, c.cluster_id) AS crank
+           |    FROM cent c CROSS JOIN q)
+           |  WHERE crank <= 2),
+           |assign AS (SELECT vec_id AS id, embedding AS vec, cluster_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cluster_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $assignDist, c.cluster_id) AS rn
+           |    FROM embeddings e CROSS JOIN cent c)
+           |  WHERE rn = 1),
+           |cand AS (SELECT p.qid, a.id,
+           |    ${VectorFunctions.cosineSql("a.vec", "p.qvec")} AS sim
+           |  FROM assign a JOIN probes p USING (cluster_id)
+           |  WHERE a.id <> p.qid),
+           |ranked AS (SELECT qid, id, sim,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+           |      AS INTEGER) AS rank
+           |  FROM cand)
+           |SELECT qid, id, round(sim, 6) AS sim, rank
+           |FROM ranked WHERE rank <= 10""".stripMargin
+    }.toMap
 
   /** DuckDB mirror of `Knn.signBucket`: per hyperplane, the double dot is
     * a chained left-associative addition — the same summation ORDER as the
