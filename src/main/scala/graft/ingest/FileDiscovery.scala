@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.FileRecord
@@ -8,24 +8,101 @@ import graft.core.FileRecord
 /** File-discovery scan (SURVEY §2.1 S1/S2, §2.2 P9).
   *
   * Reference behavior re-expressed (`core/file_discovery.py:19-583`):
-  * recursive walk, ignore-pattern predicates, extension→language map,
+  * recursive walk, then `should_ignore_path`'s layered predicate
+  * (`:448-550`) in its order —
+  *
+  *  1. the ~71 DEFAULT_IGNORE_PATTERNS (`config/defaults.py:356-451`)
+  *     matched per PATH COMPONENT (fnmatch against each part,
+  *     `:493-497`; note `public/build` can never match a single part —
+  *     inert in the reference too, kept for list fidelity);
+  *  2. the dotfile filter with the ALLOWED_DOTFILES whitelist
+  *     (`config/defaults.py:6-10`; dead under default config since
+  *     pattern `.*` already catches every dot component in layer 1, but
+  *     live when a user overrides the pattern set);
+  *  3. the .gitignore rule cascade ([[GitignoreRules]]);
+  *
+  * plus the 10 MB size cap (`:344-350`), extension→language map, and
   * sha256 content hash for change detection (`chunks_backend.py:35-48`).
   *
   * Spark-first: `binaryFile` source with recursive lookup gives a
-  * distributed scan whose path/ignore predicates are Column filters
-  * (pushed to the file index), so a 100 TB repo tree lists and hashes
-  * in parallel — no driver-side os.walk.
+  * distributed scan whose predicates are codegen'd Column filters over
+  * the ROOT-RELATIVE path (the reference matches relative paths too),
+  * so a 100 TB repo tree lists and hashes in parallel — no driver-side
+  * os.walk, and the tiny rule/pattern tables compile into the plan
+  * instead of joining.
   */
 object FileDiscovery {
 
-  /** Representative subset of the reference's ~71 default ignore
-    * patterns (`config/defaults.py:356-451`), as path-regex predicates.
+  /** The reference's full DEFAULT_IGNORE_PATTERNS list, same order
+    * (`config/defaults.py:356-451`). Matched per path component.
     */
-  val IgnoreDirPattern: String =
-    "/(node_modules|\\.git|\\.hg|\\.svn|__pycache__|\\.venv|venv|dist|build|target|\\.idea|\\.vscode|\\.pytest_cache|\\.mypy_cache|coverage|\\.next|\\.cache)/"
+  val DefaultIgnorePatterns: Seq[String] = Seq(
+    ".*",
+    // version control
+    ".git", ".hg", ".svn",
+    // python caches and environments
+    "__pycache__", ".hypothesis", ".mypy_cache", ".nox", ".pytest_cache",
+    ".ruff_cache", ".tox", ".venv", "venv",
+    // javascript/node
+    ".npm", ".nyc_output", ".yarn", ".pnpm", "bower_components",
+    "coverage", "node_modules",
+    // test fixtures and data
+    "fixtures", "__fixtures__", "__snapshots__", "__mocks__",
+    // lock files
+    "package-lock.json", "yarn.lock", "pnpm-lock.yaml", "poetry.lock",
+    "Gemfile.lock", "Cargo.lock", "composer.lock",
+    // nifi workflow data
+    "*.nifi",
+    // build outputs
+    "_build", "build", "dist", "htmlcov", "site", "target", "wheels",
+    "out", ".next", ".nuxt", ".output", "public/build", "storybook-static",
+    // generic caches
+    ".cache",
+    // ides and editors
+    ".idea", ".vscode",
+    // environment and config
+    ".env",
+    // build artifacts and packages
+    "*.egg-info", "vendor",
+    // os files
+    ".DS_Store", "Thumbs.db",
+    // tool-specific directories
+    ".claude-mpm", ".mcp-vector-search",
+    // minified and bundled files
+    "*.min.js", "*.min.css", "*.min.mjs", "*.bundle.js", "*.bundle.css",
+    "*.chunk.js", "*.chunk.css", "*.iframe.bundle.js", "*.manager.bundle.js",
+    // vendor bundles
+    "vendor.js", "vendors.js", "vendor-*.js", "vendors-*.js",
+    // source maps
+    "*.map", "*.js.map", "*.css.map")
 
-  val IgnoreFilePattern: String =
-    "(\\.min\\.(js|css)|\\.lock|\\.pyc|\\.class|\\.o|\\.so|\\.jar|\\.zip|\\.tar|\\.gz|\\.png|\\.jpg|\\.gif|\\.pdf)$"
+  /** Dot components allowed through the dotfile filter
+    * (`config/defaults.py:6-10`).
+    */
+  val AllowedDotfiles: Set[String] = Set(".github", ".gitlab-ci", ".circleci")
+
+  /** One anchored regex OR-ing every default pattern, applied per path
+    * component — the same bucketed-fnmatch semantics as the reference's
+    * `_matches_compiled_patterns` (`file_discovery.py:126-158`), but as
+    * a single automaton the regex engine runs once per part.
+    */
+  val ComponentIgnoreRx: String =
+    DefaultIgnorePatterns.map(GitignoreRules.globRx)
+      .mkString("^(?:", "|", ")$")
+
+  /** Layer 1: any path component matches any default pattern. */
+  def defaultIgnoreCol(relPath: Column): Column =
+    exists(split(relPath, "/"), p => p.rlike(ComponentIgnoreRx))
+
+  /** Layer 3: any dot component outside the whitelist
+    * (`file_discovery.py:524-532`).
+    */
+  def dotfileIgnoreCol(relPath: Column): Column =
+    exists(split(relPath, "/"),
+      p => p.startsWith(".") && !p.isin(AllowedDotfiles.toSeq: _*))
+
+  /** Reference 10 MB cap (`file_discovery.py:344-350`). */
+  val MaxFileBytes: Long = 10L * 1024 * 1024
 
   /** Extension → language (subset of `config/defaults.py:15-213`). */
   val LanguageByExtension: Map[String, String] = Map(
@@ -41,18 +118,37 @@ object FileDiscovery {
     // subproject markers the monorepo detector needs in the listing
     "mod" -> "text", "sbt" -> "scala")
 
-  /** Discover indexable files under `root` as a Dataset[FileRecord]. */
-  def discover(spark: SparkSession, root: String): Dataset[FileRecord] = {
+  /** Discover indexable files under `root` as a Dataset[FileRecord].
+    *
+    * `respectGitignore` mirrors the reference's root-.gitignore load
+    * (`config.respect_gitignore`); `nestedGitignore` additionally honors
+    * nested .gitignore files with git's deeper-file-wins precedence (our
+    * generalization — the reference intentionally loads root only,
+    * `utils/gitignore.py:115-128`).
+    */
+  def discover(spark: SparkSession, root: String,
+      respectGitignore: Boolean = true,
+      nestedGitignore: Boolean = false): Dataset[FileRecord] = {
     import spark.implicits._
+    val absRoot = new java.io.File(root).getAbsolutePath.stripSuffix("/")
+    val rules =
+      if (!respectGitignore) Seq.empty[GitignoreRules.Rule]
+      else if (nestedGitignore) GitignoreRules.loadNested(absRoot)
+      else GitignoreRules.loadRoot(absRoot)
     val langMap = typedLit(LanguageByExtension)
+    val gitignoreCol: Column =
+      if (rules.isEmpty) lit(false)
+      else GitignoreRules.ignoredWalkCol(col("rel_path"), rules)
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(root)
       .withColumn("file_path", regexp_replace(col("path"), "^file:", ""))
-      .filter(!col("file_path").rlike(IgnoreDirPattern))
-      .filter(!col("file_path").rlike(IgnoreFilePattern))
-      // dotfiles (any path segment starting with '.') are skipped
-      .filter(!col("file_path").rlike("/\\.[^/]*$"))
+      .withColumn("rel_path", regexp_replace(col("file_path"),
+        "^" + java.util.regex.Pattern.quote(absRoot + "/"), ""))
+      .filter(!defaultIgnoreCol(col("rel_path")))
+      .filter(!dotfileIgnoreCol(col("rel_path")))
+      .filter(!gitignoreCol)
+      .filter(col("length") <= MaxFileBytes)
       .withColumn("ext", lower(regexp_extract(col("file_path"), "\\.([A-Za-z0-9]+)$", 1)))
       .withColumn("language", langMap(col("ext")))
       .filter(col("language").isNotNull)

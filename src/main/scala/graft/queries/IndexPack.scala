@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.IndexStore
+import graft.ingest.{FileDiscovery, GitignoreRules}
 import graft.tables.Tables
 
 /** Incremental-index set algebra pack (SURVEY §2.3 J3/J4/J5): the
@@ -110,7 +111,51 @@ object IndexPack {
       val vectors = ks.filter(col("k") < 45)
         .select(concat(lit("c"), col("k")).as("chunk_id"))
       IndexStore.unembedded(chunks, vectors).orderBy(col("chunk_id"))
+    }),
+
+    // S1/P9: the full discovery predicate stack — 71 default patterns
+    // per component, dotfile allowlist, and the .gitignore cascade with
+    // walk-pruning semantics (root + one nested file, negations, dir
+    // rules, a ** rule, the leading-slash quirk) — every layer reported
+    // per path so the oracle checks them independently.
+    "fd1_gitignore_cascade" -> ((s, d) => {
+      val paths = Tables.documents(s, d)
+        .select((col("doc_id") % 60).cast("int").as("k")).distinct()
+        .select(concat(
+          element_at(typedlit(FdDirs), (col("k") % 12) + 1), lit("/"),
+          element_at(typedlit(FdNames), (col("k") % 10) + 1)).as("path"))
+      val knownExts = FileDiscovery.LanguageByExtension.keySet.toSeq.sorted
+      paths
+        .withColumn("def_ign", FileDiscovery.defaultIgnoreCol(col("path")))
+        .withColumn("dot_ign", FileDiscovery.dotfileIgnoreCol(col("path")))
+        .withColumn("git_ign",
+          GitignoreRules.ignoredWalkCol(col("path"), fdRules))
+        .withColumn("ext",
+          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)))
+        .withColumn("indexed", !col("def_ign") && !col("dot_ign") &&
+          !col("git_ign") && col("ext").isin(knownExts: _*))
+        .select(col("path"), col("def_ign"), col("dot_ign"),
+          col("git_ign"), col("indexed"))
+        .orderBy(col("path"))
     }))
+
+  /** fd1 fixture: 60 paths crossing 12 dirs × 10 names (coprime moduli
+    * → all pairs), hitting every predicate layer.
+    */
+  val FdDirs = Seq("src", "src/util", "build", "node_modules/pkg",
+    "docs", "docs/guide", ".github/workflows", "vendor", "gen", "src/gen",
+    "app", "lib")
+  val FdNames = Seq("main.py", "app.min.js", "notes.md", "README.md",
+    "util.ts", "index.js", "cache.log", "keep.log", "data.tmp.py", "core.py")
+  val FdRootGitignore =
+    "*.log\n!keep.log\ngen/\n*.tmp.*\ndocs/**/*.md\n/build\n"
+  val FdAppGitignore = "*.js\n!index.js\n"
+
+  private def fdRules: Seq[GitignoreRules.Rule] = {
+    val root = GitignoreRules.parse(FdRootGitignore)
+    root ++ GitignoreRules.parse(FdAppGitignore, base = "app",
+      seq0 = root.size)
+  }
 
   def oracles: Map[String, String] = Map(
     "j4_changed_files" ->
@@ -179,5 +224,60 @@ object IndexPack {
          |SELECT 'c' || k AS chunk_id, 'src/f' || k || '.py' AS file_path
          |FROM ks
          |WHERE 'c' || k NOT IN (SELECT 'c' || k FROM ks WHERE k < 45)
-         |ORDER BY chunk_id""".stripMargin)
+         |ORDER BY chunk_id""".stripMargin,
+
+    // The cascade mirror shares every regex LITERAL with the Spark side
+    // (GitignoreRules compiles each rule once; both engines run the
+    // same automata), unnests the walk prefixes, takes the max-seq
+    // matching rule per prefix (last-match-wins), and ORs the prefix
+    // verdicts (walk pruning).
+    "fd1_gitignore_cascade" -> {
+      val dirsLit = FdDirs.map(x => s"'$x'").mkString("[", ", ", "]")
+      val namesLit = FdNames.map(x => s"'$x'").mkString("[", ", ", "]")
+      val exts = graft.ingest.FileDiscovery.LanguageByExtension.keySet
+        .toSeq.sorted.map(x => s"'$x'").mkString(", ")
+      val dots = graft.ingest.FileDiscovery.AllowedDotfiles
+        .toSeq.sorted.map(x => s"'$x'").mkString(", ")
+      val ruleVals = fdRules.map { r =>
+        val star = r.rxStar.map(x => s"'$x'").getOrElse("NULL")
+        val pref = r.rxPrefix.map(x => s"'$x'").getOrElse("NULL")
+        s"(${r.seq}, '${r.base}', ${r.neg}, '${r.rxSuffix}', $star, $pref)"
+      }.mkString(", ")
+      val compRx = graft.ingest.FileDiscovery.ComponentIgnoreRx
+      val relp = "CASE WHEN r.base = '' THEN px.pref" +
+        " ELSE substr(px.pref, len(r.base) + 2) END"
+      s"""WITH $ksSql,
+         |paths AS (SELECT ($dirsLit)[k % 12 + 1] || '/' ||
+         |    ($namesLit)[k % 10 + 1] AS path FROM ks),
+         |rules(seq, base, neg, rx_suffix, rx_star, rx_prefix) AS
+         |  (VALUES $ruleVals),
+         |flags AS (SELECT path, string_split(path, '/') AS pp FROM paths),
+         |base AS (SELECT path,
+         |    len(list_filter(pp, s -> regexp_matches(s, '$compRx'))) > 0
+         |      AS def_ign,
+         |    len(list_filter(pp, s -> starts_with(s, '.')
+         |      AND s NOT IN ($dots))) > 0 AS dot_ign,
+         |    list_transform(range(1, len(pp) + 1),
+         |      i -> array_to_string(list_slice(pp, 1, i), '/')) AS prefixes
+         |  FROM flags),
+         |px AS (SELECT path, unnest(prefixes) AS pref FROM base),
+         |hits AS (SELECT px.path, px.pref, r.seq, r.neg
+         |  FROM px JOIN rules r
+         |    ON (r.base = '' OR starts_with(px.pref, r.base || '/'))
+         |   AND (regexp_matches($relp, r.rx_suffix)
+         |     OR (r.rx_star IS NOT NULL AND regexp_matches($relp, r.rx_star))
+         |     OR (r.rx_prefix IS NOT NULL
+         |       AND regexp_matches($relp, r.rx_prefix)))),
+         |pv AS (SELECT path, pref, NOT arg_max(neg, seq) AS pign
+         |  FROM hits GROUP BY path, pref),
+         |gitv AS (SELECT path, bool_or(pign) AS git_ign FROM pv
+         |  GROUP BY path)
+         |SELECT b.path, b.def_ign, b.dot_ign,
+         |  coalesce(g.git_ign, false) AS git_ign,
+         |  (NOT b.def_ign AND NOT b.dot_ign AND NOT coalesce(g.git_ign, false)
+         |    AND lower(regexp_extract(b.path, '\\.([A-Za-z0-9]+)$$', 1))
+         |      IN ($exts)) AS indexed
+         |FROM base b LEFT JOIN gitv g USING (path)
+         |ORDER BY b.path""".stripMargin
+    })
 }
