@@ -175,6 +175,29 @@ object TextDedupPack {
         .limit(50)
     }),
 
+    // Precomputed related_chunks artifact (relationships.py:34-473):
+    // per-chunk semantic top-5 via the banded self-join (search
+    // threshold 0.3, link threshold 0.2) ∪ caller links from the
+    // extracted calls arrays. The caller fixture names c0..c39 fn{k%20}
+    // (every name owned by two chunks) and has every chunk call two
+    // names — exercising fan-out on both sides of the name join.
+    "rel1_related_chunks" -> ((s, d) => {
+      val vectors = Tables.embeddings(s, d)
+        .select(concat(lit("c"), col("vec_id")).as("chunk_id"),
+          col("embedding"))
+      val chunks = Tables.documents(s, d)
+        .select((col("doc_id") % 60).cast("int").as("k")).distinct()
+        .select(
+          concat(lit("c"), col("k")).as("chunk_id"),
+          concat(lit("fn"), col("k") % 20).as("name"),
+          when(col("k") < 40, "function").otherwise("block").as("chunk_type"),
+          array(concat(lit("fn"), (col("k") + 1) % 20),
+            concat(lit("fn"), (col("k") + 7) % 20)).as("calls"))
+      graft.graph.Relationships.build(chunks, vectors)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("chunk_id"), col("kind"), col("related_id"))
+    }),
+
     // Brute-force cosine top-k (the ANN correctness oracle).
     "a1_knn_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -475,7 +498,43 @@ object TextDedupPack {
          |      AS INTEGER) AS rank
          |  FROM cand)
          |SELECT qid, id, round(sim, 6) AS sim, rank
-         |FROM ranked WHERE rank <= 10""".stripMargin) ++ a3Oracle
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "rel1_related_chunks" ->
+      s"""WITH ks AS (SELECT DISTINCT CAST(doc_id % 60 AS INTEGER) AS k
+         |  FROM documents),
+         |ch AS (SELECT 'c' || k AS chunk_id, 'fn' || (k % 20) AS name,
+         |    CASE WHEN k < 40 THEN 'function' ELSE 'block' END AS ctype,
+         |    ['fn' || ((k + 1) % 20), 'fn' || ((k + 7) % 20)] AS calls
+         |  FROM ks),
+         |named AS (SELECT chunk_id AS callee_id, name FROM ch
+         |  WHERE ctype IN ('function', 'method', 'class') AND name <> ''),
+         |sites AS (SELECT DISTINCT chunk_id AS caller_id, unnest(calls) AS name
+         |  FROM ch),
+         |callers AS (SELECT n.callee_id AS chunk_id, s.caller_id AS related_id,
+         |    'caller' AS kind, 1.0::DOUBLE AS score
+         |  FROM sites s JOIN named n USING (name)
+         |  WHERE s.caller_id <> n.callee_id),
+         |c AS (SELECT 'c' || vec_id AS id, embedding AS vec,
+         |    ${signBucketSql("embedding", 4)} AS bucket FROM embeddings),
+         |flips(f) AS (VALUES (0::BIGINT), (1), (2), (4), (8)),
+         |q AS (SELECT id AS qid, vec AS qvec, xor(bucket, f) AS bucket
+         |  FROM c, flips),
+         |cand AS (SELECT q.qid, c.id,
+         |    ${VectorFunctions.cosineSql("c.vec", "q.qvec")} AS sim
+         |  FROM c JOIN q ON q.bucket = c.bucket WHERE c.id <> q.qid),
+         |thr AS (SELECT qid, id, max(sim) AS sim FROM cand
+         |  WHERE sim >= 0.3::DOUBLE GROUP BY qid, id),
+         |sem AS (SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+         |      AS rnk
+         |  FROM thr),
+         |semf AS (SELECT qid AS chunk_id, id AS related_id,
+         |    'semantic' AS kind, sim AS score
+         |  FROM sem WHERE rnk <= 5 AND sim >= 0.2::DOUBLE)
+         |SELECT chunk_id, related_id, kind, round(score, 6) AS score
+         |FROM (SELECT * FROM semf UNION ALL SELECT * FROM callers)
+         |ORDER BY chunk_id, kind, related_id""".stripMargin) ++ a3Oracle
 
   /** a3 oracle, generated AFTER the gate runs (Verify writes
     * oracle_sql.json once every query has executed): the fitted float32
