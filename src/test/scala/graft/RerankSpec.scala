@@ -180,4 +180,167 @@ class RerankSpec extends SparkSpec {
       f"rerank must not degrade ordering: $meanR%.4f < $meanH%.4f")
     assert(meanR >= 0.75, f"rerank ordering quality too low: $meanR%.4f")
   }
+
+  // ---- wide corpus NDCG: 50 queries over all three reference sample
+  // files (py/js/ts), spanning identifier / natural-language / mixed
+  // styles, reporting the uplift SPREAD (mean, median, worst case) so
+  // the FeatureScorer's value claim doesn't rest on a handful of
+  // favorable queries. -----------------------------------------------
+
+  private lazy val wideChunks: Option[org.apache.spark.sql.DataFrame] = {
+    val files = Seq(
+      ("ast_test_python.py", "python"),
+      ("ast_test_javascript.js", "javascript"),
+      ("ast_test_typescript.ts", "typescript"))
+    val dir = java.nio.file.Paths.get("/root/reference/tests/sample_code")
+    if (!java.nio.file.Files.exists(dir)) None
+    else Some(files.flatMap { case (f, lang) =>
+      val content = java.nio.file.Files.readString(dir.resolve(f))
+      graft.chunk.Chunker.chunkFile(graft.core.FileRecord(
+        s"tests/sample_code/$f", lang, graft.chunk.Chunker.sha256Hex(content),
+        new java.sql.Timestamp(0L), content.length.toLong, content))
+        .filter(c => Set("function", "method", "class").contains(c.chunk_type))
+    }.toDF())
+  }
+
+  /** Identifier-token split: snake + camel, lowercased, len ≥ 3. */
+  private def identTokens(s: String): Set[String] =
+    s.split("[_\\W]+").flatMap(_.split("(?<=[a-z0-9])(?=[A-Z])"))
+      .map(_.toLowerCase).filter(_.length >= 3).toSet
+
+  private def identNorm(s: String): String =
+    s.replace("_", "").toLowerCase
+
+  /** Identifier queries: graded programmatically — exact name 3, same
+    * name modulo case/camel-snake 2, any shared token 1.
+    */
+  private val identQueries = Seq(
+    "validate_email", "validateEmail", "calculate_grade", "calculateGrade",
+    "authenticate", "_generate_token", "generateToken", "fetchUserData",
+    "doubleNumber", "filterAndProcessUsers", "complexValidator", "from_dict",
+    "fromObject", "updateProfile", "is_adult", "hasRole",
+    "AuthenticationManager", "BaseManager")
+
+  private def identRel(query: String)(name: String): Int =
+    if (name == query) 3
+    else if (identNorm(name) == identNorm(query)) 2
+    else if (identTokens(name).intersect(identTokens(query)).nonEmpty) 1
+    else 0
+
+  /** NL + mixed queries: hand judgments keyed by chunk name (a name
+    * present in several languages judges each of its chunks).
+    */
+  private val nlQueries: Seq[(String, Map[String, Int])] = Seq(
+    "check whether a user is an adult" -> Map("is_adult" -> 3,
+      "isAdult" -> 3, "getAgeInYears" -> 1, "User" -> 1),
+    "validate the format of an email address" -> Map("validate_email" -> 3,
+      "validateEmail" -> 3, "complexValidator" -> 1, "complex_validator" -> 1),
+    "compute a letter grade from score and bonus" -> Map(
+      "calculate_grade" -> 3, "calculateGrade" -> 3),
+    "create a user from a dictionary" -> Map("from_dict" -> 3,
+      "fromObject" -> 2, "User" -> 1),
+    "authenticate a user with credentials" -> Map("authenticate" -> 3,
+      "_validate_credentials" -> 2, "_validateCredentials" -> 2,
+      "validateCredentials" -> 2, "AuthenticationManager" -> 1),
+    "generate a session token" -> Map("_generate_token" -> 3,
+      "_generateToken" -> 3, "generateToken" -> 3, "authenticate" -> 1),
+    "fetch user data from the api" -> Map("fetchUserData" -> 3, "User" -> 1),
+    "double a number" -> Map("doubleNumber" -> 3),
+    "greet someone by name" -> Map("simpleGreeting" -> 3,
+      "simple_function" -> 2),
+    "filter users by minimum age" -> Map("filterAndProcessUsers" -> 3,
+      "isAdult" -> 1, "is_adult" -> 1),
+    "update the profile of a user" -> Map("update_profile" -> 3,
+      "updateProfile" -> 3, "User" -> 1),
+    "display name of a user" -> Map("display_name" -> 3,
+      "displayName" -> 3, "User" -> 1),
+    "check if a user has a role" -> Map("hasRole" -> 3, "User" -> 1),
+    "verify a password" -> Map("verifyPassword" -> 3,
+      "validateCredentials" -> 1, "_validate_credentials" -> 1),
+    "cache computed values" -> Map("getCached" -> 3),
+    "abstract base class for managers" -> Map("BaseManager" -> 3,
+      "AuthenticationManager" -> 1),
+    "mark an api as deprecated" -> Map("deprecated" -> 3,
+      "oldMethod" -> 1, "LegacyService" -> 1),
+    "validate incoming data and collect errors" -> Map(
+      "complex_validator" -> 3, "complexValidator" -> 3, "validate" -> 2),
+    "process a list of numbers" -> Map("processNumbers" -> 3,
+      "doubleNumber" -> 1),
+    "age of a user in years" -> Map("getAgeInYears" -> 3,
+      "is_adult" -> 1, "isAdult" -> 1))
+
+  private val mixedQueries: Seq[(String, Map[String, Int])] = Seq(
+    "User is_adult check" -> Map("is_adult" -> 3, "isAdult" -> 2, "User" -> 2),
+    "AuthenticationManager authenticate" -> Map("authenticate" -> 3,
+      "AuthenticationManager" -> 2),
+    "validateEmail format split" -> Map("validateEmail" -> 3,
+      "validate_email" -> 2),
+    "calculateGrade bonus points" -> Map("calculateGrade" -> 3,
+      "calculate_grade" -> 2),
+    "generateToken crypto hash" -> Map("generateToken" -> 3,
+      "_generateToken" -> 2, "_generate_token" -> 2),
+    "fromObject user parsing" -> Map("fromObject" -> 3, "from_dict" -> 2),
+    "BaseManager add get" -> Map("BaseManager" -> 3, "add" -> 2, "get" -> 2),
+    "LegacyService oldMethod" -> Map("oldMethod" -> 3,
+      "LegacyService" -> 2, "newMethod" -> 1),
+    "fetchUserData async promise" -> Map("fetchUserData" -> 3),
+    "updateProfile email name" -> Map("updateProfile" -> 3,
+      "update_profile" -> 2, "validateEmail" -> 1),
+    "constructor secret key timeout" -> Map("constructor" -> 2,
+      "AuthenticationManager" -> 1),
+    "validate credentials username password" -> Map(
+      "validateCredentials" -> 3, "_validate_credentials" -> 3,
+      "_validateCredentials" -> 3, "verifyPassword" -> 1))
+
+  test("wide corpus NDCG: 50 queries, uplift spread (median + worst case)") {
+    assume(wideChunks.isDefined, "reference checkout absent")
+    val docs = wideChunks.get.cache()
+    docs.count()
+
+    val judged: Seq[(String, String, String => Int)] =
+      identQueries.map(q => ("ident", q, identRel(q) _)) ++
+        nlQueries.map { case (q, m) =>
+          ("nl", q, (n: String) => m.getOrElse(n, 0)) } ++
+        mixedQueries.map { case (q, m) =>
+          ("mixed", q, (n: String) => m.getOrElse(n, 0)) }
+    assert(judged.size == 50)
+
+    val engine = new graft.search.SearchEngine(spark)
+    val results = judged.map { case (style, query, rel) =>
+      val heuristic = engine
+        .boost(docs.withColumn("base", lit(0.5)), query, "base")
+        .orderBy(col("boosted").desc, col("chunk_id"))
+        .select("name").as[String].collect().toSeq
+      val reranked = Rerank(docs, query, keepN = 100)
+        .orderBy(col("rank"))
+        .select("name").as[String].collect().toSeq
+      val h = ndcg(heuristic.map(rel), 5)
+      val r = ndcg(reranked.map(rel), 5)
+      (style, query, h, r, r - h)
+    }
+
+    val uplifts = results.map(_._5).sorted
+    val meanH = results.map(_._3).sum / results.size
+    val meanR = results.map(_._4).sum / results.size
+    val median = uplifts(uplifts.size / 2)
+    val worst = results.minBy(_._5)
+    info(f"heuristic mean NDCG@5 = $meanH%.4f, rerank mean = $meanR%.4f")
+    info(f"uplift: mean ${meanR - meanH}%+.4f, median $median%+.4f, " +
+      f"worst ${worst._5}%+.4f ('${worst._2}')")
+    Seq("ident", "nl", "mixed").foreach { s =>
+      val sub = results.filter(_._1 == s)
+      info(f"  $s%-6s n=${sub.size}%2d  " +
+        f"heuristic ${sub.map(_._3).sum / sub.size}%.3f -> " +
+        f"rerank ${sub.map(_._4).sum / sub.size}%.3f")
+    }
+    results.filter(_._5 < 0).foreach { case (s, q, h, r, u) =>
+      info(f"  regressed: [$s] '$q' $h%.3f -> $r%.3f ($u%+.3f)")
+    }
+
+    // the value claim: reranking helps on average AND typically, and
+    // never craters a query
+    assert(meanR >= meanH, f"mean degraded: $meanH%.4f -> $meanR%.4f")
+    assert(median >= 0.0, f"median uplift negative: $median%.4f")
+    assert(worst._5 >= -0.5, f"worst-case crater: ${worst._5}%.4f on '${worst._2}'")
+  }
 }
