@@ -47,18 +47,43 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = Seq(once(fn), once(fn), once(fn))
       val median = runs.map(_._1).sorted.apply(1)
+      // the min distinguishes host-load contamination (median >> min)
+      // from a real regression (median ≈ min, both high) — three rounds
+      // of load-skewed driver numbers motivated recording it
+      val minT = runs.map(_._1).min
       val err = runs.flatMap(_._2).headOption
       err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
-      (name, median, err)
+      (name, median, minT, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
+    val qmins = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+
+    // Scale-stress recording (SPARK_GRAFT_STRESS=0 disables): the five
+    // heaviest operator families at two sizes 10× apart, so the round
+    // artifact captures wall-time GROWTH, not just absolute speed.
+    // Kept OUT of "total"/"queries" — it measures scaling, not the
+    // per-query baseline comparison.
+    val stress =
+      if (sys.env.get("SPARK_GRAFT_STRESS").contains("0")) "{}"
+      else {
+        val res =
+          try Stress.runDefault(spark)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] stress failed: ${e.toString.take(200)}")
+            Seq.empty
+          }
+        res.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"stress":$stress,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analytics
+import graft.dedup.Dedup
+import graft.graph.{DocLinks, Kg}
+import graft.search.{Bm25, Fusion}
+
+/** Scale-stress harness: the five heaviest operator families (d3 LSH
+  * dedup, hb1 batched hybrid search, j11 doc↔code linking, a13
+  * reachability walk, g12 differential KG) run at 10× and 100× the
+  * sf0.1 working-set size, so BENCH_r{N}.json records how wall time
+  * GROWS — the 100 TB claim is sub-linear-in-factor growth (fixed
+  * job-floor costs amortize; per-row work stays linear; no pair
+  * blow-up).
+  *
+  * The corpus is SYNTHETIC with vocabulary ∝ corpus size (constant
+  * average document frequency, the Heaps-law shape real corpora have):
+  * replicating real documents ×100 would make every token/shingle
+  * posting 100× hotter and quadratically explode candidate pairs —
+  * that measures a pathological corpus, not the operator. Planted
+  * near-duplicates (1 in 97 docs shares 55 of its 60 tokens with its
+  * neighbor) keep the dedup path honest with bounded pair mass.
+  */
+object Stress {
+
+  private def timed(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  /** Synthetic corpus: n docs × 30 tokens drawn from a 10n-token vocab
+    * via portable hashing; doc i ≡ 0 (mod 97) copies doc i-1's first 27
+    * tokens (a near-dup).
+    */
+  def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = math.max(1000L, 10L * n)
+    val toks = transform(sequence(lit(0), lit(29)), j => {
+      val base = when(col("id") % 97 === 0 && col("id") > 0 && j < 27,
+        col("id") - 1).otherwise(col("id"))
+      concat(lit("t"), pmod(hash(base * 30 + j).cast("long"), lit(vocab)))
+    })
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      array_join(toks, " ").as("text"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** Synthetic embeddings: n × 64-dim float from portable hashes. */
+  def synthEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), k =>
+        ((pmod(hash(col("id") * 64 + k).cast("long"), lit(2000)) - 1000)
+          .cast("double") / 1000.0).cast("float")).as("embedding"))
+
+  /** d3 family: shingle → minhash → band → candidate join → exact
+    * jaccard verify, end to end (index build + query — the build IS the
+    * dominant index-time cost at scale).
+    */
+  def dedupStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val docs = synthDocs(spark, n)
+    val r = timed {
+      // cache the shingle table like the real flow (DedupCache persists
+      // it): the signature path and the jaccard verify both consume it
+      val sh = Dedup.docShingles(docs, "text", "doc_id", 3).cache()
+      try {
+        val sigs = Dedup.minhashSignatures(sh, 64)
+        val bands = Dedup.lshBands(sigs, 8)
+        val cands = Dedup.lshCandidates(bands)
+        Dedup.jaccardOfPairs(cands, sh)
+          .filter(col("jaccard") >= 0.7).count()
+      } finally sh.unpersist(blocking = false)
+    }
+    r
+  }
+
+  /** hb1 family: BM25 index build + 10-query batched keyword scoring ∪
+    * 10-query batched brute KNN, fused with batched RRF — ONE plan for
+    * all queries, per-query partitioned windows.
+    */
+  def batchSearchStress(spark: SparkSession, n: Long): (Double, Long) = {
+    import spark.implicits._
+    val docs = synthDocs(spark, n)
+    val emb = synthEmbeddings(spark, n)
+    val vocab = math.max(1000L, 10L * n)
+    timed {
+      val idx = Bm25.buildIndex(
+        Bm25.postings(docs, "doc_id", split(col("text"), " ")))
+      // 10 queries × 3 terms drawn from the same vocab distribution
+      val qterms = (0 until 10).flatMap { q =>
+        (0 until 3).map { j =>
+          val t = "t" + java.lang.Math.floorMod(
+            scala.util.hashing.MurmurHash3.stringHash(s"q$q-$j").toLong, vocab)
+          (q.toLong, t, 1)
+        }
+      }.toDF("qid", "term", "qtf")
+      val kw = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("id"))
+      val kRanks = Bm25.scoreBatchIndexed(idx, qterms)
+        .withColumn("rank", row_number().over(kw))
+        .filter(col("rank") <= 50).select("qid", "id", "rank")
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vRanks = graft.ann.Knn.bruteForceTopK(emb, "vec_id", "embedding",
+        qs, "qid", "qvec", 50).select("qid", "id", "rank")
+      Fusion.rrfBatch(vRanks, kRanks, alpha = 0.7).count()
+    }
+  }
+
+  /** j11 family: doc sections ↔ code entities via the inverted-index
+    * candidate channel + README-dir channel.
+    */
+  def docLinksStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val tok = synthDocs(spark, n)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+    val sections = tok.filter(col("doc_id") % 8 === 0)
+      .select(col("doc_id").as("section_id"),
+        concat_ws(" ", slice(col("toks"), 1, 4)).as("name"),
+        col("text").as("content"),
+        when(col("doc_id") % 16 === 0,
+          concat(lit("src/m"), col("doc_id") % 10, lit("/README.md")))
+          .otherwise(concat(lit("docs/d"), col("doc_id"), lit(".md")))
+          .as("file_path"))
+    val entities = tok.filter(col("doc_id") % 8 === 1)
+      .select(col("doc_id").as("entity_id"),
+        element_at(col("toks"), 2).as("name"),
+        lit("function").as("entity_type"),
+        concat(lit("src/m"), col("doc_id") % 10,
+          lit("/code"), col("doc_id"), lit(".py")).as("file_path"))
+    timed {
+      DocLinks.documentsEdges(sections.cache(), entities.cache()).count()
+    }
+  }
+
+  /** a13 family: entry-rooted reachability (8-hop frontier walk with
+    * early exit) over a chain+skip call graph — per-hop cost grows with
+    * the edge relation, hop count does not.
+    */
+  def walkStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val ids = spark.range(n)
+    val vertices = ids.select(
+      concat(lit("v"), col("id")).as("id"),
+      lit("function").as("label"),
+      when(col("id") % 100 === 0, concat(lit("main_"), col("id")))
+        .otherwise(concat(lit("fn_"), col("id"))).as("name"),
+      concat(lit("src/f"), col("id") % 1000, lit(".py")).as("file_path"),
+      lit("").as("parent_name"))
+    val chain = ids.filter(col("id") < n - 1).select(
+      concat(lit("v"), col("id")).as("src"),
+      concat(lit("v"), col("id") + 1).as("dst"),
+      lit("CALLS").as("rel_type"))
+    val skip = ids.select(
+      concat(lit("v"), col("id")).as("src"),
+      concat(lit("v"), pmod(col("id") * 7 + 13, lit(n))).as("dst"),
+      lit("CALLS").as("rel_type"))
+    val kg = Kg.KgTables(vertices, chain.unionByName(skip))
+    timed { Analytics.deadCode(vertices.limit(0), kg).count() }
+  }
+
+  private def synthChunks(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      concat(lit("src/f"), (col("id") / 10).cast("long"), lit(".py"))
+        .as("file_path"),
+      concat(lit("fn_"), col("id")).as("name"),
+      lit("function").as("chunk_type"),
+      concat(lit("fn_"), col("id")).as("hierarchy_path"),
+      lit("").as("parent_name"),
+      array(concat(lit("fn_"), pmod(col("id") + 1, lit(n))),
+        concat(lit("fn_"), pmod(col("id") * 7 + 3, lit(n)))).as("calls"),
+      array(concat(lit("m"), col("id") % 50)).as("imports"),
+      array().cast("array<string>").as("inherits_from"),
+      lit("").as("content"))
+
+  /** g12 family: differential KG update (1% of files rechunked) vs the
+    * full rebuild on the same corpus. The claim measured is that DIFF
+    * time tracks the DELTA (it grows ~1.7× per 10× corpus — the
+    * anti-join scans — not 10×). Note the full rebuild LOOKS cheaper
+    * here: this fixture has empty content, so fromChunks pays only its
+    * joins, while a real rebuild re-parses and re-embeds the whole
+    * corpus — the upstream cost differential indexing exists to avoid
+    * (measured by the incremental path in StreamingSpec, proven
+    * equivalent by gate g12).
+    */
+  def diffKgStress(spark: SparkSession, n: Long): (Double, Double) = {
+    val chunks = synthChunks(spark, n)
+    val kg = Kg.fromChunks(chunks)
+    kg.vertices.cache().count()
+    kg.edges.cache().count()
+    val (tFull, _) = timed {
+      val full = Kg.fromChunks(chunks)
+      full.vertices.count() + full.edges.count()
+    }
+    val rechunked = synthChunks(spark, n)
+      .filter(pmod(hash(col("file_path")), lit(100)) === 0)
+      .withColumn("name", concat(col("name"), lit("_v2")))
+      .withColumn("hierarchy_path", concat(col("hierarchy_path"), lit("_v2")))
+    val empty = spark.range(0).select(lit("").as("file_path"))
+    val (tDiff, _) = timed {
+      val updated = Kg.differentialUpdate(kg, rechunked, empty)
+      updated.vertices.count() + updated.edges.count()
+    }
+    kg.vertices.unpersist()
+    kg.edges.unpersist()
+    (tFull, tDiff)
+  }
+
+  /** Run every stress op at the given factors (base sizes are the sf0.1
+    * working set: 5k docs / 2k embeddings / 10k graph nodes / 2k chunks
+    * per unit factor). Returns flat metric → seconds.
+    */
+  /** Manual runner: `runMain graft.Stress [factors...]`. */
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stress")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val res =
+      if (args.nonEmpty) run(spark, args.toSeq.map(_.toInt))
+      else runDefault(spark)
+    res.foreach { case (k, v) => println(f"[stress] $k%-22s $v%8.2f s") }
+    spark.stop()
+  }
+
+  /** The per-round recording: every op at two factors 10× apart (the
+    * dedup pair sits lower so the whole harness stays ~100 s — the
+    * growth RATIO is the metric, not the absolute size).
+    */
+  def runDefault(spark: SparkSession): Seq[(String, Double)] =
+    Seq(3, 30).map { f =>
+      s"x${f}_d3_dedup" -> dedupStress(spark, 5000L * f)._1
+    } ++ run(spark, Seq(10, 100), includeDedup = false)
+
+  def run(spark: SparkSession, factors: Seq[Int],
+      includeDedup: Boolean = true): Seq[(String, Double)] =
+    factors.flatMap { f =>
+      val docsN = 5000L * f
+      val dedup =
+        if (includeDedup) Seq(s"x${f}_d3_dedup" -> dedupStress(spark, docsN)._1)
+        else Seq.empty
+      val (searchT, _) = batchSearchStress(spark, docsN)
+      val (linksT, _) = docLinksStress(spark, docsN)
+      val (walkT, _) = walkStress(spark, 10000L * f)
+      val (fullT, diffT) = diffKgStress(spark, 2000L * f)
+      dedup ++ Seq(
+        s"x${f}_hb1_batch" -> searchT,
+        s"x${f}_j11_doclinks" -> linksT,
+        s"x${f}_a13_walk" -> walkT,
+        s"x${f}_g12_full" -> fullT,
+        s"x${f}_g12_diff" -> diffT)
+    }
+}

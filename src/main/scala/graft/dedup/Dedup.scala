@@ -61,19 +61,29 @@ object Dedup {
 
   /** MinHash signatures, long form: (doc_id, h, v) where v = min over the
     * doc's shingles of the h-th universal hash of the shingle.
+    *
+    * Computed WITHOUT the ×numHashes row explosion: each shingle row
+    * feeds `numHashes` parallel min-aggregates (map-side combinable), so
+    * the shuffle carries one partially-aggregated row per (partition,
+    * doc) instead of numHashes rows per shingle — at 500k docs × 58
+    * shingles × 64 hashes that is 1.9 B exploded rows avoided (the
+    * pre-r4 shape grew superlinearly under shuffle pressure in the
+    * stress harness; this one stays linear). Values are bit-identical
+    * to the long-form compute, so the d2/d3 oracles are untouched.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aLit = typedlit((0 until numHashes).map(minhashA))
-    val bLit = typedlit((0 until numHashes).map(minhashB))
-    sh
-      .withColumn("base", pmod(hash60(col("shingle"), 0), lit(MinhashM)))
-      .select(col("doc_id"), col("base"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
-      .withColumn("hv",
-        pmod(element_at(aLit, col("h") + 1) * col("base") +
-          element_at(bLit, col("h") + 1), lit(MinhashP)))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(col("hv")).as("v"))
+    val base = sh.withColumn("base",
+      pmod(hash60(col("shingle"), 0), lit(MinhashM)))
+    val minCols = (0 until numHashes).map { i =>
+      min(pmod(lit(minhashA(i)) * col("base") + lit(minhashB(i)),
+        lit(MinhashP))).as(s"v$i")
+    }
+    base.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(i => col(s"v$i")): _*)))
+      .withColumnRenamed("pos", "h")
+      .withColumnRenamed("col", "v")
   }
 
   /** LSH banding of a long-form signature: (doc_id, band, band_val) where
