@@ -81,18 +81,67 @@ object FileDiscovery {
     */
   val AllowedDotfiles: Set[String] = Set(".github", ".gitlab-ci", ".circleci")
 
-  /** One anchored regex OR-ing every default pattern, applied per path
+  /** One anchored regex OR-ing a pattern set, applied per path
     * component — the same bucketed-fnmatch semantics as the reference's
     * `_matches_compiled_patterns` (`file_discovery.py:126-158`), but as
-    * a single automaton the regex engine runs once per part.
+    * a single automaton the regex engine runs once per part. Scales to
+    * the reference's 847-pattern vendor scenario
+    * (`benchmarks/benchmark_vendor_patterns.py`) without the per-pattern
+    * loop its bucketing optimizes.
     */
-  val ComponentIgnoreRx: String =
-    DefaultIgnorePatterns.map(GitignoreRules.globRx)
-      .mkString("^(?:", "|", ")$")
+  def componentIgnoreRx(patterns: Seq[String]): String =
+    patterns.map(GitignoreRules.globRx).mkString("^(?:", "|", ")$")
 
-  /** Layer 1: any path component matches any default pattern. */
-  def defaultIgnoreCol(relPath: Column): Column =
-    exists(split(relPath, "/"), p => p.rlike(ComponentIgnoreRx))
+  val ComponentIgnoreRx: String = componentIgnoreRx(DefaultIgnorePatterns)
+
+  /** Layer 1: any path component matches any pattern. */
+  def defaultIgnoreCol(relPath: Column,
+      rx: String = ComponentIgnoreRx): Column =
+    exists(split(relPath, "/"), p => p.rlike(rx))
+
+  /** The force-include glob of `_matches_glob_pattern`
+    * (`file_discovery.py:392-446`): gitignore-style suffix fnmatch, plus
+    * — for `**` patterns — a PROPERLY escaped regex where `**\/` matches
+    * zero-or-more leading dirs (unlike the gitignore matcher's raw one).
+    */
+  private def forceGlobCols(relPath: Column, pattern: String): Column = {
+    val suffix = relPath.rlike(s"^(.*/)?${GitignoreRules.globRx(pattern)}$$")
+    if (!pattern.contains("**")) suffix
+    else {
+      val esc = pattern.flatMap {
+        case c if c.isLetterOrDigit || c == '_' || c == '/' => c.toString
+        case c => "\\" + c
+      }
+      val rx = esc.replace("\\*\\*/", "(.*/)?").replace("/\\*\\*", "/.*")
+        .replace("\\*\\*", ".*").replace("\\*", "[^/]*").replace("\\?", "[^/]")
+      suffix || relPath.rlike(s"^$rx$$")
+    }
+  }
+
+  /** The reference's full `should_ignore_path` layering
+    * (`file_discovery.py:448-550`): force_include_patterns override
+    * everything; default patterns block force_include_paths; the path
+    * whitelist overrides dotfiles and gitignore only.
+    */
+  def shouldIgnoreCol(relPath: Column, rules: Seq[GitignoreRules.Rule],
+      forceIncludePatterns: Seq[String] = Seq.empty,
+      forceIncludePaths: Seq[String] = Seq.empty,
+      ignoreRx: String = ComponentIgnoreRx): Column = {
+    val forcePattern = forceIncludePatterns
+      .map(forceGlobCols(relPath, _))
+      .foldLeft(lit(false))(_ || _)
+    val forcePath = forceIncludePaths.map(_.stripSuffix("/"))
+      .map(ip => relPath === ip || relPath.startsWith(ip + "/"))
+      .foldLeft(lit(false))(_ || _)
+    val gitignore =
+      if (rules.isEmpty) lit(false)
+      else GitignoreRules.ignoredWalkCol(relPath, rules)
+    when(forcePattern, lit(false))
+      .when(defaultIgnoreCol(relPath, ignoreRx), lit(true))
+      .when(forcePath, lit(false))
+      .when(dotfileIgnoreCol(relPath), lit(true))
+      .otherwise(gitignore)
+  }
 
   /** Layer 3: any dot component outside the whitelist
     * (`file_discovery.py:524-532`).
@@ -128,7 +177,10 @@ object FileDiscovery {
     */
   def discover(spark: SparkSession, root: String,
       respectGitignore: Boolean = true,
-      nestedGitignore: Boolean = false): Dataset[FileRecord] = {
+      nestedGitignore: Boolean = false,
+      forceIncludePatterns: Seq[String] = Seq.empty,
+      forceIncludePaths: Seq[String] = Seq.empty,
+      extraIgnorePatterns: Seq[String] = Seq.empty): Dataset[FileRecord] = {
     import spark.implicits._
     val absRoot = new java.io.File(root).getAbsolutePath.stripSuffix("/")
     val rules =
@@ -136,18 +188,17 @@ object FileDiscovery {
       else if (nestedGitignore) GitignoreRules.loadNested(absRoot)
       else GitignoreRules.loadRoot(absRoot)
     val langMap = typedLit(LanguageByExtension)
-    val gitignoreCol: Column =
-      if (rules.isEmpty) lit(false)
-      else GitignoreRules.ignoredWalkCol(col("rel_path"), rules)
+    val ignoreRx =
+      if (extraIgnorePatterns.isEmpty) ComponentIgnoreRx
+      else componentIgnoreRx(DefaultIgnorePatterns ++ extraIgnorePatterns)
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(root)
       .withColumn("file_path", regexp_replace(col("path"), "^file:", ""))
       .withColumn("rel_path", regexp_replace(col("file_path"),
         "^" + java.util.regex.Pattern.quote(absRoot + "/"), ""))
-      .filter(!defaultIgnoreCol(col("rel_path")))
-      .filter(!dotfileIgnoreCol(col("rel_path")))
-      .filter(!gitignoreCol)
+      .filter(!shouldIgnoreCol(col("rel_path"), rules,
+        forceIncludePatterns, forceIncludePaths, ignoreRx))
       .filter(col("length") <= MaxFileBytes)
       .withColumn("ext", lower(regexp_extract(col("file_path"), "\\.([A-Za-z0-9]+)$", 1)))
       .withColumn("language", langMap(col("ext")))

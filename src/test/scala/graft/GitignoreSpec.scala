@@ -180,6 +180,67 @@ class GitignoreSpec extends SparkSpec {
     cases.foreach { case (p, want) => assert(got(p) == want, p) }
   }
 
+  test("should_ignore_path layering: force-includes override per the reference") {
+    val rules = GitignoreRules.parse("*.kt\n")
+    def verdicts(cases: Seq[String], fip: Seq[String] = Nil,
+        fpath: Seq[String] = Nil): Map[String, Boolean] =
+      cases.toDF("p").withColumn("ign", FileDiscovery.shouldIgnoreCol(
+        col("p"), rules, fip, fpath)).as[(String, Boolean)].collect().toMap
+    // force_include_patterns override EVERYTHING — even default ignores
+    // (file_discovery.py:472-486: vendor/**/*.kt indexes inside vendor)
+    val g1 = verdicts(Seq("vendor/lib/a.kt", "vendor/lib/b.js", "src/c.kt"),
+      fip = Seq("vendor/**/*.kt"))
+    assert(!g1("vendor/lib/a.kt")) // default 'vendor' ignore overridden
+    assert(g1("vendor/lib/b.js"))  // not covered by the pattern
+    assert(g1("src/c.kt"))         // outside the pattern gitignore applies
+    // force_include_paths override gitignore but NOT default patterns
+    // (:488-521: prevents accidentally indexing node_modules)
+    val g2 = verdicts(
+      Seq("legacy/a.kt", "legacy/sub/b.kt", "node_modules/x/c.kt", "other/d.kt"),
+      fpath = Seq("legacy/"))
+    assert(!g2("legacy/a.kt") && !g2("legacy/sub/b.kt"))
+    assert(g2("node_modules/x/c.kt")) // default pattern still blocks
+    assert(g2("other/d.kt"))          // gitignore still applies
+    // ** force pattern also matches with zero intermediate dirs (the
+    // (.*/)?-style branch the gitignore matcher lacks)
+    val g3 = verdicts(Seq("vendor/a.kt"), fip = Seq("vendor/**/*.kt"))
+    assert(!g3("vendor/a.kt"))
+  }
+
+  test("vendor-scale pattern set: 847 patterns stay one fast automaton") {
+    // the reference's benchmark scenario (benchmark_vendor_patterns.py):
+    // 71 defaults + 776 generated vendor patterns
+    val prefixes = Seq("com", "org", "net", "io", "co", "de", "fr", "uk")
+    val domains = Seq("google", "facebook", "amazon", "microsoft", "apple",
+      "twitter", "github", "gitlab", "jetbrains", "intellij", "android",
+      "spring", "apache", "hibernate", "jackson", "fasterxml", "squareup",
+      "okhttp", "retrofit", "glide", "picasso", "dagger", "guava",
+      "firebase", "crashlytics", "fabric", "flurry", "mixpanel", "segment",
+      "amplitude", "stripe", "paypal", "braintree", "square", "twilio",
+      "sendgrid")
+    val vendor = (for { p <- prefixes; d <- domains }
+      yield Seq(s"$p.$d.*", s"$p.$d")).flatten ++
+      (0 until 100).flatMap(i => Seq(s"vendor$i", s"third-party$i"))
+    assert(vendor.distinct.size == 776)
+    val rx = FileDiscovery.componentIgnoreRx(
+      FileDiscovery.DefaultIgnorePatterns ++ vendor)
+    val cases = Seq(
+      "libs/com.google.gson/Gson.java" -> true,
+      "libs/org.apache.commons/C.java" -> true,
+      "libs/io.squareup.okhttp3/H.java" -> true,
+      "vendor42/x.py" -> true,
+      "third-party7/y.js" -> true,
+      "src/com_google/z.py" -> false,
+      "src/main.py" -> false,
+      "node_modules/a.js" -> true) // defaults still present
+    val t0 = System.nanoTime()
+    val got = cases.map(_._1).toDF("p")
+      .withColumn("ign", FileDiscovery.defaultIgnoreCol(col("p"), rx))
+      .as[(String, Boolean)].collect().toMap
+    info(f"847-pattern predicate evaluated in ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    cases.foreach { case (p, want) => assert(got(p) == want, p) }
+  }
+
   test("discover honors a root .gitignore on a synthetic tree") {
     val tmp = java.nio.file.Files.createTempDirectory("discover-git")
     try {
