@@ -198,6 +198,36 @@ object TextDedupPack {
         .orderBy(col("chunk_id"), col("kind"), col("related_id"))
     }),
 
+    // Benchmark decontamination: corpus×eval-set pairs sharing ≥3
+    // distinct word 5-grams (the n-gram collision test that keeps eval
+    // sets out of training mixes). The eval set is a 10-token window
+    // (tokens 3..12) of every 7th document, so each source doc overlaps
+    // its window plus any text-duplicate docs.
+    "dc1_decontaminate" -> ((s, d) => {
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("bench_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 3, 10), " ")
+            .as("btext"))
+      graft.dedup.Decontaminate.overlapPairs(corpus, "text", "doc_id",
+        bench, "btext", "bench_id", n = 5, minShared = 3)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Token-budget sampling: the (quality desc, id) prefix whose running
+    // token sum fits the budget (60% of corpus tokens), via the
+    // distributed two-pass prefix sum — no single-partition window.
+    "sp1_token_budget_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        pmod(col("doc_id") * 37, lit(100)).as("q"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      val total = docs.agg(sum(col("n_tokens").cast("long"))).head().getLong(0)
+      graft.text.Sampling.takeByTokenBudget(docs, "q", "n_tokens", "doc_id",
+        budget = total * 6 / 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // Brute-force cosine top-k (the ANN correctness oracle).
     "a1_knn_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -499,6 +529,42 @@ object TextDedupPack {
          |  FROM cand)
          |SELECT qid, id, round(sim, 6) AS sim, rank
          |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "dc1_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks
+         |  FROM documents),
+         |cg AS (SELECT DISTINCT doc_id,
+         |    unnest(${TextFunctions.shinglesSql("toks", 5)}) AS shingle
+         |  FROM tok WHERE len(toks) >= 5),
+         |bench AS (SELECT doc_id + 100000 AS bench_id,
+         |    array_to_string(list_slice(toks, 3, 12), ' ') AS btext
+         |  FROM tok WHERE doc_id % 7 = 0),
+         |btok AS (SELECT bench_id,
+         |    string_split(${TextFunctions.normalizeSql("btext")}, ' ') AS toks
+         |  FROM bench),
+         |bg AS (SELECT DISTINCT bench_id,
+         |    unnest(${TextFunctions.shinglesSql("toks", 5)}) AS shingle
+         |  FROM btok WHERE len(toks) >= 5)
+         |SELECT cg.doc_id, bg.bench_id, CAST(count(*) AS BIGINT) AS shared
+         |FROM cg JOIN bg USING (shingle)
+         |GROUP BY cg.doc_id, bg.bench_id
+         |HAVING count(*) >= 3
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "sp1_token_budget_sample" ->
+      s"""WITH t AS (SELECT doc_id, (doc_id * 37) % 100 AS q,
+         |    CAST(len(${TextFunctions.tokensSql("text")}) AS INTEGER)
+         |      AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT (CAST(SUM(n_tokens) AS BIGINT) * 6) // 10 AS budget
+         |  FROM t),
+         |c AS (SELECT doc_id, q, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT c.doc_id, c.q, c.n_tokens, c.cum
+         |FROM c, b WHERE c.cum <= b.budget
+         |ORDER BY c.doc_id""".stripMargin,
 
     "rel1_related_chunks" ->
       s"""WITH ks AS (SELECT DISTINCT CAST(doc_id % 60 AS INTEGER) AS k

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Decontaminate
+import graft.text.Sampling
+
+/** Training-pipeline hygiene operators: benchmark decontamination and
+  * token-budget sampling.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate removes docs sharing n-grams with the eval set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark physical plans here"),
+      (3L, "the quick brown fox jumps over something else entirely"),
+      (4L, "short text")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "quick brown fox jumps over")).toDF("bench_id", "btext")
+    val pairs = Decontaminate.overlapPairs(corpus, "text", "doc_id",
+      bench, "btext", "bench_id", n = 5, minShared = 1).collect()
+    // docs 1 and 3 share the 5-gram "quick brown fox jumps over"
+    assert(pairs.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+    val clean = Decontaminate.decontaminate(corpus, "text", "doc_id",
+      bench, "btext", "bench_id", n = 5, minShared = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L))
+    // raising minShared above the overlap keeps everything
+    val strict = Decontaminate.decontaminate(corpus, "text", "doc_id",
+      bench, "btext", "bench_id", n = 5, minShared = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("token-budget sample equals the exact global prefix under budget") {
+    // 200 docs, adversarial partitioning (ids shuffled across input
+    // partitions), verify against a driver-side exact computation
+    val docs = spark.range(200).select(
+      col("id").as("doc_id"),
+      pmod(col("id") * 13 + 7, lit(50)).as("q"),
+      (pmod(col("id") * 31, lit(90)) + 10).as("toks"))
+      .repartition(7)
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ordered = rows.sortBy { case (id, q, _) => (-q, id) }
+    val budget = rows.map(_._3).sum * 4 / 10
+    val expected = ordered
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, q, t)) =>
+        (id, q, t, cum + t)
+      }.drop(1).takeWhile(_._4 <= budget)
+      .map { case (id, _, _, cum) => (id, cum) }.toMap
+    val got = Sampling.takeByTokenBudget(docs, "q", "toks", "doc_id",
+      budget, partitions = 5)
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < 200) // budget actually binds
+  }
+}
