@@ -50,10 +50,23 @@ class SearchEngine(spark: SparkSession) {
     (chunks, denorm)
   }
 
-  def indexRepo(root: String, chunksPath: String, vectorsPath: String): Unit = {
+  /** Full index build. When `relatedPath` is set, the precomputed
+    * related_chunks artifact is produced from the just-persisted tables
+    * (the reference computes it at index time so the visualizer starts
+    * instantly — `core/relationships.py:143-238`; reading back the
+    * parquet avoids re-running the chunk/embed pipeline for it).
+    */
+  def indexRepo(root: String, chunksPath: String, vectorsPath: String,
+      relatedPath: Option[String] = None): Unit = {
     val (chunks, vectors) = buildIndex(root)
     IndexStore.write(chunks, chunksPath)
     IndexStore.write(vectors, vectorsPath)
+    relatedPath.foreach { p =>
+      val ch = IndexStore.read(spark, chunksPath)
+      val vec = IndexStore.read(spark, vectorsPath)
+      graft.graph.Relationships.write(spark,
+        graft.graph.Relationships.build(ch, vec, vecCol = "vector"), p)
+    }
   }
 
   /** Incremental reindex: only changed files re-chunk/re-embed, deletes

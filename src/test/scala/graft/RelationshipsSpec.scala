@@ -41,6 +41,18 @@ class RelationshipsSpec extends SparkSpec {
       r.getAs[String]("related_id")))
   }
 
+  test("indexRepo produces the related_chunks artifact at index time") {
+    val dir = java.nio.file.Files.createTempDirectory("relidx").toString
+    new SearchEngine(spark).indexRepo(sampleRepo,
+      s"$dir/chunks", s"$dir/vectors", relatedPath = Some(s"$dir/related"))
+    val related = Relationships.read(spark, s"$dir/related")
+    assert(related.count() > 0)
+    assert(related.columns.sorted.toSeq ==
+      Seq("chunk_id", "kind", "related_id", "score"))
+    // caller links present (semantic links depend on corpus sims)
+    assert(related.filter(col("kind") === "caller").count() > 0)
+  }
+
   test("build unions kinds and persists round-trip") {
     val related = Relationships.build(chunks, vectors, vecCol = "vector")
     val kinds = related.select("kind").distinct().as[String].collect().toSet
