@@ -153,17 +153,46 @@ object FileDiscovery {
   /** Reference 10 MB cap (`file_discovery.py:344-350`). */
   val MaxFileBytes: Long = 10L * 1024 * 1024
 
-  /** Extension → language (subset of `config/defaults.py:15-213`). */
+  /** Extension → language: every extension of the reference's
+    * LANGUAGE_MAPPINGS (`config/defaults.py:114-210`), keyed without the
+    * dot and matched case-insensitively (discover lowercases), with this
+    * engine's language names where the chunker dispatches on them
+    * (csharp, shell — the reference spells them c_sharp, bash).
+    */
   val LanguageByExtension: Map[String, String] = Map(
-    "py" -> "python", "js" -> "javascript", "jsx" -> "javascript",
-    "ts" -> "typescript", "tsx" -> "typescript", "java" -> "java",
-    "scala" -> "scala", "go" -> "go", "rs" -> "rust", "rb" -> "ruby",
-    "rake" -> "ruby", "gemspec" -> "ruby", "phtml" -> "php", "mjs" -> "javascript",
-    "php" -> "php", "cs" -> "csharp", "dart" -> "dart", "c" -> "c",
-    "h" -> "c", "cpp" -> "cpp", "hpp" -> "cpp", "md" -> "markdown",
-    "txt" -> "text", "html" -> "html", "css" -> "css", "sql" -> "sql",
-    "sh" -> "shell", "yaml" -> "yaml", "yml" -> "yaml", "json" -> "json",
-    "toml" -> "toml", "xml" -> "xml",
+    // python / javascript / typescript
+    "py" -> "python", "pyw" -> "python", "pyi" -> "python",
+    "js" -> "javascript", "jsx" -> "javascript", "mjs" -> "javascript",
+    "cjs" -> "javascript",
+    "ts" -> "typescript", "tsx" -> "typescript", "mts" -> "typescript",
+    "cts" -> "typescript",
+    // web
+    "html" -> "html", "htm" -> "html", "css" -> "css", "scss" -> "scss",
+    "sass" -> "sass", "less" -> "less",
+    // data / config
+    "json" -> "json", "yaml" -> "yaml", "yml" -> "yaml", "toml" -> "toml",
+    "xml" -> "xml", "arb" -> "json",
+    // documentation
+    "md" -> "markdown", "markdown" -> "markdown", "rst" -> "rst",
+    "txt" -> "text",
+    // shell
+    "sh" -> "shell", "bash" -> "shell", "zsh" -> "shell", "fish" -> "fish",
+    // jvm
+    "java" -> "java", "kt" -> "kotlin", "scala" -> "scala",
+    "groovy" -> "groovy",
+    // c / c++ / c#
+    "c" -> "c", "h" -> "c", "cpp" -> "cpp", "cc" -> "cpp", "cxx" -> "cpp",
+    "hpp" -> "cpp", "hxx" -> "cpp", "cs" -> "csharp",
+    // go / rust / ruby / php / swift / dart
+    "go" -> "go", "rs" -> "rust", "rb" -> "ruby", "rake" -> "ruby",
+    "gemspec" -> "ruby", "php" -> "php", "phtml" -> "php",
+    "swift" -> "swift", "dart" -> "dart",
+    // r / sql / lua / perl / elixir / clojure / haskell / ocaml / editors
+    "r" -> "r", "sql" -> "sql", "lua" -> "lua", "pl" -> "perl",
+    "pm" -> "perl", "ex" -> "elixir", "exs" -> "elixir",
+    "clj" -> "clojure", "cljs" -> "clojure", "cljc" -> "clojure",
+    "hs" -> "haskell", "ml" -> "ocaml", "mli" -> "ocaml",
+    "vim" -> "vim", "el" -> "elisp",
     // subproject markers the monorepo detector needs in the listing
     "mod" -> "text", "sbt" -> "scala")
 

@@ -113,6 +113,16 @@ object IndexPack {
       IndexStore.unembedded(chunks, vectors).orderBy(col("chunk_id"))
     }),
 
+    // S2: sha256 content hashing for change detection
+    // (chunks_backend.py:35-48) — Spark's sha2 over the UTF-8 text must
+    // agree byte-for-byte with the oracle's sha256.
+    "s2_content_hash" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        sha2(col("text"), 256).as("content_hash"),
+        substring(sha2(col("text"), 256), 1, 16).as("short_hash"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
     // S1/P9: the full discovery predicate stack — 71 default patterns
     // per component, dotfile allowlist, and the .gitignore cascade with
     // walk-pruning semantics (root + one nested file, negations, dir
@@ -225,6 +235,11 @@ object IndexPack {
          |FROM ks
          |WHERE 'c' || k NOT IN (SELECT 'c' || k FROM ks WHERE k < 45)
          |ORDER BY chunk_id""".stripMargin,
+
+    "s2_content_hash" ->
+      """SELECT doc_id, sha256(text) AS content_hash,
+        |  substr(sha256(text), 1, 16) AS short_hash
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
 
     // The cascade mirror shares every regex LITERAL with the Spark side
     // (GitignoreRules compiles each rule once; both engines run the

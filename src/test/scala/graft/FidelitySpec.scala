@@ -116,4 +116,27 @@ class FidelitySpec extends SparkSpec {
     val row = spark.range(1).select(hit.as("h"), same.as("s"), miss.as("m"), notReadme.as("n")).head()
     assert(row.getBoolean(0) && row.getBoolean(1) && !row.getBoolean(2) && !row.getBoolean(3))
   }
+
+  test("every LANGUAGE_MAPPINGS extension of the reference is indexable") {
+    // config/defaults.py:114-210, keyed without the dot (.R folds into
+    // .r — discovery lowercases); language NAMES may differ where the
+    // chunker dispatches on this engine's spelling (csharp, shell)
+    val referenceExts = Seq(
+      "py", "pyw", "pyi", "js", "jsx", "mjs", "cjs", "ts", "tsx", "mts",
+      "cts", "html", "htm", "css", "scss", "sass", "less", "json", "yaml",
+      "yml", "toml", "xml", "md", "markdown", "rst", "txt", "sh", "bash",
+      "zsh", "fish", "java", "kt", "scala", "groovy", "c", "cpp", "cc",
+      "cxx", "h", "hpp", "hxx", "cs", "go", "rs", "rb", "rake", "gemspec",
+      "php", "phtml", "swift", "dart", "arb", "r", "sql", "lua", "pl",
+      "pm", "ex", "exs", "clj", "cljs", "cljc", "hs", "ml", "mli", "vim",
+      "el")
+    val missing = referenceExts.filterNot(
+      graft.ingest.FileDiscovery.LanguageByExtension.contains)
+    assert(missing.isEmpty, s"unmapped reference extensions: $missing")
+    // spot-check family assignments
+    val m = graft.ingest.FileDiscovery.LanguageByExtension
+    assert(m("pyi") == "python" && m("cjs") == "javascript" &&
+      m("mts") == "typescript" && m("cc") == "cpp" && m("zsh") == "shell" &&
+      m("arb") == "json" && m("cljc") == "clojure" && m("mli") == "ocaml")
+  }
 }

@@ -57,6 +57,15 @@ class PlanAuditSpec extends SparkSpec {
         assert(broadcasts.nonEmpty,
           s"$name: expected broadcast exchanges for the small sides")
       }
+      // decontamination: the eval-set side broadcasts, the corpus
+      // streams — the n-gram join must not shuffle on corpus size
+      val dcPlan = SparkEntry.queries("dc1_decontaminate")(spark, sfDir)
+        .queryExecution.executedPlan
+      val dcBroadcasts = dcPlan.collectWithSubqueries {
+        case b: BroadcastExchangeExec => b
+      }
+      assert(dcBroadcasts.nonEmpty,
+        "dc1: expected the benchmark n-gram side to broadcast")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
