@@ -67,7 +67,32 @@ object SearchPack {
   private def bm25Scores(s: SparkSession, d: String): DataFrame =
     Bm25.scoreIndexed(s, bm25Index(s, d), Query)
 
+  /** e2e1's fixed query string — embedded through the SAME featurizer
+    * as the corpus (Q5 query-embed semantics).
+    */
+  val E2eQuery = "fast table scan over sorted data"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q5+J12+P5/P7 end to end: the ENTIRE vector-search data path —
+    // hash-n-gram featurization (unigrams + bigrams → portable-hash
+    // buckets → integer counts → L2 normalize) of corpus AND query,
+    // exact cosine, zero-score filter, top-k with id tiebreak — every
+    // stage mirrored in the oracle, including the embedding itself.
+    "e2e1_vector_search" -> ((s, d) => {
+      import s.implicits._
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val vecs = graft.embed.HashEmbedder.embed(corpus, "doc_id", "text")
+      val qvec = graft.embed.HashEmbedder.embed(
+        Seq((0L, E2eQuery)).toDF("qid", "qtext"), "qid", "qtext")
+        .select(col("vector").as("qvec"))
+      vecs.crossJoin(broadcast(qvec))
+        .withColumn("sim", VectorFunctions.cosine(col("vector"), col("qvec")))
+        .filter(col("sim") > 0)
+        .orderBy(col("sim").desc, col("id").asc)
+        .limit(20)
+        .select(col("id").as("doc_id"), round(col("sim"), 6).as("sim"))
+    }),
+
     // Q7/A3: BM25 top-k for a fixed query.
     "b1_bm25_topk" -> ((s, d) => {
       bm25Scores(s, d)
@@ -159,6 +184,48 @@ object SearchPack {
     val bm25Ctes = Bm25.scoreSqlCtes("documents", "doc_id", docTokensSql, Query)
 
     Map(
+      // The full vector path in SQL: same n-gram multiset (unigrams +
+      // index-aligned bigrams), same portable-hash buckets, integer
+      // counts (so the squared-norm sum is EXACT in any order — counts²
+      // are integer-valued doubles), same double divide + float round,
+      // then the float-fold cosine parity. The query embeds as row -1
+      // of the same pipeline.
+      "e2e1_vector_search" -> {
+        val bucket =
+          s"(${graft.functions.PortableHash.hash60Sql("7", "gram")} % 64)"
+        s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents
+           |  UNION ALL SELECT -1, '$E2eQuery'),
+           |tok AS (SELECT id,
+           |    string_split(${TextFunctions.normalizeSql("text")}, ' ') AS toks
+           |  FROM corpus),
+           |grams AS (SELECT id, unnest(list_concat(toks,
+           |    list_transform(toks[2:], (b, i) -> toks[i] || ' ' || b)))
+           |    AS gram
+           |  FROM tok),
+           |bk AS (SELECT id, $bucket AS bucket, count(*) AS w
+           |  FROM grams GROUP BY id, bucket),
+           |mp AS (SELECT id,
+           |    map_from_entries(list(struct_pack(k := bucket, v := w))) AS m
+           |  FROM bk GROUP BY id),
+           |raw AS (SELECT id, list_transform(range(0, 64),
+           |    i -> CAST(coalesce(m[i][1], 0) AS DOUBLE)) AS r
+           |  FROM mp),
+           |vec AS (SELECT id,
+           |    list_transform(r, x -> CAST(CASE WHEN nrm > 0 THEN x / nrm
+           |      ELSE 0.0 END AS FLOAT)) AS v
+           |  FROM (SELECT id, r,
+           |      sqrt(list_aggregate(list_transform(r, x -> x * x), 'sum'))
+           |        AS nrm
+           |    FROM raw)),
+           |scored AS (SELECT c.id AS doc_id,
+           |    ${VectorFunctions.cosineSql("c.v", "q.v")} AS sim
+           |  FROM vec c CROSS JOIN (SELECT v FROM vec WHERE id = -1) q
+           |  WHERE c.id >= 0)
+           |SELECT doc_id, round(sim, 6) AS sim FROM scored
+           |WHERE sim > 0
+           |ORDER BY sim DESC, doc_id LIMIT 20""".stripMargin
+      },
+
       "b1_bm25_topk" ->
         s"""WITH $bm25Ctes
            |SELECT id AS doc_id, round(score, 6) AS score FROM bm25
