@@ -107,6 +107,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-cluster resolution — the step AFTER pair finding: connected
+    * components of the near-dup pair graph by min-label propagation
+    * (cluster id = smallest doc id in the component), then the canonical
+    * flag (`doc_id == cluster_id`) a training pipeline keeps one
+    * representative with.
+    *
+    * Scale shape: labels exist only for docs that appear in a pair (the
+    * dup graph is a small fraction of the corpus); each round is one
+    * equi-join of the undirected edge list with the label table plus a
+    * map-side min; labels only decrease, so the sum is a monotone
+    * convergence probe; rounds ∝ component diameter (near-dup clusters
+    * are shallow). Singletons never enter the loop and join back at the
+    * end.
+    */
+  def resolveClusters(pairs: DataFrame, docs: DataFrame, idCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val und = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+    val nodes = und.select(col("x").as("id")).distinct()
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var prev = lblSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nb = und
+        .join(labels.select(col("id").as("y"), col("lbl").as("nlbl")), Seq("y"))
+        .groupBy(col("x")).agg(min(col("nlbl")).as("mn"))
+        .withColumnRenamed("x", "id")
+      val next = labels.join(nb, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val s = lblSum(next)
+      converged = s == prev
+      prev = s
+      labels = next
+      round += 1
+    }
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   /** Exact Jaccard over shingle sets for the given pairs.
     * `pairs` must have columns (a, b); result adds `jaccard`.
     */

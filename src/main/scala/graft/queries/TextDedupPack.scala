@@ -198,6 +198,21 @@ object TextDedupPack {
         .orderBy(col("chunk_id"), col("kind"), col("related_id"))
     }),
 
+    // Dup-cluster resolution: connected components of the LSH near-dup
+    // pair graph (jaccard ≥ 0.6 verified pairs) by min-label
+    // propagation; cluster id = smallest member, is_canonical marks the
+    // representative a pipeline keeps. Mirrored by a recursive
+    // reachability CTE over the identical pair list.
+    "dd1_dup_clusters" -> ((s, d) => {
+      val idx = graft.dedup.DedupCache.persisted(
+        s, d, ShingleK, NumHashes, RowsPerBand)
+      val pairs = Dedup.jaccardOfPairs(Dedup.lshCandidates(idx.bands),
+          idx.shingles)
+        .filter(col("jaccard") >= 0.6)
+      Dedup.resolveClusters(pairs, Tables.documents(s, d), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: corpus×eval-set pairs sharing ≥3
     // distinct word 5-grams (the n-gram collision test that keeps eval
     // sets out of training mixes). The eval set is a 10-token window
@@ -529,6 +544,40 @@ object TextDedupPack {
          |  FROM cand)
          |SELECT qid, id, round(sim, 6) AS sim, rank
          |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "dd1_dup_clusters" ->
+      s"""WITH RECURSIVE $toksCte, $shCte, $mhCte,
+         |bands AS (SELECT doc_id, CAST(h // $RowsPerBand AS INTEGER) AS band,
+         |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY h) AS band_val
+         |  FROM mh GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+         |  FROM sh s1 JOIN sh s2
+         |    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |  JOIN cand c ON c.a = s1.doc_id AND c.b = s2.doc_id
+         |  GROUP BY s1.doc_id, s2.doc_id),
+         |pairs AS (SELECT c.a, c.b FROM cand c
+         |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+         |  JOIN sizes na ON na.doc_id = c.a
+         |  JOIN sizes nb ON nb.doc_id = c.b
+         |  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |    / (na.n + nb.n - COALESCE(i.i, 0)) >= 0.6::DOUBLE),
+         |e AS (SELECT a AS x, b AS y FROM pairs
+         |  UNION ALL SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT x, x FROM e
+         |  UNION
+         |  SELECT e.y, reach.r FROM reach JOIN e ON e.x = reach.id),
+         |cl AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+         |  (d.doc_id = COALESCE(cl.cluster_id, d.doc_id)) AS is_canonical
+         |FROM documents d LEFT JOIN cl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "dc1_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks

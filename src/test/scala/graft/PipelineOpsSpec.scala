@@ -34,6 +34,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(strict == Set(1L, 2L, 3L, 4L))
   }
 
+  test("cluster resolution follows transitive chains to the smallest id") {
+    import graft.dedup.Dedup
+    // chain 1-2-3-4 (pairwise near-dups only adjacent), triangle 10-11-12,
+    // pair 20-21, singletons 30, 31
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val docs = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L, 31L))
+      .toDF("doc_id")
+    val got = Dedup.resolveClusters(pairs, docs, "doc_id")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_)._1 == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_)._1 == 10L))
+    assert(got(20L)._1 == 20L && got(21L)._1 == 20L)
+    assert(got(30L) == (30L, true) && got(31L) == (31L, true))
+    assert(got.count(_._2._2) == 5) // canonical: 1, 10, 20, 30, 31
+  }
+
   test("token-budget sample equals the exact global prefix under budget") {
     // 200 docs, adversarial partitioning (ids shuffled across input
     // partitions), verify against a driver-side exact computation
