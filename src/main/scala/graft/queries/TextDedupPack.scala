@@ -198,6 +198,37 @@ object TextDedupPack {
         .orderBy(col("chunk_id"), col("kind"), col("related_id"))
     }),
 
+    // PII scrub: per-kind match counts + the ordered redaction chain
+    // (email → ipv4 → ssn → phone), over text with PII planted
+    // deterministically per doc_id class. The redacted text is compared
+    // via sha256 so the gate carries hashes, not megabytes.
+    "pi1_pii_scrub" -> ((s, d) => {
+      import graft.text.Scrub
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@example.com now")))
+          .when(col("doc_id") % 5 === 1,
+            concat(col("text"), lit(" from 10.0."), col("doc_id") % 250,
+              lit(".7 and 999-88-7777")))
+          .when(col("doc_id") % 5 === 2,
+            concat(col("text"), lit(" call +1 555 01"), col("doc_id") % 90,
+              lit("9 today")))
+          .otherwise(col("text")).as("text"))
+      withPii.select(
+        Seq(col("doc_id")) ++ Scrub.piiCountCols(col("text")) ++
+          Seq(sha2(Scrub.redact(col("text")), 256).as("redacted_sha")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition quality signals: duplicate-line fraction and the top
+    // bigram's share of all bigrams — exact integer ratios.
+    "rp1_repetition" -> ((s, d) => {
+      graft.text.Scrub.repetitionSignals(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Dup-cluster resolution: connected components of the LSH near-dup
     // pair graph (jaccard ≥ 0.6 verified pairs) by min-label
     // propagation; cluster id = smallest member, is_canonical marks the
@@ -544,6 +575,52 @@ object TextDedupPack {
          |  FROM cand)
          |SELECT qid, id, round(sim, 6) AS sim, rank
          |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "pi1_pii_scrub" -> {
+      val counts = graft.text.Scrub.PiiPatterns.map { case (kind, rx, _) =>
+        s"CAST(len(regexp_extract_all(text, '$rx')) AS INTEGER) AS n_$kind"
+      }.mkString(",\n|  ")
+      val redacted = graft.text.Scrub.PiiPatterns.foldLeft("text") {
+        case (acc, (_, rx, repl)) => s"regexp_replace($acc, '$rx', '$repl', 'g')"
+      }
+      s"""WITH pii AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |        THEN text || ' contact u' || doc_id || '@example.com now'
+         |      WHEN doc_id % 5 = 1
+         |        THEN text || ' from 10.0.' || (doc_id % 250)
+         |          || '.7 and 999-88-7777'
+         |      WHEN doc_id % 5 = 2
+         |        THEN text || ' call +1 555 01' || (doc_id % 90) || '9 today'
+         |      ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  $counts,
+         |  sha256($redacted) AS redacted_sha
+         |FROM pii ORDER BY doc_id""".stripMargin
+    },
+
+    "rp1_repetition" ->
+      s"""WITH ls AS (SELECT doc_id, text,
+         |    string_split(text, chr(10)) AS lines FROM documents),
+         |base AS (SELECT doc_id, text,
+         |    CAST(len(lines) AS INTEGER) AS n_lines,
+         |    CAST(len(list_distinct(lines)) AS INTEGER) AS n_distinct_lines
+         |  FROM ls),
+         |tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks
+         |  FROM base),
+         |bg AS (SELECT doc_id, unnest(list_transform(toks[2:],
+         |    (b, i) -> toks[i] || ' ' || b)) AS bg FROM tok),
+         |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg
+         |  GROUP BY doc_id, bg),
+         |top AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / SUM(c) AS tbf
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_lines, b.n_distinct_lines,
+         |  round(CASE WHEN b.n_lines > 1
+         |    THEN CAST(b.n_lines - b.n_distinct_lines AS DOUBLE) / b.n_lines
+         |    ELSE 0.0 END, 6) AS dup_line_frac,
+         |  round(coalesce(t.tbf, 0.0), 6) AS top_bigram_frac
+         |FROM base b LEFT JOIN top t USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
 
     "dd1_dup_clusters" ->
       s"""WITH RECURSIVE $toksCte, $shCte, $mhCte,

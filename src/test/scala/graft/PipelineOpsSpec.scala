@@ -52,6 +52,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.count(_._2._2) == 5) // canonical: 1, 10, 20, 30, 31
   }
 
+  test("pii scrub: counts and ordered redaction") {
+    import graft.text.Scrub
+    val docs = Seq(
+      (1L, "mail a.b+c@test.org or x@y.io, host 10.0.0.1, ssn 123-45-6789, tel +1 555 123 4567"),
+      (2L, "clean text with no identifiers at all")).toDF("doc_id", "text")
+    val got = docs.select(Seq(col("doc_id")) ++
+      Scrub.piiCountCols(col("text")) ++
+      Seq(Scrub.redact(col("text")).as("red")): _*)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Int]("n_email") == 2 && r1.getAs[Int]("n_ipv4") == 1 &&
+      r1.getAs[Int]("n_ssn") == 1 && r1.getAs[Int]("n_phone") == 1)
+    val red = r1.getAs[String]("red")
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") &&
+      red.contains("<SSN>") && red.contains("<PHONE>"))
+    assert(!red.contains("@") && !red.contains("123-45-6789"))
+    val r2 = got(2L)
+    assert(Seq("n_email", "n_ipv4", "n_ssn", "n_phone")
+      .forall(r2.getAs[Int](_) == 0))
+    assert(r2.getAs[String]("red") == "clean text with no identifiers at all")
+  }
+
+  test("repetition signals: duplicated lines and dominant bigrams score high") {
+    import graft.text.Scrub
+    val docs = Seq(
+      (1L, "same line\nsame line\nsame line\nother"),
+      (2L, "buy now buy now buy now buy now"),
+      (3L, "a perfectly normal sentence without repeats")).toDF("doc_id", "text")
+    val got = Scrub.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Double]("dup_line_frac") == 0.5) // 4 lines, 2 dups
+    assert(got(2L).getAs[Double]("top_bigram_frac") > 0.5) // 'buy now' dominates
+    assert(got(3L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(got(3L).getAs[Double]("top_bigram_frac") <= 0.2)
+  }
+
   test("token-budget sample equals the exact global prefix under budget") {
     // 200 docs, adversarial partitioning (ids shuffled across input
     // partitions), verify against a driver-side exact computation
