@@ -36,6 +36,10 @@ object TextDedupPack {
 
   private val subwordPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** pd1 planted boilerplate paragraphs (no regex metachars, ASCII). */
+  val BoilerHeader = "subscribe to our newsletter for updates"
+  val BoilerFooter = "all rights reserved contact support"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish subword regex count,
     // chars-per-token BPE estimate.
@@ -226,6 +230,55 @@ object TextDedupPack {
     "rp1_repetition" -> ((s, d) => {
       graft.text.Scrub.repetitionSignals(
         Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Paragraph-level exact dedup (C4/Dolma lineage): documents are
+    // re-shaped into multi-paragraph texts (8-token windows, plus a
+    // boilerplate header on every 4th doc and footer on every 6th),
+    // then each paragraph survives only at its globally-first
+    // occurrence and docs are rebuilt. kept_text travels as sha256.
+    "pd1_para_dedup" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val fixture = Tables.documents(s, d)
+        .withColumn("_nt", size(toks))
+        .withColumn("_chunks",
+          transform(
+            sequence(lit(0), greatest(expr("(_nt - 1) div 8"), lit(0))),
+            i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")))
+        .select(col("doc_id"),
+          array_join(
+            concat(
+              when(col("doc_id") % 4 === 0, array(lit(BoilerHeader)))
+                .otherwise(array().cast("array<string>")),
+              col("_chunks"),
+              when(col("doc_id") % 6 === 0, array(lit(BoilerFooter)))
+                .otherwise(array().cast("array<string>"))),
+            "\n").as("text"))
+      graft.dedup.ParaDedup.dedupParagraphs(fixture, "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          sha2(col("kept_text"), 256).as("kept_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing: concat-and-chop into 64-token context blocks
+    // via the distributed two-pass prefix sum; one row per
+    // (doc, block) segment.
+    "pk1_seq_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      graft.text.Packing.packIntoBlocks(docs, "doc_id", "n_tokens", 64)
+        .orderBy(col("doc_id"), col("block_id"))
+    }),
+
+    // Deterministic domain mixing: hash-stratified down-sample toward
+    // a uniform per-language share (integer accept test — no floats,
+    // no rand()). Minority languages survive whole.
+    "mx1_domain_mix" -> ((s, d) => {
+      graft.text.Mixing.stratifiedUniform(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
 
@@ -621,6 +674,69 @@ object TextDedupPack {
          |  round(coalesce(t.tbf, 0.0), 6) AS top_bigram_frac
          |FROM base b LEFT JOIN top t USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
+
+    "pd1_para_dedup" ->
+      s"""WITH $toksCte,
+         |fx AS (SELECT doc_id,
+         |    list_transform(
+         |      generate_series(0, greatest((len(toks) - 1) // 8, 0)),
+         |      i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' '))
+         |      AS chunks
+         |  FROM tok),
+         |px AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 4 = 0 THEN ['$BoilerHeader']
+         |      ELSE CAST([] AS VARCHAR[]) END)
+         |    || chunks ||
+         |    (CASE WHEN doc_id % 6 = 0 THEN ['$BoilerFooter']
+         |      ELSE CAST([] AS VARCHAR[]) END) AS paras
+         |  FROM fx),
+         |p AS (SELECT doc_id, i AS para_idx, paras[i] AS para
+         |  FROM px, unnest(generate_series(1, len(paras))) AS t(i)),
+         |first AS (SELECT doc_id, para_idx, para FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY para
+         |      ORDER BY doc_id, para_idx) AS rn
+         |    FROM p WHERE para <> '') WHERE rn = 1),
+         |kept AS (SELECT * FROM first
+         |  UNION ALL SELECT doc_id, para_idx, para FROM p WHERE para = ''),
+         |rb AS (SELECT doc_id,
+         |    string_agg(para, chr(10) ORDER BY para_idx) AS kept_text,
+         |    CAST(count(*) AS INTEGER) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT px.doc_id, CAST(len(paras) AS INTEGER) AS n_paras,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  sha256(coalesce(kept_text, '')) AS kept_sha
+         |FROM px LEFT JOIN rb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pk1_seq_packing" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens
+         |  FROM tok WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_offset
+         |  FROM t),
+         |b AS (SELECT doc_id, n_tokens, tok_offset,
+         |    unnest(generate_series(tok_offset // 64,
+         |      (tok_offset + n_tokens - 1) // 64)) AS block_id
+         |  FROM c)
+         |SELECT doc_id, n_tokens, tok_offset, block_id,
+         |  CAST(least(tok_offset + n_tokens, (block_id + 1) * 64)
+         |    - greatest(tok_offset, block_id * 64) AS BIGINT) AS seg_tokens
+         |FROM b ORDER BY doc_id, block_id""".stripMargin,
+
+    "mx1_domain_mix" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS dom_n
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(dom_n) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS doms FROM c)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN c USING (lang) CROSS JOIN t
+         |WHERE ((d.doc_id * ${graft.text.Mixing.Mult}
+         |    + ${graft.text.Mixing.Add}) % ${graft.text.Mixing.Modulus})
+         |  * doms * dom_n < ${graft.text.Mixing.Modulus} * total
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dd1_dup_clusters" ->
       s"""WITH RECURSIVE $toksCte, $shCte, $mhCte,

@@ -1,0 +1,43 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic domain mixing for training sets: down-sample
+  * over-represented domains (language, source) toward a uniform
+  * target share, keeping under-represented domains whole. Acceptance
+  * is a pure hash test on the document id — reproducible across runs,
+  * machines, and engines — not `rand()`.
+  *
+  * The accept test is kept in INTEGER arithmetic so the DuckDB oracle
+  * mirrors it exactly: accept iff
+  * `h(id) * nDomains * domainCount < Modulus * total`,
+  * which is hash-uniform acceptance at rate
+  * `min(1, total / (nDomains * domainCount))` with no float rounding
+  * at the boundary. All operands stay far below 2^63.
+  *
+  * Scale: one groupBy pass for the per-domain counts (metadata-scale
+  * result), broadcast back; the corpus side streams through a single
+  * filter — no shuffle of the data itself.
+  */
+object Mixing {
+
+  val Modulus = 1000003L        // prime, > any per-doc hash
+  val Mult = 2654435761L        // Knuth multiplicative constant
+  val Add = 98765L
+
+  /** Rows of `docs` surviving the uniform-target stratified sample. */
+  def stratifiedUniform(docs: DataFrame, domainCol: String, idCol: String)
+      : DataFrame = {
+    val counts = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("_dom_n"))
+    val tot = counts.agg(sum(col("_dom_n")).as("_total"),
+      count(lit(1)).as("_doms"))
+    docs.join(broadcast(counts), Seq(domainCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("_h", pmod(col(idCol) * Mult + Add, lit(Modulus)))
+      .filter(col("_h") * col("_doms") * col("_dom_n") <
+        lit(Modulus) * col("_total"))
+      .drop("_h", "_dom_n", "_total", "_doms")
+  }
+}

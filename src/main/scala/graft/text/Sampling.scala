@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,12 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Rows of `docs` selected under `budget` total `tokCol`, in
-    * (qCol desc, idCol asc) priority order, with the global running
-    * total as `cum`. Deterministic: ties break on the id.
+  /** `docs` plus a `cum` column: the global running sum of `tokCol` in
+    * `sortCols` total order, computed with the two-pass prefix sum
+    * described above (no single-partition window).
     */
-  def takeByTokenBudget(docs: DataFrame, qCol: String, tokCol: String,
-      idCol: String, budget: Long, partitions: Int = 0): DataFrame = {
+  def globalRunningSum(docs: DataFrame, sortCols: Seq[Column],
+      tokCol: String, partitions: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     val p =
       if (partitions > 0) partitions
@@ -35,12 +35,11 @@ object Sampling {
     // final plan see the SAME row→partition assignment (the range
     // sampler is not guaranteed stable across separate executions)
     val sorted = docs
-      .repartitionByRange(p, col(qCol).desc, col(idCol).asc)
-      .sortWithinPartitions(col(qCol).desc, col(idCol).asc)
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
-    val w = Window.partitionBy(col("_pid"))
-      .orderBy(col(qCol).desc, col(idCol).asc)
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
     val local = sorted.withColumn("_lcum",
       sum(col(tokCol).cast("long")).over(w))
     val totals = local.groupBy(col("_pid"))
@@ -53,7 +52,16 @@ object Sampling {
     local
       .withColumn("cum",
         col("_lcum") + coalesce(element_at(offMap, col("_pid")), lit(0L)))
-      .filter(col("cum") <= budget)
       .drop("_pid", "_lcum")
   }
+
+  /** Rows of `docs` selected under `budget` total `tokCol`, in
+    * (qCol desc, idCol asc) priority order, with the global running
+    * total as `cum`. Deterministic: ties break on the id.
+    */
+  def takeByTokenBudget(docs: DataFrame, qCol: String, tokCol: String,
+      idCol: String, budget: Long, partitions: Int = 0): DataFrame =
+    globalRunningSum(docs, Seq(col(qCol).desc, col(idCol).asc),
+        tokCol, partitions)
+      .filter(col("cum") <= budget)
 }

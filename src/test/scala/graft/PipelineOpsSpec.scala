@@ -88,6 +88,68 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L).getAs[Double]("top_bigram_frac") <= 0.2)
   }
 
+  test("paragraph dedup keeps first occurrence, blanks, and doc order") {
+    import graft.dedup.ParaDedup
+    val docs = Seq(
+      (1L, "shared header\nunique one\n\nshared footer"),
+      (2L, "shared header\nunique two\nshared footer"),
+      (3L, "dup twice\ndup twice\nunique three"),
+      (4L, "shared header\nshared footer")).toDF("doc_id", "text")
+    val got = ParaDedup.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_paras"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("kept_text"))).toMap
+    // doc 1 is first everywhere: keeps all paras incl the blank line
+    assert(got(1L) == ((4, 4, "shared header\nunique one\n\nshared footer")))
+    // doc 2 loses header+footer to doc 1
+    assert(got(2L) == ((3, 1, "unique two")))
+    // within-doc duplicate: second copy dropped
+    assert(got(3L) == ((3, 2, "dup twice\nunique three")))
+    // doc 4 loses everything -> empty reconstruction, still present
+    assert(got(4L) == ((2, 0, "")))
+  }
+
+  test("sequence packing: segments tile blocks exactly") {
+    import graft.text.Packing
+    val docs = Seq((1L, 7), (2L, 10), (3L, 3), (4L, 0), (5L, 25))
+      .toDF("doc_id", "n_tokens")
+    val rows = Packing.packIntoBlocks(docs, "doc_id", "n_tokens", 10L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tok_offset"), r.getAs[Long]("block_id"),
+        r.getAs[Long]("seg_tokens"))).sortBy(r => (r._1, r._3))
+    // offsets: d1@0(7) d2@7(10) d3@17(3) d5@20(25); total 45 tokens
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 7L),
+      (2L, 7L, 0L, 3L), (2L, 7L, 1L, 7L),
+      (3L, 17L, 1L, 3L),
+      (5L, 20L, 2L, 10L), (5L, 20L, 3L, 10L), (5L, 20L, 4L, 5L)))
+    // per-doc segment sums recover token counts; zero-token doc absent
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    assert(perDoc.toMap == Map(1L -> 7L, 2L -> 10L, 3L -> 3L, 5L -> 25L))
+    // every block except the last is exactly full
+    val perBlock = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+    assert(perBlock == Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 5L))
+  }
+
+  test("domain mixing: majorities down-sample, minorities survive whole") {
+    import graft.text.Mixing
+    val docs = (0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))
+    val df = docs.toDF("doc_id", "lang")
+    val kept = Mixing.stratifiedUniform(df, "lang", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // uniform target = 500 per domain; "small" (100 < 500) kept whole,
+    // "big" sampled at rate 500/900 ~ 0.56 -> hash-uniform near 500
+    assert(byLang("small") == 100)
+    assert(byLang("big") > 400 && byLang("big") < 600)
+    // deterministic: a second run returns the identical set
+    val again = Mixing.stratifiedUniform(df, "lang", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("token-budget sample equals the exact global prefix under budget") {
     // 200 docs, adversarial partitioning (ids shuffled across input
     // partitions), verify against a driver-side exact computation
