@@ -282,6 +282,26 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM quality scoring (CCNet lineage): per-doc average token
+    // log-probability under the corpus unigram distribution, quantized
+    // to integer micro-nats per occurrence so the distributed sum is
+    // order-free and engine-exact.
+    "un1_unigram_lm" -> ((s, d) => {
+      graft.text.UnigramLm.scoreDocs(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic global shuffle: reproducible training order with
+    // global positions via the distributed prefix sum (unit weights) —
+    // no single-partition row_number.
+    "sh1_shuffle_order" -> ((s, d) => {
+      graft.text.Mixing.shuffleRanks(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("shuffle_key"), col("shuffle_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dup-cluster resolution: connected components of the LSH near-dup
     // pair graph (jaccard ≥ 0.6 verified pairs) by min-label
     // propagation; cluster id = smallest member, is_canonical marks the
@@ -737,6 +757,32 @@ object TextDedupPack {
          |    + ${graft.text.Mixing.Add}) % ${graft.text.Mixing.Modulus})
          |  * doms * dom_n < ${graft.text.Mixing.Modulus} * total
          |ORDER BY d.doc_id""".stripMargin,
+
+    "un1_unigram_lm" ->
+      s"""WITH $toksCte,
+         |occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM occ GROUP BY t),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+         |q AS (SELECT doc_id,
+         |    CAST(floor(ln(cnt::DOUBLE / total) * 1000000) AS BIGINT) AS qn
+         |  FROM occ JOIN uni USING (t) CROSS JOIN tt)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |  CAST(sum(qn) AS BIGINT) AS sum_micro_nats,
+         |  round(CAST(sum(qn) AS DOUBLE) / count(*) / 1000000, 6)
+         |    AS avg_logprob
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sh1_shuffle_order" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    (doc_id * ${graft.text.Mixing.Mult}
+         |      + ${graft.text.Mixing.Add}) % ${graft.text.Mixing.Modulus}
+         |      AS shuffle_key
+         |  FROM documents)
+         |SELECT doc_id, shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+         |    AS BIGINT) AS shuffle_rank
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "dd1_dup_clusters" ->
       s"""WITH RECURSIVE $toksCte, $shCte, $mhCte,

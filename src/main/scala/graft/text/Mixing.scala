@@ -26,6 +26,22 @@ object Mixing {
   val Mult = 2654435761L        // Knuth multiplicative constant
   val Add = 98765L
 
+  /** Deterministic global training order: every row gets a unique
+    * `shuffle_rank` (1-based) in the order of the portable id hash
+    * (id tiebreak) — a reproducible corpus shuffle with global
+    * positions, computed through the distributed two-pass prefix sum
+    * (`Sampling.globalRunningSum` with a unit weight), never a
+    * single-partition `row_number`.
+    */
+  def shuffleRanks(docs: DataFrame, idCol: String): DataFrame =
+    Sampling.globalRunningSum(
+        docs.withColumn("shuffle_key",
+          pmod(col(idCol) * Mult + Add, lit(Modulus)))
+          .withColumn("_one", lit(1)),
+        Seq(col("shuffle_key").asc, col(idCol).asc), "_one")
+      .withColumnRenamed("cum", "shuffle_rank")
+      .drop("_one")
+
   /** Rows of `docs` surviving the uniform-target stratified sample. */
   def stratifiedUniform(docs: DataFrame, domainCol: String, idCol: String)
       : DataFrame = {

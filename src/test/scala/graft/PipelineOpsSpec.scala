@@ -150,6 +150,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("unigram LM scoring matches a driver-side exact computation") {
+    import graft.text.UnigramLm
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "beta gamma"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    // unigram counts over the whole corpus: alpha 3, beta 3, gamma 2; T=8
+    val cnt = Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 2L)
+    val total = 8.0
+    def q(t: String): Long =
+      math.floor(math.log(cnt(t) / total) * 1e6).toLong
+    val expect = Map(
+      1L -> (3, 2 * q("alpha") + q("beta")),
+      2L -> (2, q("beta") + q("gamma")),
+      3L -> (3, q("alpha") + q("beta") + q("gamma")))
+    val got = UnigramLm.scoreDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Long]("sum_micro_nats")))).toMap
+    assert(got == expect)
+  }
+
+  test("shuffle ranks are a deterministic permutation, not id order") {
+    import graft.text.Mixing
+    val df = (0L until 500L).toDF("doc_id")
+    val ranks = Mixing.shuffleRanks(df, "doc_id")
+      .select("doc_id", "shuffle_rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(ranks.map(_._2).sorted.toSeq == (1L to 500L)) // a permutation
+    // genuinely scrambled: the rank order disagrees with id order often
+    val byId = ranks.sortBy(_._1).map(_._2)
+    val inversions = byId.sliding(2).count(p => p(0) > p(1))
+    assert(inversions > 100)
+    val again = Mixing.shuffleRanks(df, "doc_id")
+      .select("doc_id", "shuffle_rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(ranks.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("token-budget sample equals the exact global prefix under budget") {
     // 200 docs, adversarial partitioning (ids shuffled across input
     // partitions), verify against a driver-side exact computation
