@@ -65,7 +65,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // Scale-stress recording (SPARK_GRAFT_STRESS=0 disables): the five
+    // Scale-stress recording (SPARK_GRAFT_STRESS=0 disables): the seven
     // heaviest operator families at two sizes 10× apart, so the round
     // artifact captures wall-time GROWTH, not just absolute speed.
     // Kept OUT of "total"/"queries" — it measures scaling, not the

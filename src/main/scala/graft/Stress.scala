@@ -9,9 +9,10 @@ import graft.dedup.Dedup
 import graft.graph.{DocLinks, Kg}
 import graft.search.{Bm25, Fusion}
 
-/** Scale-stress harness: the five heaviest operator families (d3 LSH
+/** Scale-stress harness: the heaviest operator families (d3 LSH
   * dedup, hb1 batched hybrid search, j11 doc↔code linking, a13
-  * reachability walk, g12 differential KG) run at 10× and 100× the
+  * reachability walk, g12 differential KG, un1 unigram-LM scoring,
+  * pd1 paragraph dedup) run at 10× and 100× the
   * sf0.1 working-set size, so BENCH_r{N}.json records how wall time
   * GROWS — the 100 TB claim is sub-linear-in-factor growth (fixed
   * job-floor costs amortize; per-row work stays linear; no pair
@@ -109,6 +110,36 @@ object Stress {
       val vRanks = graft.ann.Knn.bruteForceTopK(emb, "vec_id", "embedding",
         qs, "qid", "qvec", 50).select("qid", "id", "rank")
       Fusion.rrfBatch(vRanks, kRanks, alpha = 0.7).count()
+    }
+  }
+
+  /** synthDocs reshaped to 5 paragraphs × 6 tokens: planted near-dups
+    * (27-token shared prefix) become genuine cross-doc paragraph
+    * collisions for the dedup window.
+    */
+  def synthParaDocs(spark: SparkSession, n: Long): DataFrame =
+    synthDocs(spark, n).withColumn("text",
+      array_join(transform(sequence(lit(0), lit(4)),
+        g => array_join(slice(split(col("text"), " "), g * 6 + 1, lit(6)),
+          " ")), "\n"))
+
+  /** un1 family: corpus×token explode, map-side-combined unigram
+    * groupBy, hash-partitioned vocab join back, integer micro-nat agg.
+    */
+  def lmScoreStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val docs = synthDocs(spark, n)
+    timed {
+      graft.text.UnigramLm.scoreDocs(docs, "doc_id", "text").count()
+    }
+  }
+
+  /** pd1 family: paragraph explode + first-occurrence window keyed on
+    * paragraph CONTENT + deterministic doc rebuild.
+    */
+  def paraDedupStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val docs = synthParaDocs(spark, n)
+    timed {
+      graft.dedup.ParaDedup.dedupParagraphs(docs, "doc_id", "text").count()
     }
   }
 
@@ -254,11 +285,15 @@ object Stress {
       val (linksT, _) = docLinksStress(spark, docsN)
       val (walkT, _) = walkStress(spark, 10000L * f)
       val (fullT, diffT) = diffKgStress(spark, 2000L * f)
+      val (lmT, _) = lmScoreStress(spark, docsN)
+      val (paraT, _) = paraDedupStress(spark, docsN)
       dedup ++ Seq(
         s"x${f}_hb1_batch" -> searchT,
         s"x${f}_j11_doclinks" -> linksT,
         s"x${f}_a13_walk" -> walkT,
         s"x${f}_g12_full" -> fullT,
-        s"x${f}_g12_diff" -> diffT)
+        s"x${f}_g12_diff" -> diffT,
+        s"x${f}_un1_lmscore" -> lmT,
+        s"x${f}_pd1_paradedup" -> paraT)
     }
 }

@@ -219,6 +219,28 @@ object RelationalPack {
         .filter($"user_id" <= 50)
     }),
 
+    // As-of join (click→purchase attribution): for every purchase, the
+    // latest click by the same user at-or-before it — ONE partitioned
+    // window over the tagged union, NOT a range join (which pairs each
+    // purchase with every prior click before deduping). All ts math in
+    // epoch micros so the oracle is exact; nulls = never-clicked users.
+    "af1_asof_attribution" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      graft.util.AsOfJoin.asOf(purchases, "event_id", clicks, "event_id",
+          "user_id", "ts", Seq("event_id", "ts"))
+        .select($"event_id", $"user_id",
+          unix_micros($"ts").as("ts_us"),
+          $"asof_event_id".as("click_id"),
+          unix_micros($"asof_ts").as("click_ts_us"),
+          (unix_micros($"ts") - unix_micros($"asof_ts")).as("lag_us"))
+        .orderBy($"event_id")
+    }),
+
     // Multi-way dim join through the star schema (region→nation→customer
     // →orders→lineitem), revenue by region: the canonical broadcast chain.
     "q14_revenue_by_region" -> ((s, d) => {
@@ -350,6 +372,28 @@ object RelationalPack {
          |  CAST(${moneySumSql("value")} AS DOUBLE) AS sum_value
          |FROM sessions WHERE user_id <= 50
          |GROUP BY user_id, session_id""".stripMargin,
+
+    "af1_asof_attribution" ->
+      s"""WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |    event_id FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |    event_id FROM events WHERE event_type = 'purchase'),
+         |u AS (
+         |  SELECT user_id, tus, 0 AS side, event_id AS ord,
+         |    event_id AS c_id, tus AS c_tus, NULL::BIGINT AS p_id
+         |  FROM c
+         |  UNION ALL
+         |  SELECT user_id, tus, 1, event_id,
+         |    NULL::BIGINT, NULL::BIGINT, event_id
+         |  FROM p),
+         |w AS (SELECT *,
+         |    last_value(c_id IGNORE NULLS) OVER win AS click_id,
+         |    last_value(c_tus IGNORE NULLS) OVER win AS click_ts_us
+         |  FROM u WINDOW win AS (PARTITION BY user_id
+         |    ORDER BY tus, side, ord ROWS UNBOUNDED PRECEDING))
+         |SELECT p_id AS event_id, user_id, tus AS ts_us,
+         |  click_id, click_ts_us, tus - click_ts_us AS lag_us
+         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "q14_revenue_by_region" ->
       s"""SELECT r_name,

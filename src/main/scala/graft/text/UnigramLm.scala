@@ -36,7 +36,13 @@ object UnigramLm {
     val occ = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
     val uni = occ.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    val total = uni.agg(sum(col("cnt")).as("total"))
+    // the corpus token total equals sum(cnt) over the unigram table,
+    // but deriving it there would run the explode + vocab-size groupBy
+    // TWICE in one plan (the scalar branch and the join branch); a
+    // per-doc size() scan produces the identical value for one cheap
+    // pass over the raw corpus
+    val total = docs.agg(
+      sum(size(TextFunctions.tokens(col(textCol))).cast("long")).as("total"))
     occ.join(uni, Seq("t"))
       .crossJoin(broadcast(total))
       .withColumn("qn",
