@@ -188,6 +188,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ranks.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("sequence packing under adversarial partitioning is exact") {
+    import graft.text.Packing
+    // 300 docs, shuffled across 7 input partitions; compare against a
+    // driver-side exact computation of offsets and block tiling
+    val docs = spark.range(300).select(
+      col("id").as("doc_id"),
+      (pmod(col("id") * 31, lit(40)) + lit(1)).cast("int").as("n_tokens"))
+      .repartition(7)
+    val ctx = 50L
+    val rows = docs.collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1)
+    val offsets = rows.scanLeft(0L)(_ + _._2).dropRight(1)
+    val expected = rows.zip(offsets).flatMap { case ((id, n), off) =>
+      (off / ctx to (off + n - 1) / ctx).map { b =>
+        val seg = math.min(off + n, (b + 1) * ctx) - math.max(off, b * ctx)
+        (id, off, b, seg)
+      }
+    }.toSet
+    val got = Packing.packIntoBlocks(docs, "doc_id", "n_tokens", ctx,
+        partitions = 5)
+      .select("doc_id", "tok_offset", "block_id", "seg_tokens")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("paragraph dedup is invariant to input partitioning") {
+    import graft.dedup.ParaDedup
+    // cross-doc duplicate paragraphs planted densely; first occurrence
+    // is defined by (doc_id, position), never by physical layout
+    val docs = spark.range(120).select(
+      col("id").as("doc_id"),
+      concat_ws("\n",
+        concat(lit("shared-"), pmod(col("id"), lit(10))),
+        concat(lit("own-"), col("id")),
+        concat(lit("shared-"), pmod(col("id") + 5, lit(10)))).as("text"))
+    val a = ParaDedup.dedupParagraphs(docs.repartition(11), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).sortBy(_._1)
+    val b = ParaDedup.dedupParagraphs(docs.coalesce(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // each shared-k paragraph survives exactly once across the corpus
+    val kept = a.flatMap(_._4.split("\n")).filter(_.startsWith("shared-"))
+    assert(kept.length == 10 && kept.toSet.size == 10)
+  }
+
   test("token-budget sample equals the exact global prefix under budget") {
     // 200 docs, adversarial partitioning (ids shuffled across input
     // partitions), verify against a driver-side exact computation
