@@ -102,6 +102,24 @@ object IndexPack {
         .orderBy(col("file_path"), col("file_hash"))
     }),
 
+    // S5/J10: upsert = dedup-before-add — stored rows whose key is in
+    // the incoming batch are replaced, the rest kept, new keys appended
+    // (the reference's delete-then-append without the delete).
+    "u1_upsert" -> ((s, d) => {
+      val ks = Tables.documents(s, d)
+        .select((col("doc_id") % 60).cast("int").as("k")).distinct()
+      val stored = ks.filter(col("k") < 40).select(
+        concat(lit("c"), col("k")).as("chunk_id"),
+        concat(lit("old_payload_"), col("k")).as("content"),
+        lit(1).as("version"))
+      val incoming = ks.filter(col("k") >= 25).select(
+        concat(lit("c"), col("k")).as("chunk_id"),
+        concat(lit("new_payload_"), col("k")).as("content"),
+        lit(2).as("version"))
+      IndexStore.upsert(stored, incoming, "chunk_id")
+        .orderBy(col("chunk_id"))
+    }),
+
     // J3: unembedded anti-join — chunks without a vector row.
     "j3_unembedded" -> ((s, d) => {
       val ks = Tables.documents(s, d)
@@ -234,6 +252,20 @@ object IndexPack {
          |SELECT 'c' || k AS chunk_id, 'src/f' || k || '.py' AS file_path
          |FROM ks
          |WHERE 'c' || k NOT IN (SELECT 'c' || k FROM ks WHERE k < 45)
+         |ORDER BY chunk_id""".stripMargin,
+
+    "u1_upsert" ->
+      s"""WITH $ksSql,
+         |stored AS (SELECT 'c' || k AS chunk_id,
+         |    'old_payload_' || k AS content, CAST(1 AS INTEGER) AS version
+         |  FROM ks WHERE k < 40),
+         |inc AS (SELECT 'c' || k AS chunk_id,
+         |    'new_payload_' || k AS content, CAST(2 AS INTEGER) AS version
+         |  FROM ks WHERE k >= 25)
+         |SELECT * FROM (
+         |  SELECT * FROM stored
+         |  WHERE chunk_id NOT IN (SELECT chunk_id FROM inc)
+         |  UNION ALL SELECT * FROM inc)
          |ORDER BY chunk_id""".stripMargin,
 
     "s2_content_hash" ->
