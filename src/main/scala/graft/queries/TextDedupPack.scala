@@ -302,6 +302,24 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Distribution profiling: per-language exact length/token
+    // percentiles (R-7 interpolation ≡ DuckDB quantile_cont). The
+    // approx-sketch scale path is ProfilingSpec's subject.
+    "pf1_length_percentiles" -> ((s, d) => {
+      import graft.text.Profiling
+      val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"),
+        size(TextFunctions.tokens(col("text"))).as("n_toks"))
+      val chars = Profiling.percentiles(docs, "lang", "n_chars",
+          Seq(0.5, 0.9, 0.99))
+        .select(col("lang"), col("n").as("n_docs"),
+          col("p50").as("p50_chars"), col("p90").as("p90_chars"),
+          col("p99").as("p99_chars"))
+      val toks = Profiling.percentiles(docs, "lang", "n_toks", Seq(0.5, 0.9))
+        .select(col("lang"), col("p50").as("p50_toks"),
+          col("p90").as("p90_toks"))
+      chars.join(toks, Seq("lang")).orderBy(col("lang"))
+    }),
+
     // Dup-cluster resolution: connected components of the LSH near-dup
     // pair graph (jaccard ≥ 0.6 verified pairs) by min-label
     // propagation; cluster id = smallest member, is_canonical marks the
@@ -783,6 +801,17 @@ object TextDedupPack {
          |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
          |    AS BIGINT) AS shuffle_rank
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "pf1_length_percentiles" ->
+      s"""WITH t AS (SELECT lang, n_chars,
+         |    len(string_split($normDoc, ' ')) AS n_toks FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+         |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+         |  round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+         |  round(quantile_cont(n_toks, 0.5), 6) AS p50_toks,
+         |  round(quantile_cont(n_toks, 0.9), 6) AS p90_toks
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dd1_dup_clusters" ->
       s"""WITH RECURSIVE $toksCte, $shCte, $mhCte,
