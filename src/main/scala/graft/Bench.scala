@@ -73,6 +73,10 @@ object Bench {
     val stress =
       if (sys.env.get("SPARK_GRAFT_STRESS").contains("0")) "{}"
       else {
+        // drop the gate queries' persisted caches (dedup/IVF/ancestry
+        // indexes) first: stress builds its own corpora, and measuring
+        // it against a memory-starved session inflates variance
+        spark.catalog.clearCache()
         val res =
           try Stress.runDefault(spark)
           catch { case e: Throwable =>

@@ -241,6 +241,18 @@ object RelationalPack {
         .orderBy($"event_id")
     }),
 
+    // Ordered funnel: signup → first click strictly after → first
+    // purchase strictly after that — per-stage conditional min over a
+    // user-keyed join, all integer micros.
+    "fn1_funnel" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"user_id",
+        unix_micros($"ts").as("tus"), $"event_type")
+      graft.analyze.Funnel.ordered(e, "user_id", "tus", "event_type",
+          Seq("signup", "click", "purchase"))
+        .orderBy($"user_id")
+    }),
+
     // Multi-way dim join through the star schema (region→nation→customer
     // →orders→lineitem), revenue by region: the canonical broadcast chain.
     "q14_revenue_by_region" -> ((s, d) => {
@@ -394,6 +406,28 @@ object RelationalPack {
          |SELECT p_id AS event_id, user_id, tus AS ts_us,
          |  click_id, click_ts_us, tus - click_ts_us AS lag_us
          |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "fn1_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+         |s1 AS (SELECT user_id, min(tus) AS ts_1 FROM e
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |s2 AS (SELECT s1.user_id, ts_1,
+         |    min(CASE WHEN e.tus > ts_1 THEN e.tus END) AS ts_2
+         |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+         |    AND e.event_type = 'click'
+         |  GROUP BY s1.user_id, ts_1),
+         |s3 AS (SELECT s2.user_id, ts_1, ts_2,
+         |    min(CASE WHEN e.tus > ts_2 THEN e.tus END) AS ts_3
+         |  FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+         |    AND e.event_type = 'purchase'
+         |  GROUP BY s2.user_id, ts_1, ts_2)
+         |SELECT user_id, ts_1, ts_2, ts_3,
+         |  CAST((CASE WHEN ts_1 IS NOT NULL THEN 1 ELSE 0 END)
+         |    + (CASE WHEN ts_2 IS NOT NULL THEN 1 ELSE 0 END)
+         |    + (CASE WHEN ts_3 IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS stage
+         |FROM s3 ORDER BY user_id""".stripMargin,
 
     "q14_revenue_by_region" ->
       s"""SELECT r_name,

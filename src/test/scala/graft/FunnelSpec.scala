@@ -1,0 +1,37 @@
+package graft
+
+import graft.analyze.Funnel
+
+/** Ordered-funnel semantics: strict ordering between stages, chain
+  * breaks propagate, users without the first stage are absent.
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel stages require strictly increasing times") {
+    val events = Seq(
+      // user 1: full ordered chain
+      (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: click BEFORE signup, none after -> stage 1
+      (2L, 10L, "click"), (2L, 20L, "signup"), (2L, 5L, "purchase"),
+      // user 3: click ties signup exactly -> strict > excludes it
+      (3L, 10L, "signup"), (3L, 10L, "click"),
+      // user 4: purchase before the first valid click -> stage 2
+      (4L, 10L, "signup"), (4L, 30L, "click"), (4L, 20L, "purchase"),
+      // user 5: never signed up -> absent
+      (5L, 10L, "click"), (5L, 20L, "purchase"),
+      // user 1 noise: earlier click than the kept one, pre-signup
+      (1L, 5L, "click")
+    ).toDF("user_id", "tus", "event_type")
+    val got = Funnel.ordered(events, "user_id", "tus", "event_type",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getAs[Int]("stage")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L), 3)))
+    assert(got(2L) == ((Some(20L), None, None, 1)))
+    assert(got(3L) == ((Some(10L), None, None, 1)))
+    assert(got(4L) == ((Some(10L), Some(30L), None, 2)))
+  }
+}
