@@ -253,6 +253,17 @@ object RelationalPack {
         .orderBy($"user_id")
     }),
 
+    // Weekly cohort retention: cohort = week of first signup; retained
+    // = any activity in a later week. Integer week math in epoch micros.
+    "rt1_retention" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"user_id",
+        unix_micros($"ts").as("tus"), $"event_type")
+      graft.analyze.Retention.weeklyCohorts(e, "user_id", "tus",
+          "event_type", "signup")
+        .orderBy($"cohort_week", $"week_offset")
+    }),
+
     // Multi-way dim join through the star schema (region→nation→customer
     // →orders→lineitem), revenue by region: the canonical broadcast chain.
     "q14_revenue_by_region" -> ((s, d) => {
@@ -428,6 +439,21 @@ object RelationalPack {
          |    + (CASE WHEN ts_3 IS NOT NULL THEN 1 ELSE 0 END)
          |    AS INTEGER) AS stage
          |FROM s3 ORDER BY user_id""".stripMargin,
+
+    "rt1_retention" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+         |c AS (SELECT user_id,
+         |    min(tus) // ${graft.analyze.Retention.WeekUs} AS cohort_week
+         |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+         |a AS (SELECT DISTINCT user_id,
+         |    tus // ${graft.analyze.Retention.WeekUs} AS week FROM e)
+         |SELECT cohort_week, week - cohort_week AS week_offset,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM c JOIN a USING (user_id)
+         |WHERE week >= cohort_week
+         |GROUP BY cohort_week, week - cohort_week
+         |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q14_revenue_by_region" ->
       s"""SELECT r_name,

@@ -34,4 +34,30 @@ class FunnelSpec extends SparkSpec {
     assert(got(3L) == ((Some(10L), None, None, 1)))
     assert(got(4L) == ((Some(10L), Some(30L), None, 2)))
   }
+
+  test("weekly cohorts count distinct retained users per offset") {
+    import graft.analyze.Retention
+    val W = Retention.WeekUs
+    val events = Seq(
+      // cohort week 0: users 1, 2 sign up; 1 active weeks 0+1, 2 week 0
+      (1L, 0L * W + 5, "signup"), (1L, 1L * W + 9, "click"),
+      (2L, 0L * W + 7, "signup"),
+      // cohort week 1: user 3; active weeks 1 and 3; plus a pre-signup
+      // event in week 0 that must NOT count (negative offset)
+      (3L, 0L * W + 1, "click"),
+      (3L, 1L * W + 2, "signup"), (3L, 3L * W + 4, "purchase"),
+      // user 4 never signs up -> no cohort
+      (4L, 2L * W + 3, "view")
+    ).toDF("user_id", "tus", "event_type")
+    val got = Retention.weeklyCohorts(events, "user_id", "tus",
+        "event_type", "signup")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // users 1, 2 active in their signup week
+      (0L, 1L) -> 1L, // only user 1 returns
+      (1L, 0L) -> 1L, // user 3
+      (1L, 2L) -> 1L  // user 3 again two weeks later
+    ))
+  }
 }
