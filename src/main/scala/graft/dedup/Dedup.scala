@@ -193,6 +193,73 @@ object Dedup {
     jaccardOfPairs(cands, sh).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental near-dup routing for continuous ingestion: candidate
+    * pairs for a NEW batch of documents against a persisted corpus dedup
+    * index, plus first-occurrence pairs within the batch itself, each
+    * verified with exact Jaccard. The corpus pays nothing at batch time
+    * beyond the band equi-join probe and the candidate-routed shingle
+    * intersection — its shingle/band tables are the write-once index
+    * `DedupCache` persists (on a cluster, bucketed by (band, band_val) /
+    * doc_id so both probes co-locate without a shuffle). Batch-side
+    * shingles and bands are recomputed fresh, but the batch is the small
+    * side by construction.
+    *
+    * Output: (new_id, match_id, jaccard) — one row per candidate, where
+    * match_id is either a corpus doc or an EARLIER batch doc (id-order
+    * first-occurrence, so the batch's own duplicates are charged to
+    * their first copy, mirroring `paragraphDedup`'s keep-first rule).
+    * Corpus and batch id spaces must be disjoint.
+    */
+  def incrementalNearDups(newDocs: DataFrame, corpusShingles: DataFrame,
+      corpusBands: DataFrame, textCol: String, idCol: String, k: Int,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nsh = docShingles(newDocs, textCol, idCol, k).cache()
+    val nbands = lshBands(minhashSignatures(nsh, numHashes), rowsPerBand).cache()
+    val vsCorpus = nbands
+      .select(col("band"), col("band_val"), col("doc_id").as("new_id"))
+      .join(corpusBands
+        .select(col("band"), col("band_val"), col("doc_id").as("match_id")),
+        Seq("band", "band_val"))
+      .select(col("new_id"), col("match_id"))
+    val vsBatch = lshCandidates(nbands)
+      .select(col("b").as("new_id"), col("a").as("match_id"))
+    val cands = vsCorpus.unionByName(vsBatch).distinct()
+    // sizes come from the union shingle table: the corpus side of that
+    // aggregate is a doc_id-only columnar scan of the persisted index —
+    // at cluster scale the per-doc shingle count would simply be one
+    // more persisted index column, skipping the scan entirely
+    jaccardOfPairs(
+        cands.select(col("new_id").as("a"), col("match_id").as("b")),
+        nsh.unionByName(corpusShingles))
+      .select(col("a").as("new_id"), col("b").as("match_id"), col("jaccard"))
+  }
+
+  /** Per-new-doc ingest decision over `incrementalNearDups` output: the
+    * best verified match (highest Jaccard, smallest match id on ties —
+    * the repo-wide unique-id ordering contract), the candidate count,
+    * and the keep/drop flag a training pipeline acts on. Novel docs
+    * (no candidate in any shared band) surface with null best-match and
+    * is_dup = false.
+    */
+  def ingestVerdicts(newDocs: DataFrame, pairs: DataFrame, idCol: String,
+      minJaccard: Double): DataFrame = {
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id"))
+    val best = pairs
+      .withColumn("n_cands", count(lit(1)).over(perDoc))
+      .withColumn("rk", row_number().over(
+        perDoc.orderBy(col("jaccard").desc, col("match_id"))))
+      .filter(col("rk") === 1)
+      .select(col("new_id"), col("n_cands"),
+        col("jaccard").as("best_jaccard"), col("match_id").as("best_match"))
+    newDocs.select(col(idCol).as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        col("best_jaccard"), col("best_match"),
+        coalesce(col("best_jaccard") >= minJaccard, lit(false)).as("is_dup"))
+  }
+
   /** 60-bit SimHash per doc: bit i set iff sum over tokens of
     * tf * (bit_i(hash60(0, token)) ? 1 : -1) is positive.
     */

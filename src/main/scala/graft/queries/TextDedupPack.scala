@@ -33,6 +33,11 @@ object TextDedupPack {
     */
   val NearDupCopies = 250
   val NearDupIdOffset = 1000000L
+  /** ic1 ingest-batch id offset (disjoint from corpus doc ids at every
+    * SF) and the keep/drop Jaccard threshold.
+    */
+  val IncrIdOffset = 100000L
+  val IncrMinJaccard = 0.5
 
   private val subwordPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -145,6 +150,26 @@ object TextDedupPack {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)
+    }),
+
+    // Incremental ingest dedup: a derived NEW batch (verbatim copies of
+    // doc_id%10==1, 5-token-appended near-dups of %10==2, token-reversed
+    // novels of %10==3, ids offset into a disjoint space) routed against
+    // the PERSISTED corpus index plus first-occurrence within-batch
+    // pairs, then the per-doc keep/drop verdict. Banding and the exact
+    // Jaccard verify are both mirrored in the oracle, so the candidate
+    // set and the verdict match bit for bit.
+    "ic1_incremental_dedup" -> ((s, d) => {
+      val idx = graft.dedup.DedupCache.persisted(
+        s, d, ShingleK, NumHashes, RowsPerBand)
+      val nb = incrBatch(Tables.documents(s, d))
+      val pairs = Dedup.incrementalNearDups(nb, idx.shingles, idx.bands,
+        "text", "doc_id", ShingleK, NumHashes, RowsPerBand)
+      Dedup.ingestVerdicts(nb, pairs, "doc_id", IncrMinJaccard)
+        .select(col("new_id"), col("n_cands"),
+          round(col("best_jaccard"), 6).as("best_jaccard"),
+          col("best_match"), col("is_dup"))
+        .orderBy(col("new_id"))
     }),
 
     // SimHash 60-bit fingerprints.
@@ -414,6 +439,24 @@ object TextDedupPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
     }))
 
+  /** ic1 derived ingest batch: ids offset into a disjoint space; three
+    * deterministic flavors per source residue — verbatim copy (Jaccard
+    * 1.0), five appended tokens (Jaccard ≈ n/(n+5), above threshold),
+    * reversed token order (k-shingles destroyed → novel; any accidental
+    * band hit is still covered by the exact verify on both sides).
+    */
+  private def incrBatch(docs: DataFrame): DataFrame = {
+    val copies = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + IncrIdOffset).as("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 10 === 2)
+      .select((col("doc_id") + IncrIdOffset).as("doc_id"),
+        concat(col("text"), lit(" zq wq vq uq tq")).as("text"))
+    val novel = docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + IncrIdOffset).as("doc_id"),
+        concat_ws(" ", reverse(tokens(col("text")))).as("text"))
+    copies.unionByName(near).unionByName(novel)
+  }
+
   // ---- oracle SQL ----------------------------------------------------
 
   private val normDoc = normalizeSql("text")
@@ -541,6 +584,62 @@ object TextDedupPack {
          |JOIN sizes na ON na.doc_id = c.a
          |JOIN sizes nb ON nb.doc_id = c.b
          |ORDER BY jaccard DESC, c.a, c.b LIMIT 100""".stripMargin,
+
+    "ic1_incremental_dedup" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id + $IncrIdOffset AS doc_id, text
+         |    FROM documents WHERE doc_id % 10 = 1
+         |  UNION ALL
+         |  SELECT doc_id + $IncrIdOffset, text || ' zq wq vq uq tq'
+         |    FROM documents WHERE doc_id % 10 = 2
+         |  UNION ALL
+         |  SELECT doc_id + $IncrIdOffset,
+         |      array_to_string(list_reverse(string_split($normDoc, ' ')), ' ')
+         |    FROM documents WHERE doc_id % 10 = 3),
+         |ad AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM nd),
+         |tok AS (SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS toks
+         |  FROM ad),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks", ShingleK)}) AS shingle
+         |  FROM tok WHERE len(toks) >= $ShingleK),
+         |ab(h, a, b) AS (VALUES $abVals),
+         |mh AS (SELECT doc_id, CAST(ab.h AS INTEGER) AS h,
+         |    CAST(min((ab.a * (${PortableHash.hash60Sql("0", "shingle")} % ${graft.dedup.Dedup.MinhashM})
+         |      + ab.b) % ${graft.dedup.Dedup.MinhashP}) AS BIGINT) AS v
+         |  FROM sh CROSS JOIN ab GROUP BY doc_id, ab.h),
+         |bands AS (SELECT doc_id, CAST(h // $RowsPerBand AS INTEGER) AS band,
+         |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY h) AS band_val
+         |  FROM mh GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS match_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_val = y.band_val
+         |  WHERE x.doc_id >= $IncrIdOffset AND y.doc_id < x.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.new_id, c.match_id, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.new_id
+         |  JOIN sh s2 ON s2.doc_id = c.match_id AND s2.shingle = s1.shingle
+         |  GROUP BY c.new_id, c.match_id),
+         |scored AS (SELECT c.new_id, c.match_id,
+         |    CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |      / (na.n + nb.n - COALESCE(i.i, 0)) AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.new_id = c.new_id AND i.match_id = c.match_id
+         |  JOIN sizes na ON na.doc_id = c.new_id
+         |  JOIN sizes nb ON nb.doc_id = c.match_id),
+         |best AS (SELECT new_id,
+         |    CAST(COUNT(*) OVER (PARTITION BY new_id) AS BIGINT) AS n_cands,
+         |    jaccard, match_id,
+         |    row_number() OVER (PARTITION BY new_id
+         |      ORDER BY jaccard DESC, match_id) AS rk
+         |  FROM scored)
+         |SELECT n.doc_id AS new_id,
+         |  CAST(COALESCE(b.n_cands, 0) AS BIGINT) AS n_cands,
+         |  round(b.jaccard, 6) AS best_jaccard,
+         |  b.match_id AS best_match,
+         |  COALESCE(b.jaccard >= ${IncrMinJaccard}::DOUBLE, FALSE) AS is_dup
+         |FROM nd n LEFT JOIN best b ON b.new_id = n.doc_id AND b.rk = 1
+         |ORDER BY new_id""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH $toksCte,

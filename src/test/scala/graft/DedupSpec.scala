@@ -40,6 +40,31 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(exact.get.getAs[Double]("jaccard") - 1.0) < 1e-12)
   }
 
+  test("incremental dedup: corpus hit, within-batch first occurrence, novel") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs // ids 1..4
+    val csh = Dedup.docShingles(corpus, "text", "doc_id", 3)
+    val cbands = Dedup.lshBands(Dedup.minhashSignatures(csh, 12), 2)
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // copy of 1/2
+      (102L, "entirely novel sentence with its own private vocabulary here"),
+      (103L, "entirely novel sentence with its own private vocabulary here")
+    ).toDF("doc_id", "text") // 103 dups 102 within the batch only
+    val pairs = Dedup.incrementalNearDups(batch, csh, cbands,
+      "text", "doc_id", k = 3, numHashes = 12, rowsPerBand = 2)
+    val verdicts = Dedup.ingestVerdicts(batch, pairs, "doc_id", 0.5)
+      .collect().map(r => r.getAs[Long]("new_id") ->
+        ((r.getAs[Boolean]("is_dup"), Option(r.getAs[Any]("best_match"))))).toMap
+    // 101 matches corpus doc 1 (smallest id wins the jaccard-1.0 tie
+    // between 1 and 2); 102 is first occurrence so kept; 103 is charged
+    // to 102, its earlier in-batch copy
+    assert(verdicts(101L) == ((true, Some(1L))))
+    assert(verdicts(102L) == ((false, None)))
+    assert(verdicts(103L) == ((true, Some(102L))))
+    // pair rows never point a batch doc at a LATER batch doc
+    assert(pairs.filter(col("match_id") > col("new_id")).count() == 0)
+  }
+
   test("simhash: identical equal, near closer than far") {
     val sims = Dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
