@@ -1,0 +1,65 @@
+package graft.embed
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chunk-to-document embedding aggregation: mean-pool the chunk vectors
+  * of each group into one document-level vector, the standard way a
+  * training / retrieval pipeline derives doc embeddings before
+  * doc-level ANN, clustering, or near-dup.
+  *
+  * Determinism contract: float sums are order-dependent, so each
+  * component is quantized to integer micro-units FIRST and the
+  * per-(group, dim) sum is exact 64-bit integer math — order-free
+  * across partitions AND engines (the same trick as un1's micro-nat
+  * sums). The mean is then one double division plus one float cast
+  * from exact integers, so the pooled vector is bit-identical to the
+  * DuckDB mirror.
+  *
+  * Scale shape (100 TB): one map-side-combinable aggregate keyed by
+  * (group, dim) — rows explode ×dim but carry two longs each, partial
+  * aggregation collapses them before the shuffle, and no join is
+  * needed (the chunk count rides along as count(*) inside the same
+  * group). The final per-group assembly groups dim rows per doc —
+  * bounded by the dimension, never by corpus size.
+  */
+object Pooling {
+
+  /** Micro-units per float component (quantization step 1e-6). */
+  val QuantScale = 1000000L
+
+  /** One row per group: (grp, n_chunks, embedding float[dim]) where
+    * embedding[i] = float(sum(floor(e_i * 1e6)) / (n_chunks * 1e6)).
+    */
+  def meanPool(chunks: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    chunks
+      .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .withColumn("q",
+        floor(col("e").cast("double") * QuantScale).cast("long"))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n_chunks"))
+      .withColumn("v",
+        (col("sq").cast("double") / (col("n_chunks") * QuantScale)).cast("float"))
+      .groupBy(col("grp"), col("n_chunks"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("embedding"))
+      .select(col("grp"), col("n_chunks"), col("embedding"))
+
+  /** DuckDB mirror of `meanPool` as a CTE chain ending in
+    * `pooled(grp, n_chunks, embedding)`. `src` must provide (grp,
+    * embedding); `dim` is the fixed vector width.
+    */
+  def meanPoolSql(src: String, dim: Int): String =
+    s"""px AS (SELECT grp, CAST(i AS INTEGER) AS pos,
+       |    embedding[CAST(i AS INTEGER) + 1] AS e
+       |  FROM (SELECT grp, embedding, unnest(range(0, $dim)) AS i FROM $src)),
+       |pq AS (SELECT grp, pos,
+       |    CAST(sum(CAST(floor(CAST(e AS DOUBLE) * $QuantScale) AS BIGINT))
+       |      AS BIGINT) AS sq,
+       |    CAST(count(*) AS BIGINT) AS n_chunks
+       |  FROM px GROUP BY grp, pos),
+       |pooled AS (SELECT grp, n_chunks,
+       |    list(CAST(CAST(sq AS DOUBLE) / (n_chunks * $QuantScale) AS FLOAT)
+       |      ORDER BY pos) AS embedding
+       |  FROM pq GROUP BY grp, n_chunks)""".stripMargin
+}

@@ -38,6 +38,10 @@ object TextDedupPack {
     */
   val IncrIdOffset = 100000L
   val IncrMinJaccard = 0.5
+  /** ep1 pooled-doc group count (vec_id % PoolGroups ≈ 12+ chunks per
+    * doc at every SF).
+    */
+  val PoolGroups = 40L
 
   private val subwordPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -398,6 +402,21 @@ object TextDedupPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Chunk→doc mean-pooled embeddings (integer-quantized order-free
+    // component sums), then doc-level exact cosine top-k over the pooled
+    // vectors — the standard doc-embedding derivation before doc-level
+    // ANN/clustering. Pooled corpus is cached: it feeds both the corpus
+    // and query sides of the self-join (no CSE across self-joins).
+    "ep1_doc_pooling" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select((col("vec_id") % PoolGroups).as("doc"), col("embedding"))
+      val pooled = graft.embed.Pooling.meanPool(emb, "doc", "embedding").cache()
+      val q = pooled.filter(col("grp").isin(0L, 1L, 2L))
+        .select(col("grp").as("qid"), col("embedding").as("qvec"))
+      Knn.bruteForceTopK(pooled, "grp", "embedding", q, "qid", "qvec", 10)
+        .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
     // Scalar-quantized two-stage retrieval (the SQ in IVF_SQ,
     // vectors_backend.py:1316-1335): int8 codes + per-vector affine
     // (min, scale), approx rank over decoded codes, exact rerank of the
@@ -707,6 +726,22 @@ object TextDedupPack {
          |  FROM scored)
          |SELECT qid, id, round(sim, 6) AS sim, rank
          |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "ep1_doc_pooling" ->
+      s"""WITH ch AS (SELECT vec_id % $PoolGroups AS grp, embedding
+         |    FROM embeddings),
+         |${graft.embed.Pooling.meanPoolSql("ch", 64)},
+         |q AS (SELECT grp AS qid, embedding AS qvec FROM pooled
+         |  WHERE grp IN (0, 1, 2)),
+         |pscored AS (SELECT q.qid, e.grp AS id,
+         |    ${VectorFunctions.cosineSql("e.embedding", "q.qvec")} AS sim
+         |  FROM pooled e CROSS JOIN q WHERE e.grp <> q.qid),
+         |pranked AS (SELECT qid, id, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+         |      AS INTEGER) AS rank
+         |  FROM pscored)
+         |SELECT qid, id, round(sim, 6) AS sim, rank
+         |FROM pranked WHERE rank <= 10""".stripMargin,
 
     "a4_knn_quantized" ->
       s"""WITH enc AS (SELECT vec_id, embedding,
