@@ -48,6 +48,34 @@ object TextDedupPack {
   /** pd1 planted boilerplate paragraphs (no regex metachars, ASCII). */
   val BoilerHeader = "subscribe to our newsletter for updates"
   val BoilerFooter = "all rights reserved contact support"
+  /** bp1 document-frequency threshold: the planted header/footer land
+    * at df ≈ N/4 and N/6 (N ≥ 500 docs at every SF), organic 8-token
+    * chunks far below.
+    */
+  val MinDocsBoiler = 25
+
+  /** Shared pd1/bp1 fixture: documents re-shaped into multi-line texts
+    * (8-token windows, plus a boilerplate header on every 4th doc and
+    * footer on every 6th) — mirrored CTE-for-CTE by `paraFixtureCtes`.
+    */
+  private def paraFixture(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    Tables.documents(s, d)
+      .withColumn("_nt", size(toks))
+      .withColumn("_chunks",
+        transform(
+          sequence(lit(0), greatest(expr("(_nt - 1) div 8"), lit(0))),
+          i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")))
+      .select(col("doc_id"),
+        array_join(
+          concat(
+            when(col("doc_id") % 4 === 0, array(lit(BoilerHeader)))
+              .otherwise(array().cast("array<string>")),
+            col("_chunks"),
+            when(col("doc_id") % 6 === 0, array(lit(BoilerFooter)))
+              .otherwise(array().cast("array<string>"))),
+          "\n").as("text"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish subword regex count,
@@ -268,24 +296,21 @@ object TextDedupPack {
     // then each paragraph survives only at its globally-first
     // occurrence and docs are rebuilt. kept_text travels as sha256.
     "pd1_para_dedup" -> ((s, d) => {
-      val toks = TextFunctions.tokens(col("text"))
-      val fixture = Tables.documents(s, d)
-        .withColumn("_nt", size(toks))
-        .withColumn("_chunks",
-          transform(
-            sequence(lit(0), greatest(expr("(_nt - 1) div 8"), lit(0))),
-            i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")))
-        .select(col("doc_id"),
-          array_join(
-            concat(
-              when(col("doc_id") % 4 === 0, array(lit(BoilerHeader)))
-                .otherwise(array().cast("array<string>")),
-              col("_chunks"),
-              when(col("doc_id") % 6 === 0, array(lit(BoilerFooter)))
-                .otherwise(array().cast("array<string>"))),
-            "\n").as("text"))
-      graft.dedup.ParaDedup.dedupParagraphs(fixture, "doc_id", "text")
+      graft.dedup.ParaDedup.dedupParagraphs(paraFixture(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          sha2(col("kept_text"), 256).as("kept_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-wide frequent-line (boilerplate) removal: lines occurring
+    // in >= MinDocsBoiler distinct docs are stripped from EVERY doc
+    // (including the first occurrence — the complement of pd1's
+    // keep-first semantics). Same fixture as pd1: the planted header
+    // and footer cross the threshold, organic chunks don't.
+    "bp1_boiler_lines" -> ((s, d) => {
+      graft.dedup.FrequentLines.removeFrequentLines(
+          paraFixture(s, d), "doc_id", "text", MinDocsBoiler)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
           sha2(col("kept_text"), 256).as("kept_sha"))
         .orderBy(col("doc_id"))
     }),
@@ -481,6 +506,27 @@ object TextDedupPack {
   private val normDoc = normalizeSql("text")
   private val toksCte =
     s"tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks FROM documents)"
+
+  /** DuckDB mirror of `paraFixture`: CTE chain ending in
+    * `px(doc_id, paras)` and `p(doc_id, para_idx, para)`. Requires
+    * `toksCte` earlier in the WITH chain.
+    */
+  private val paraFixtureCtes =
+    s"""fx AS (SELECT doc_id,
+       |    list_transform(
+       |      generate_series(0, greatest((len(toks) - 1) // 8, 0)),
+       |      i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' '))
+       |      AS chunks
+       |  FROM tok),
+       |px AS (SELECT doc_id,
+       |    (CASE WHEN doc_id % 4 = 0 THEN ['$BoilerHeader']
+       |      ELSE CAST([] AS VARCHAR[]) END) ||
+       |    chunks ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN ['$BoilerFooter']
+       |      ELSE CAST([] AS VARCHAR[]) END) AS paras
+       |  FROM fx),
+       |p AS (SELECT doc_id, i AS para_idx, paras[i] AS para
+       |  FROM px, unnest(generate_series(1, len(paras))) AS t(i))""".stripMargin
   private val shCte =
     s"""sh AS (SELECT doc_id, unnest(${shinglesSql("toks", ShingleK)}) AS shingle
        |  FROM tok WHERE len(toks) >= $ShingleK)""".stripMargin
@@ -849,21 +895,7 @@ object TextDedupPack {
 
     "pd1_para_dedup" ->
       s"""WITH $toksCte,
-         |fx AS (SELECT doc_id,
-         |    list_transform(
-         |      generate_series(0, greatest((len(toks) - 1) // 8, 0)),
-         |      i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' '))
-         |      AS chunks
-         |  FROM tok),
-         |px AS (SELECT doc_id,
-         |    (CASE WHEN doc_id % 4 = 0 THEN ['$BoilerHeader']
-         |      ELSE CAST([] AS VARCHAR[]) END)
-         |    || chunks ||
-         |    (CASE WHEN doc_id % 6 = 0 THEN ['$BoilerFooter']
-         |      ELSE CAST([] AS VARCHAR[]) END) AS paras
-         |  FROM fx),
-         |p AS (SELECT doc_id, i AS para_idx, paras[i] AS para
-         |  FROM px, unnest(generate_series(1, len(paras))) AS t(i)),
+         |$paraFixtureCtes,
          |first AS (SELECT doc_id, para_idx, para FROM (
          |    SELECT *, row_number() OVER (PARTITION BY para
          |      ORDER BY doc_id, para_idx) AS rn
@@ -875,6 +907,24 @@ object TextDedupPack {
          |    CAST(count(*) AS INTEGER) AS n_kept
          |  FROM kept GROUP BY doc_id)
          |SELECT px.doc_id, CAST(len(paras) AS INTEGER) AS n_paras,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  sha256(coalesce(kept_text, '')) AS kept_sha
+         |FROM px LEFT JOIN rb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "bp1_boiler_lines" ->
+      s"""WITH $toksCte,
+         |$paraFixtureCtes,
+         |bdf AS (SELECT para, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM p WHERE para <> '' GROUP BY para),
+         |boiler AS (SELECT para FROM bdf WHERE df >= $MinDocsBoiler),
+         |kept AS (SELECT doc_id, para_idx, para FROM p
+         |  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.para = p.para)),
+         |rb AS (SELECT doc_id,
+         |    string_agg(para, chr(10) ORDER BY para_idx) AS kept_text,
+         |    CAST(count(*) AS INTEGER) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT px.doc_id, CAST(len(paras) AS INTEGER) AS n_lines,
          |  coalesce(n_kept, 0) AS n_kept,
          |  sha256(coalesce(kept_text, '')) AS kept_sha
          |FROM px LEFT JOIN rb USING (doc_id)

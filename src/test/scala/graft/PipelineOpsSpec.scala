@@ -109,6 +109,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(4L) == ((2, 0, "")))
   }
 
+  test("frequent-line removal strips boilerplate from every doc") {
+    import graft.dedup.FrequentLines
+    val docs = Seq(
+      (1L, "site banner\nunique one\n\nrare footer"),
+      (2L, "site banner\nunique two\nrare footer"),
+      (3L, "site banner\nsite banner\nunique three"),
+      (4L, "site banner")).toDF("doc_id", "text")
+    val df = FrequentLines.lineDf(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[String]("line") -> r.getAs[Long]("df")).toMap
+    // within-doc repeat counts once; blanks never counted
+    assert(df("site banner") == 4L)
+    assert(df("rare footer") == 2L)
+    assert(!df.contains(""))
+    val got = FrequentLines.removeFrequentLines(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_lines"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("kept_text")))).toMap
+    // unlike ParaDedup, the FIRST occurrence is removed too
+    assert(got(1L) == ((4, 3, "unique one\n\nrare footer")))
+    assert(got(2L) == ((3, 2, "unique two\nrare footer")))
+    assert(got(3L) == ((3, 1, "unique three")))
+    // all-boilerplate doc -> empty reconstruction, still present
+    assert(got(4L) == ((1, 0, "")))
+  }
+
+  test("frequent-line removal is invariant to input partitioning") {
+    import graft.dedup.FrequentLines
+    val docs = Seq(
+      (1L, "b\nx\nb"), (2L, "b\ny"), (3L, "b\nz"), (4L, "w\nb")
+    ).toDF("doc_id", "text")
+    val a = FrequentLines.removeFrequentLines(
+      docs.repartition(11), "doc_id", "text", 3).orderBy("doc_id").collect().toSeq
+    val b = FrequentLines.removeFrequentLines(
+      docs.coalesce(1), "doc_id", "text", 3).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getAs[String]("kept_text")) == Seq("x", "y", "z", "w"))
+  }
+
   test("sequence packing: segments tile blocks exactly") {
     import graft.text.Packing
     val docs = Seq((1L, 7), (2L, 10), (3L, 3), (4L, 0), (5L, 25))
