@@ -53,6 +53,11 @@ object TextDedupPack {
     * chunks far below.
     */
   val MinDocsBoiler = 25
+  /** tt1 split layout: 80/10/10 over 10000 hash buckets, keyed by a
+    * 20-way source-domain grouping so correlated docs co-assign.
+    */
+  val SplitLayout = Seq(("train", 8000), ("val", 1000), ("test", 1000))
+  val SplitDomains = 20L
 
   /** Shared pd1/bp1 fixture: documents re-shaped into multi-line texts
     * (8-token windows, plus a boilerplate header on every 4th doc and
@@ -313,6 +318,22 @@ object TextDedupPack {
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
           sha2(col("kept_text"), 256).as("kept_sha"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic leakage-safe train/val/test split: hash-bucket by a
+    // source-domain key (correlated docs co-assign; a doc's split never
+    // changes as the corpus grows), then profile docs + tokens per
+    // (split, domain). The assignment itself — not just proportions —
+    // is mirrored bit-for-bit via the portable hash.
+    "tt1_split_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("domain", col("doc_id") % SplitDomains)
+        .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+      graft.text.Splits.assign(docs, "domain", SplitLayout)
+        .groupBy(col("split"), col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("tok_sum"))
+        .orderBy(col("split"), col("domain"))
     }),
 
     // Sequence packing: concat-and-chop into 64-token context blocks
@@ -929,6 +950,19 @@ object TextDedupPack {
          |  sha256(coalesce(kept_text, '')) AS kept_sha
          |FROM px LEFT JOIN rb USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "tt1_split_profile" ->
+      s"""WITH $toksCte,
+         |dd AS (SELECT doc_id, doc_id % $SplitDomains AS domain,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM tok),
+         |sp AS (SELECT domain, n_tokens,
+         |    ${graft.text.Splits.assignSql("domain", SplitLayout)} AS split
+         |  FROM dd)
+         |SELECT split, domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+         |FROM sp GROUP BY split, domain
+         |ORDER BY split, domain""".stripMargin,
 
     "pk1_seq_packing" ->
       s"""WITH $toksCte,

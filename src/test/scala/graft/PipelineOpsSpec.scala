@@ -147,6 +147,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.map(_.getAs[String]("kept_text")) == Seq("x", "y", "z", "w"))
   }
 
+  test("split assignment matches the driver hash, is group-atomic and growth-stable") {
+    import graft.text.Splits
+    import graft.functions.PortableHash
+    val rows = (0L until 200L).map(i => (i, i % 7)).toDF("doc_id", "grp")
+    val layout = Seq(("train", 2), ("val", 1), ("test", 1))
+    val got = Splits.assign(rows.repartition(13), "grp", layout, buckets = 4, seed = 9)
+      .select("doc_id", "grp", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def expected(g: Long): String = {
+      val b = PortableHash.hash60Local("9", g.toString) % 4
+      if (b < 2) "train" else if (b < 3) "val" else "test"
+    }
+    got.foreach { case (_, g, s) => assert(s == expected(g)) }
+    // every doc sharing a group key lands in the same split
+    assert(got.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+    // growth stability: assignments over a subset are unchanged
+    val sub = Splits.assign(rows.filter(col("doc_id") < 50), "grp", layout,
+        buckets = 4, seed = 9)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = got.map(t => t._1 -> t._3).toMap
+    sub.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
   test("sequence packing: segments tile blocks exactly") {
     import graft.text.Packing
     val docs = Seq((1L, 7), (2L, 10), (3L, 3), (4L, 0), (5L, 25))
