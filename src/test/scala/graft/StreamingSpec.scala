@@ -83,6 +83,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest dedups each batch against the ever-growing index") {
+    withTempDir { dir =>
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.IngestStream
+      import graft.streaming.IngestStream.IncomingDoc
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text")
+      val cp = dir.resolve("corpus").toString
+      val shp = dir.resolve("shingles").toString
+      val bp = dir.resolve("bands").toString
+      val rp = dir.resolve("rejects").toString
+      IngestStream.initIndex(spark, corpus, cp, shp, bp, 3, 12, 2)
+      val in = MemoryStream[IncomingDoc]
+      val q = IngestStream.start(in.toDF(), cp, shp, bp, rp,
+        3, 12, 2, 0.5, Trigger.ProcessingTime("50 milliseconds"))
+      try {
+        // 101 near-copies the corpus doc; 102 is novel; 103 near-copies
+        // 102 WITHIN the batch (charged to the first occurrence)
+        in.addData(
+          IncomingDoc(101L,
+            "the quick brown fox jumps over the lazy dog today again"),
+          IncomingDoc(102L,
+            "completely different words about spark structured streaming pipelines"),
+          IncomingDoc(103L,
+            "completely different words about spark structured streaming pipelines yes"))
+        q.processAllAvailable()
+        // 201 near-copies 102 — only a dup if the index grew with batch 1
+        in.addData(IncomingDoc(201L,
+          "completely different words about spark structured streaming pipelines indeed"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val corpusIds = spark.read.parquet(cp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(corpusIds == Set(1L, 102L))
+      val rejects = spark.read.parquet(rp).collect()
+        .map(r => r.getAs[Long]("new_id") -> r.getAs[Long]("best_match")).toMap
+      assert(rejects == Map(101L -> 1L, 103L -> 102L, 201L -> 102L))
+      // the dedup index itself grew with the kept doc
+      val idxDocs = spark.read.parquet(shp)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(idxDocs == Set(1L, 102L))
+    }
+  }
+
   test("windowed event-rate aggregation with watermark (streamed parquet)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
