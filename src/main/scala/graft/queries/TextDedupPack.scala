@@ -58,6 +58,12 @@ object TextDedupPack {
     */
   val SplitLayout = Seq(("train", 8000), ("val", 1000), ("test", 1000))
   val SplitDomains = 20L
+  /** cp1 planted-duplicate id shift (multiple of SplitDomains so the
+    * copy shares its original's domain) and the min-token floor docs
+    * must clear after boilerplate stripping.
+    */
+  val DupIdOffset = 10000L
+  val MinPipeTokens = 16
 
   /** Shared pd1/bp1 fixture: documents re-shaped into multi-line texts
     * (8-token windows, plus a boilerplate header on every 4th doc and
@@ -334,6 +340,34 @@ object TextDedupPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens").cast("long")).as("tok_sum"))
         .orderBy(col("split"), col("domain"))
+    }),
+
+    // The composed corpus-assembly pipeline, ONE plan end to end:
+    // corpus with planted exact duplicates → frequent-line boilerplate
+    // strip (bp1) → exact dedup keep-first on the stripped text →
+    // min-token filter → leakage-safe split assignment (tt1) →
+    // sequence-pack the train split into 64-token blocks (pk1). Every
+    // stage mirrored in the oracle — this is the "a user could run
+    // their whole preprocessing job on this engine" proof.
+    "cp1_corpus_pipeline" -> ((s, d) => {
+      val base = paraFixture(s, d)
+      val ext = base.unionByName(
+        base.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + DupIdOffset))
+      val stripped = graft.dedup.FrequentLines
+        .removeFrequentLines(ext, "doc_id", "text", MinDocsBoiler)
+      val w = Window.partitionBy(col("kept_text")).orderBy(col("doc_id"))
+      val uniq = stripped.filter(col("n_kept") > 0)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      val toked = uniq.select(col("doc_id"),
+          size(TextFunctions.tokens(col("kept_text"))).as("n_tokens"))
+        .filter(col("n_tokens") >= MinPipeTokens)
+        .withColumn("domain", col("doc_id") % SplitDomains)
+      val train = graft.text.Splits.assign(toked, "domain", SplitLayout)
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens"))
+      graft.text.Packing.packIntoBlocks(train, "doc_id", "n_tokens", 64)
+        .orderBy(col("doc_id"), col("block_id"))
     }),
 
     // Sequence packing: concat-and-chop into 64-token context blocks
@@ -963,6 +997,46 @@ object TextDedupPack {
          |  CAST(sum(n_tokens) AS BIGINT) AS tok_sum
          |FROM sp GROUP BY split, domain
          |ORDER BY split, domain""".stripMargin,
+
+    "cp1_corpus_pipeline" ->
+      s"""WITH $toksCte,
+         |$paraFixtureCtes,
+         |ex AS (SELECT doc_id, paras FROM px
+         |  UNION ALL
+         |  SELECT doc_id + $DupIdOffset, paras FROM px WHERE doc_id % 5 = 0),
+         |pl AS (SELECT doc_id, i AS line_idx, paras[i] AS line
+         |  FROM ex, unnest(generate_series(1, len(paras))) AS t(i)),
+         |boiler AS (SELECT line FROM (
+         |    SELECT line, count(DISTINCT doc_id) AS df
+         |    FROM pl WHERE line <> '' GROUP BY line) WHERE df >= $MinDocsBoiler),
+         |kept AS (SELECT doc_id, line_idx, line FROM pl
+         |  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = pl.line)),
+         |rb AS (SELECT doc_id,
+         |    string_agg(line, chr(10) ORDER BY line_idx) AS kept_text
+         |  FROM kept GROUP BY doc_id),
+         |uq AS (SELECT doc_id, kept_text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY kept_text
+         |      ORDER BY doc_id) AS rn FROM rb) WHERE rn = 1),
+         |tk AS (SELECT doc_id,
+         |    CAST(len(${tokensSql("kept_text")}) AS INTEGER) AS n_tokens
+         |  FROM uq),
+         |fl AS (SELECT doc_id, n_tokens, doc_id % $SplitDomains AS domain
+         |  FROM tk WHERE n_tokens >= $MinPipeTokens),
+         |tr AS (SELECT doc_id, n_tokens FROM fl
+         |  WHERE ${graft.text.Splits.assignSql("domain", SplitLayout)} = 'train'),
+         |c2 AS (SELECT doc_id, n_tokens,
+         |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_offset
+         |  FROM tr WHERE n_tokens > 0),
+         |b2 AS (SELECT doc_id, n_tokens, tok_offset,
+         |    unnest(generate_series(tok_offset // 64,
+         |      (tok_offset + n_tokens - 1) // 64)) AS block_id
+         |  FROM c2)
+         |SELECT doc_id, n_tokens, tok_offset, block_id,
+         |  CAST(least(tok_offset + n_tokens, (block_id + 1) * 64)
+         |    - greatest(tok_offset, block_id * 64) AS BIGINT) AS seg_tokens
+         |FROM b2 ORDER BY doc_id, block_id""".stripMargin,
 
     "pk1_seq_packing" ->
       s"""WITH $toksCte,
