@@ -128,6 +128,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful streaming sessionization: gap-close, timeout-close, open stays") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionStream
+    import graft.streaming.SessionStream.{Session, SessionEvent}
+    // offset from epoch 0: the initial watermark IS epoch 0 and an
+    // event exactly at it is dropped as late
+    val base = 1440L
+    val min = 60L * 1000L
+    def ev(u: Long, id: Long, m: Long, v: Double) =
+      SessionEvent(u, id, new Timestamp((base + m) * min), v)
+    val in = MemoryStream[SessionEvent]
+    val q = SessionStream.sessionize(in.toDS(), gapUs = 30L * 60 * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    try {
+      in.addData(ev(1L, 1L, 0L, 1.5), ev(1L, 2L, 10L, 2.25), ev(2L, 4L, 5L, 1.0))
+      q.processAllAvailable()
+      // 60min closes user 1's first session mid-stream; 100min closes user 2's
+      in.addData(ev(1L, 3L, 60L, 0.5), ev(2L, 5L, 100L, 2.0))
+      q.processAllAvailable()
+      // watermark jumps to 300min: the sessions open at 60/100min time out;
+      // user 3's own session stays open (300+30 not passed)
+      in.addData(ev(3L, 6L, 300L, 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM sessions").as[Session].collect()
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us,
+        s.n_events, s.sum_value)).toSet
+    val us = (m: Long) => (base + m) * 60L * 1000000L
+    assert(got == Set(
+      (1L, us(0), us(10), 2L, 3.75),
+      (1L, us(60), us(60), 1L, 0.5),
+      (2L, us(5), us(5), 1L, 1.0),
+      (2L, us(100), us(100), 1L, 2.0)))
+  }
+
   test("windowed event-rate aggregation with watermark (streamed parquet)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
