@@ -527,6 +527,28 @@ object TextDedupPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Cluster diagnostics over the persisted IVF layout: per cluster,
+    // the member count, mean cosine-to-centroid cohesion (micro-unit
+    // integer sum so the distributed mean is order-free), and the
+    // medoid (closest member, id tiebreak). The corpus-organization
+    // view a training pipeline reads before sampling per topic.
+    "cl1_cluster_profile" -> ((s, d) => {
+      val idx = graft.ann.IvfCache.persisted(s, d)
+      val j = idx.assigned
+        .join(broadcast(idx.centroids), Seq("cluster_id"))
+        .withColumn("q",
+          floor(VectorFunctions.cosine(col("vec"), col("centroid")) * 1000000L)
+            .cast("long"))
+      j.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("q")).cast("double") / (count(lit(1)) * 1000000L), 6)
+            .as("avg_cohesion"),
+          min(struct((-col("q")).as("negq"), col("id"))).as("m"))
+        .select(col("cluster_id"), col("n_vecs"), col("avg_cohesion"),
+          col("m.id").as("medoid_id"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Sign-LSH bucketed ANN with multi-probe (scale path) — fully
     // oracle-checked: the hyperplane signs are portable (see
     // signBucketSql), so DuckDB reproduces buckets, probes, and ranks.
@@ -1223,13 +1245,13 @@ object TextDedupPack {
     * records the weaker rows-only check (the pre-r4 behavior).
     */
   private def a3Oracle: Map[String, String] =
-    graft.ann.IvfCache.lastCentroids.map { cents =>
+    graft.ann.IvfCache.lastCentroids.toSeq.flatMap { cents =>
       val vals = cents.map { case (cid, vec) =>
         s"($cid, [${vec.mkString(", ")}]::FLOAT[])"
       }.mkString(", ")
       val probeDist = VectorFunctions.l2sqSql("c.centroid", "q.qvec")
       val assignDist = VectorFunctions.l2sqSql("c.centroid", "e.embedding")
-      "a3_knn_ivf" ->
+      Seq("a3_knn_ivf" ->
         s"""WITH cent(cluster_id, centroid) AS (VALUES $vals),
            |q AS (SELECT vec_id AS qid, embedding AS qvec
            |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -1254,7 +1276,31 @@ object TextDedupPack {
            |      AS INTEGER) AS rank
            |  FROM cand)
            |SELECT qid, id, round(sim, 6) AS sim, rank
-           |FROM ranked WHERE rank <= 10""".stripMargin
+           |FROM ranked WHERE rank <= 10""".stripMargin,
+
+      "cl1_cluster_profile" ->
+        s"""WITH cent(cluster_id, centroid) AS (VALUES $vals),
+           |assign AS (SELECT vec_id AS id, embedding AS vec, cluster_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cluster_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $assignDist, c.cluster_id) AS rn
+           |    FROM embeddings e CROSS JOIN cent c)
+           |  WHERE rn = 1),
+           |j AS (SELECT a.cluster_id, a.id,
+           |    CAST(floor(${VectorFunctions.cosineSql("a.vec", "c.centroid")}
+           |      * 1000000) AS BIGINT) AS q
+           |  FROM assign a JOIN cent c USING (cluster_id)),
+           |med AS (SELECT cluster_id, id AS medoid_id FROM (
+           |    SELECT cluster_id, id, row_number() OVER (
+           |      PARTITION BY cluster_id ORDER BY q DESC, id) AS rn
+           |    FROM j) WHERE rn = 1),
+           |agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           |    round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000000), 6)
+           |      AS avg_cohesion
+           |  FROM j GROUP BY cluster_id)
+           |SELECT a.cluster_id, a.n_vecs, a.avg_cohesion, m.medoid_id
+           |FROM agg a JOIN med m USING (cluster_id)
+           |ORDER BY a.cluster_id""".stripMargin)
     }.toMap
 
   /** DuckDB mirror of `Knn.signBucket`: per hyperplane, the double dot is
