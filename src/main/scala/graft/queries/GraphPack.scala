@@ -45,7 +45,26 @@ object GraphPack {
       |  UNION ALL
       |  SELECT 'S' || s_suppkey, 'N' || s_nationkey, 'LOCATED_IN' FROM supplier)""".stripMargin
 
+  /** pr1 synthetic link graph: 60 nodes, edges doc_id%60 → (7·doc_id+3)%60. */
+  val PrNodes = 60L
+  val PrIters = 3
+
+  private def prEdges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+        (col("doc_id") % PrNodes).as("src"),
+        ((col("doc_id") * 7 + 3) % PrNodes).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Integer-exact PageRank (fixed 3 iterations, micro-unit damping
+    // arithmetic — order-free sums, so the oracle chains the SAME
+    // iterations as CTEs with zero float drift). Link-structure entity
+    // importance beside the churn/complexity hotspot analytics.
+    "pr1_pagerank" -> ((s, d) => {
+      graft.graph.PageRank.integerPageRank(prEdges(s, d), PrIters)
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
     // A17: counts per relation type + distinct node counts.
     "g1_kg_stats" -> ((s, d) => {
       edges(s, d)
@@ -362,7 +381,32 @@ object GraphPack {
       concat(lit("Processes "), col("lang"), lit(" documents batch"),
         col("doc_id") % 5, lit(" quickly. Ignored tail.")).as("docstring"))
 
+  /** pr1 iteration CTEs: the exact integer damping update, chained. */
+  private def prIterCtes(n: Int): String =
+    (1 to n).map { i =>
+      s"""p$i AS (SELECT nn.node,
+         |    CAST(150000 + (85 * coalesce(t.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(p${i - 1}.pr // od.outdeg) AS BIGINT) AS s
+         |    FROM e JOIN od USING (src)
+         |    JOIN p${i - 1} ON p${i - 1}.node = e.src
+         |    GROUP BY e.dst) t ON nn.node = t.node)""".stripMargin
+    }.mkString(",\n")
+
   def oracles: Map[String, String] = Map(
+    "pr1_pagerank" ->
+      s"""WITH e AS (SELECT DISTINCT doc_id % $PrNodes AS src,
+         |    (doc_id * 7 + 3) % $PrNodes AS dst
+         |  FROM documents WHERE doc_id % $PrNodes <> (doc_id * 7 + 3) % $PrNodes),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM e GROUP BY src),
+         |nn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nn),
+         |${prIterCtes(PrIters)}
+         |SELECT node, pr FROM p$PrIters
+         |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
     "g1_kg_stats" ->
       s"""WITH $edgesSql
          |SELECT rel_type, COUNT(*) AS n_edges,
