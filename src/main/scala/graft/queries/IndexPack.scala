@@ -70,6 +70,22 @@ object IndexPack {
     "ks AS (SELECT DISTINCT CAST(doc_id % 60 AS INTEGER) AS k FROM documents)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSONL sink + source round trip — the interchange format LLM
+    // corpora actually ship in. Write documents as JSON lines, read
+    // them back under the explicit schema, and prove the text is
+    // byte-lossless via sha256: what's really under test is the JSON
+    // escaping path (quotes, control chars, non-ASCII).
+    "js1_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = s"target/jsonl/${java.lang.Long.toHexString(
+        graft.functions.PortableHash.hash60Local("jsonl", d))}"
+      docs.write.mode("overwrite").json(path)
+      s.read.schema(docs.schema).json(path)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          sha2(col("text"), 256).as("text_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
     // J4: hash-based change detection — changed + torn + moved-target +
     // new paths all must reindex.
     "j4_changed_files" -> ((s, d) => {
@@ -186,6 +202,10 @@ object IndexPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "js1_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "j4_changed_files" ->
       s"""WITH $ksSql,
          |disk AS ($diskSql),
