@@ -401,6 +401,15 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram LM with add-one smoothing in micro-nats: catches the
+    // word-salad docs unigram scoring misses (common tokens, improbable
+    // sequences). Same order-free integer-sum contract as un1.
+    "bg1_bigram_lm" -> ((s, d) => {
+      graft.text.BigramLm.scoreDocs(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic global shuffle: reproducible training order with
     // global positions via the distributed prefix sum (unit weights) —
     // no single-partition row_number.
@@ -1100,6 +1109,27 @@ object TextDedupPack {
          |    CAST(floor(ln(cnt::DOUBLE / total) * 1000000) AS BIGINT) AS qn
          |  FROM occ JOIN uni USING (t) CROSS JOIN tt)
          |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |  CAST(sum(qn) AS BIGINT) AS sum_micro_nats,
+         |  round(CAST(sum(qn) AS DOUBLE) / count(*) / 1000000, 6)
+         |    AS avg_logprob
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bg1_bigram_lm" ->
+      s"""WITH $toksCte,
+         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM (
+         |    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |    FROM tok WHERE len(toks) >= 2)),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2
+         |  FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cnt1
+         |  FROM bg GROUP BY w1),
+         |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
+         |  FROM (SELECT unnest(toks) AS t FROM tok)),
+         |q AS (SELECT doc_id,
+         |    CAST(floor(ln((cnt2::DOUBLE + 1) / (cnt1 + vocab)) * 1000000)
+         |      AS BIGINT) AS qn
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
          |  CAST(sum(qn) AS BIGINT) AS sum_micro_nats,
          |  round(CAST(sum(qn) AS DOUBLE) / count(*) / 1000000, 6)
          |    AS avg_logprob

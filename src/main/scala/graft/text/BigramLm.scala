@@ -1,0 +1,57 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model quality scoring with add-one smoothing — the
+  * conditional-probability upgrade of [[UnigramLm]] (CCNet/KenLM
+  * lineage: documents whose token SEQUENCES are improbable under the
+  * corpus model score low even when every individual token is common,
+  * which is exactly the word-salad failure mode unigram scoring
+  * misses).
+  *
+  * score(doc) = Σ ln P(w_i | w_{i-1}),
+  * P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V).
+  *
+  * Determinism: the same micro-nat trick as un1 — each occurrence's
+  * log-prob is quantized to `floor(ln(p) * 1e6)` BEFORE the per-doc
+  * integer sum, so the aggregate is order-free across partitions and
+  * engines.
+  *
+  * Scale: bigram occurrences explode once; the bigram and context
+  * count tables are corpus-scale keyed tables joined back on their
+  * keys (hash joins, NOT broadcast — a 100 TB corpus's bigram table
+  * dwarfs an executor). Only the scalar vocabulary size is broadcast.
+  */
+object BigramLm {
+
+  /** One row per document with ≥2 tokens: `doc_id`, `n_bigrams`,
+    * `sum_micro_nats`, `avg_logprob` (nats, rounded to 6).
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toked = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val bg = toked.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] as w1, toks[i + 1] as w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+    val vocab = toked.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("vocab"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("qn",
+        floor(log((col("cnt2").cast("double") + 1) / (col("cnt1") + col("vocab")))
+          * UnigramLm.MicroNats).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(col("qn")).as("sum_micro_nats"))
+      .withColumn("avg_logprob",
+        round(col("sum_micro_nats").cast("double") / col("n_bigrams")
+          / UnigramLm.MicroNats, 6))
+  }
+}

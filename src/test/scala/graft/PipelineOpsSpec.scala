@@ -233,6 +233,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("bigram LM scoring matches a driver-side exact computation") {
+    import graft.text.BigramLm
+    val fixture = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat the cat"),
+      (3L, "zebra"),
+      (4L, "on the mat"))
+    val got = BigramLm.scoreDocs(fixture.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_bigrams"), r.getAs[Long]("sum_micro_nats")))).toMap
+    def toks(s: String) = s.split(" ").toSeq
+    val bgs = fixture.flatMap { case (id, t) =>
+      toks(t).sliding(2).filter(_.size == 2).map(p => (id, p(0), p(1))) }
+    val c2 = bgs.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bgs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val vocab = fixture.flatMap(t => toks(t._2)).distinct.size.toLong
+    val expSum = bgs.groupBy(_._1).map { case (id, bs) =>
+      id -> bs.map(b => math.floor(math.log(
+        (c2((b._2, b._3)).toDouble + 1) / (c1(b._2) + vocab)) * 1e6).toLong).sum
+    }
+    got.foreach { case (id, (_, s)) => assert(s == expSum(id)) }
+    // single-token doc has no bigrams and is excluded
+    assert(!got.contains(3L))
+    assert(got(1L)._1 == 5)
+  }
+
   test("shuffle ranks are a deterministic permutation, not id order") {
     import graft.text.Mixing
     val df = (0L until 500L).toDF("doc_id")
