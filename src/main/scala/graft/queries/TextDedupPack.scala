@@ -351,9 +351,13 @@ object TextDedupPack {
     // their whole preprocessing job on this engine" proof.
     "cp1_corpus_pipeline" -> ((s, d) => {
       val base = paraFixture(s, d)
+      // materialize the synthesized fixture once: FrequentLines reads
+      // its input twice (df count + line pass) and the tokenize/chunk
+      // synthesis is the most expensive expression in the chain
       val ext = base.unionByName(
         base.filter(col("doc_id") % 5 === 0)
           .withColumn("doc_id", col("doc_id") + DupIdOffset))
+        .localCheckpoint(true)
       val stripped = graft.dedup.FrequentLines
         .removeFrequentLines(ext, "doc_id", "text", MinDocsBoiler)
       val w = Window.partitionBy(col("kept_text")).orderBy(col("doc_id"))
@@ -1121,8 +1125,8 @@ object TextDedupPack {
          |    FROM tok WHERE len(toks) >= 2)),
          |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2
          |  FROM bg GROUP BY w1, w2),
-         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cnt1
-         |  FROM bg GROUP BY w1),
+         |c1 AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1
+         |  FROM c2 GROUP BY w1),
          |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
          |  FROM (SELECT unnest(toks) AS t FROM tok)),
          |q AS (SELECT doc_id,

@@ -38,7 +38,9 @@ object BigramLm {
           "i -> struct(toks[i] as w1, toks[i + 1] as w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+    // context counts roll up from the bigram table — a pass over the
+    // (much smaller) distinct-bigram relation, not the occurrences
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))
     val vocab = toked.select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("vocab"))
     bg.join(c2, Seq("w1", "w2"))
