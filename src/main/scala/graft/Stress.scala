@@ -139,7 +139,35 @@ object Stress {
   def paraDedupStress(spark: SparkSession, n: Long): (Double, Long) = {
     val docs = synthParaDocs(spark, n)
     timed {
-      graft.dedup.ParaDedup.dedupParagraphs(docs, "doc_id", "text").count()
+      // sum a RIGHT-side column of the final join: a bare count() lets
+      // Catalyst eliminate the unique-key left join — and with it the
+      // entire dedup window — measuring nothing
+      graft.dedup.ParaDedup.dedupParagraphs(docs, "doc_id", "text")
+        .agg(coalesce(sum(col("n_kept")), lit(0L))).head().getLong(0)
+    }
+  }
+
+  /** bg1 family: bigram explode (×29 rows/doc), distinct-bigram count
+    * table (vocabulary grows with the corpus — the Heaps-law shape),
+    * keyed join back, integer micro-nat agg.
+    */
+  def bigramStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val docs = synthDocs(spark, n)
+    timed {
+      graft.text.BigramLm.scoreDocs(docs, "doc_id", "text").count()
+    }
+  }
+
+  /** ep1 family: chunk→doc mean pooling — posexplode ×64 dims, one
+    * map-side-combinable (group, dim) integer aggregate, per-doc
+    * assembly bounded by the dimension.
+    */
+  def poolStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val groups = math.max(1L, n / 12L)
+    val emb = synthEmbeddings(spark, n)
+      .select((col("vec_id") % groups).as("doc"), col("embedding"))
+    timed {
+      graft.embed.Pooling.meanPool(emb, "doc", "embedding").count()
     }
   }
 
@@ -287,6 +315,8 @@ object Stress {
       val (fullT, diffT) = diffKgStress(spark, 2000L * f)
       val (lmT, _) = lmScoreStress(spark, docsN)
       val (paraT, _) = paraDedupStress(spark, docsN)
+      val (bgT, _) = bigramStress(spark, docsN)
+      val (poolT, _) = poolStress(spark, docsN)
       dedup ++ Seq(
         s"x${f}_hb1_batch" -> searchT,
         s"x${f}_j11_doclinks" -> linksT,
@@ -294,6 +324,8 @@ object Stress {
         s"x${f}_g12_full" -> fullT,
         s"x${f}_g12_diff" -> diffT,
         s"x${f}_un1_lmscore" -> lmT,
-        s"x${f}_pd1_paradedup" -> paraT)
+        s"x${f}_pd1_paradedup" -> paraT,
+        s"x${f}_bg1_bigram" -> bgT,
+        s"x${f}_ep1_pooling" -> poolT)
     }
 }

@@ -106,6 +106,38 @@ object RelationalPack {
         .limit(300)
     }),
 
+    // Deequ-style constraint guardrails: unique key, referential
+    // integrity, row-level range/domain invariants, non-null — each a
+    // violation count a pipeline gates on. Violations are PLANTED
+    // (duplicated keys with an orphan FK and a negative price) so the
+    // detectors are exercised, not just trivially zero.
+    "rc1_constraints" -> ((s, d) => {
+      import graft.analyze.DataQuality
+      val orders = Tables.orders(s, d)
+      val planted = orders.filter(col("o_orderkey") % 997 === 7)
+        .withColumn("o_custkey", lit(-1L))
+        .withColumn("o_totalprice", lit(-5.0))
+      val checked = orders.unionByName(planted)
+      DataQuality.summarize(Seq(
+        "orders_pk_unique" ->
+          DataQuality.duplicateKeys(checked, Seq("o_orderkey")),
+        "orders_fk_customer" ->
+          DataQuality.orphans(checked, "o_custkey",
+            Tables.customer(s, d), "c_custkey"),
+        "orders_price_positive" ->
+          DataQuality.violating(checked, col("o_totalprice") > 0),
+        "orders_status_domain" ->
+          DataQuality.violating(checked,
+            col("o_orderstatus").isin("O", "F", "P")),
+        "lineitem_qty_range" ->
+          DataQuality.violating(Tables.lineitem(s, d),
+            col("l_quantity") > 0 && col("l_quantity") <= 50),
+        "customer_name_nonnull" ->
+          DataQuality.nulls(Tables.customer(s, d), "c_name")))
+        .withColumnRenamed("check", "chk")
+        .orderBy(col("chk"))
+    }),
+
     // Semi-join (EXISTS): orders having a returned line.
     "q7_orders_with_returns" -> ((s, d) => {
       import s.implicits._
@@ -327,6 +359,39 @@ object RelationalPack {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderdate < TIMESTAMP '1996-01-01')
         |ORDER BY c_custkey LIMIT 300""".stripMargin,
+
+    "rc1_constraints" ->
+      """WITH planted AS (SELECT o_orderkey, CAST(-1 AS BIGINT) AS o_custkey,
+        |    o_orderstatus, CAST(-5.0 AS DOUBLE) AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 997 = 7),
+        |checked AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority FROM orders
+        |  UNION ALL SELECT * FROM planted)
+        |SELECT chk, violations FROM (
+        |  SELECT 'orders_pk_unique' AS chk, CAST((SELECT count(*)
+        |    FROM checked WHERE o_orderkey IN (SELECT o_orderkey
+        |      FROM checked GROUP BY o_orderkey HAVING count(*) > 1))
+        |    AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer', CAST((SELECT count(*) FROM checked
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |    AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders_price_positive', CAST((SELECT count(*) FROM checked
+        |    WHERE NOT coalesce(o_totalprice > 0, FALSE)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders_status_domain', CAST((SELECT count(*) FROM checked
+        |    WHERE NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE))
+        |    AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range', CAST((SELECT count(*) FROM lineitem
+        |    WHERE NOT coalesce(l_quantity > 0 AND l_quantity <= 50, FALSE))
+        |    AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'customer_name_nonnull', CAST((SELECT count(*) FROM customer
+        |    WHERE c_name IS NULL) AS BIGINT))
+        |ORDER BY chk""".stripMargin,
 
     "q7_orders_with_returns" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
