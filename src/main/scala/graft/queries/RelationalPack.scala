@@ -106,6 +106,29 @@ object RelationalPack {
         .limit(300)
     }),
 
+    // OLAP rollup: subtotal lattice over (returnflag, linestatus) with
+    // grouping_id disambiguating the levels — Spark's rollup mirrored
+    // by DuckDB GROUP BY ROLLUP + GROUPING().
+    "rb1_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_lines"),
+          moneySum($"l_quantity").cast("double").as("sum_qty"))
+        .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+    }),
+
+    // Pivot: per-source language histogram as wide columns (absent
+    // combinations zero-filled), mirrored by conditional aggregation.
+    "pv1_pivot" -> ((s, d) => {
+      Tables.documents(s, d).groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("source"))
+    }),
+
     // Deequ-style constraint guardrails: unique key, referential
     // integrity, row-level range/domain invariants, non-null — each a
     // violation count a pipeline gates on. Violations are PLANTED
@@ -359,6 +382,23 @@ object RelationalPack {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderdate < TIMESTAMP '1996-01-01')
         |ORDER BY c_custkey LIMIT 300""".stripMargin,
+
+    "rb1_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+         |  COUNT(*) AS n_lines,
+         |  CAST(${moneySumSql("l_quantity")} AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "pv1_pivot" ->
+      """SELECT source,
+        |  CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+        |  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+        |  CAST(count(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+        |  CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+        |  CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "rc1_constraints" ->
       """WITH planted AS (SELECT o_orderkey, CAST(-1 AS BIGINT) AS o_custkey,
