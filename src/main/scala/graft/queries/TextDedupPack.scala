@@ -374,6 +374,30 @@ object TextDedupPack {
         .orderBy(col("doc_id"), col("block_id"))
     }),
 
+    // Length-curriculum decile buckets WITHOUT a global window: the
+    // 1-based global position comes from the distributed two-pass
+    // prefix sum over unit weights, the decile is pure arithmetic on
+    // (pos, N). The oracle may use a window (single-node DuckDB); the
+    // engine side must not (PlanAuditSpec enforces it).
+    "nt1_length_deciles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+        .withColumn("one", lit(1))
+      val pos = graft.text.Sampling.globalRunningSum(
+        docs, Seq(col("n_tokens").asc, col("doc_id").asc), "one")
+      val n = docs.agg(count(lit(1)).as("nn"))
+      pos.crossJoin(broadcast(n))
+        .withColumn("decile",
+          expr("cast(((cum - 1) * 10) div nn as int) + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tok"),
+          max(col("n_tokens")).as("max_tok"),
+          sum(col("n_tokens").cast("long")).as("tok_sum"))
+        .orderBy(col("decile"))
+    }),
+
     // Sequence packing: concat-and-chop into 64-token context blocks
     // via the distributed two-pass prefix sum; one row per
     // (doc, block) segment.
@@ -1072,6 +1096,22 @@ object TextDedupPack {
          |  CAST(least(tok_offset + n_tokens, (block_id + 1) * 64)
          |    - greatest(tok_offset, block_id * 64) AS BIGINT) AS seg_tokens
          |FROM b2 ORDER BY doc_id, block_id""".stripMargin,
+
+    "nt1_length_deciles" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens
+         |  FROM tok),
+         |r AS (SELECT doc_id, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
+         |    (SELECT count(*) FROM t) AS nn
+         |  FROM t),
+         |dq AS (SELECT n_tokens,
+         |    CAST(((rn - 1) * 10) // nn + 1 AS INTEGER) AS decile FROM r)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(n_tokens) AS INTEGER) AS min_tok,
+         |  CAST(max(n_tokens) AS INTEGER) AS max_tok,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+         |FROM dq GROUP BY decile ORDER BY decile""".stripMargin,
 
     "pk1_seq_packing" ->
       s"""WITH $toksCte,
