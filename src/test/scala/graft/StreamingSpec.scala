@@ -164,6 +164,35 @@ class StreamingSpec extends SparkSpec {
       (2L, us(100), us(100), 1L, 2.0)))
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AttributionStream
+    import graft.streaming.AttributionStream.{Click, Purchase}
+    val base = 1440L * 60 * 1000
+    def t(m: Long) = new Timestamp(base + m * 60 * 1000)
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val joined = AttributionStream.attribute(
+      clicks.toDS(), purchases.toDS(), lookbackSec = 30 * 60)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attrib").start()
+    try {
+      clicks.addData(
+        Click(1L, 100L, t(0)),   // 20 min before the purchase: in window
+        Click(1L, 101L, t(10)),  // 10 min before: in window
+        Click(1L, 102L, t(25)),  // 5 min AFTER: out
+        Click(2L, 200L, t(0)))   // other user
+      purchases.addData(Purchase(1L, 900L, t(20), 49.99))
+      q.processAllAvailable()
+      // a purchase far beyond user 2's click window: no pair
+      purchases.addData(Purchase(2L, 901L, t(200), 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT purchase_id, click_id FROM attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((900L, 100L), (900L, 101L)))
+  }
+
   test("windowed event-rate aggregation with watermark (streamed parquet)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
