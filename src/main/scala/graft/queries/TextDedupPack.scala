@@ -398,6 +398,50 @@ object TextDedupPack {
         .orderBy(col("decile"))
     }),
 
+    // Corpus snapshot diff — the data-ops view of corpus versioning:
+    // full-outer content-hash compare of the current corpus against a
+    // previous snapshot (synthesized here: %13 docs absent = added
+    // since, %17 texts mutated = changed, %19 extra ids = removed),
+    // rolled up per (source, status).
+    "cd1_corpus_diff" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val cur = base.select(col("doc_id"),
+        sha2(col("text"), 256).as("h"), col("source"))
+      val prev = base.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          sha2(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")), 256).as("h"),
+          col("source"))
+        .unionByName(base.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            sha2(col("text"), 256).as("h"), col("source")))
+      val cmp = cur.select(col("doc_id"), col("h").as("ch"), col("source").as("cs"))
+        .join(prev.select(col("doc_id"), col("h").as("ph"), col("source").as("ps")),
+          Seq("doc_id"), "full_outer")
+      cmp.select(coalesce(col("cs"), col("ps")).as("source"),
+          when(col("ph").isNull, "added")
+            .when(col("ch").isNull, "removed")
+            .when(col("ch") =!= col("ph"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("status"))
+    }),
+
+    // Deterministic stratified per-group downsample: k docs per source
+    // in portable-hash order (id tiebreak) — a PARTITIONED window, the
+    // reproducible "take k per domain" a pipeline uses for eval slices.
+    "sg1_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(PortableHash.hash60(col("doc_id").cast("string"), 5).asc,
+          col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Sequence packing: concat-and-chop into 64-token context blocks
     // via the distributed two-pass prefix sum; one row per
     // (doc, block) segment.
@@ -1096,6 +1140,35 @@ object TextDedupPack {
          |  CAST(least(tok_offset + n_tokens, (block_id + 1) * 64)
          |    - greatest(tok_offset, block_id * 64) AS BIGINT) AS seg_tokens
          |FROM b2 ORDER BY doc_id, block_id""".stripMargin,
+
+    "cd1_corpus_diff" ->
+      s"""WITH cur AS (SELECT doc_id, sha256(text) AS ch, source AS cs
+         |  FROM documents),
+         |prev AS (SELECT doc_id,
+         |    sha256(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+         |      ELSE text END) AS ph, source AS ps
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, sha256(text), source
+         |  FROM documents WHERE doc_id % 19 = 0),
+         |cmp AS (SELECT coalesce(cs, ps) AS source,
+         |    CASE WHEN ph IS NULL THEN 'added'
+         |      WHEN ch IS NULL THEN 'removed'
+         |      WHEN ch <> ph THEN 'changed'
+         |      ELSE 'unchanged' END AS status
+         |  FROM cur FULL OUTER JOIN prev USING (doc_id))
+         |SELECT source, status, CAST(count(*) AS BIGINT) AS n
+         |FROM cmp GROUP BY source, status
+         |ORDER BY source, status""".stripMargin,
+
+    "sg1_stratified_sample" ->
+      s"""SELECT source, doc_id, rk FROM (
+         |  SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${PortableHash.hash60Sql("5", "CAST(doc_id AS VARCHAR)")},
+         |        doc_id) AS INTEGER) AS rk
+         |  FROM documents)
+         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "nt1_length_deciles" ->
       s"""WITH $toksCte,
