@@ -398,6 +398,26 @@ object TextDedupPack {
         .orderBy(col("decile"))
     }),
 
+    // Vocabulary coverage: per-doc OOV rate against the corpus top-1000
+    // vocab (frequency-ranked, token tiebreak — TakeOrdered, no global
+    // window). The tokenizer-budget hygiene metric: docs full of
+    // out-of-vocabulary tokens fragment into long byte sequences.
+    "vc1_vocab_coverage" -> ((s, d) => {
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      val top = occ.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(1000)
+        .select(col("t"), lit(1).as("iv"))
+      occ.join(broadcast(top), Seq("t"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          sum(coalesce(col("iv"), lit(0)).cast("long")).as("n_inv"))
+        .withColumn("oov_rate",
+          round((col("n_tokens") - col("n_inv")).cast("double")
+            / col("n_tokens"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus snapshot diff — the data-ops view of corpus versioning:
     // full-outer content-hash compare of the current corpus against a
     // previous snapshot (synthesized here: %13 docs absent = added
@@ -1140,6 +1160,20 @@ object TextDedupPack {
          |  CAST(least(tok_offset + n_tokens, (block_id + 1) * 64)
          |    - greatest(tok_offset, block_id * 64) AS BIGINT) AS seg_tokens
          |FROM b2 ORDER BY doc_id, block_id""".stripMargin,
+
+    "vc1_vocab_coverage" ->
+      s"""WITH $toksCte,
+         |occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+         |top AS (SELECT t, 1 AS iv FROM (
+         |    SELECT t, count(*) AS c FROM occ GROUP BY t
+         |    ORDER BY c DESC, t LIMIT 1000)),
+         |j AS (SELECT doc_id, coalesce(iv, 0) AS iv
+         |  FROM occ LEFT JOIN top USING (t))
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |  CAST(sum(iv) AS BIGINT) AS n_inv,
+         |  round(CAST(count(*) - sum(iv) AS DOUBLE) / count(*), 6)
+         |    AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "cd1_corpus_diff" ->
       s"""WITH cur AS (SELECT doc_id, sha256(text) AS ch, source AS cs
