@@ -398,6 +398,16 @@ object TextDedupPack {
         .orderBy(col("decile"))
     }),
 
+    // PMI collocations: forward skip-gram pairs (distances 1-2), exact
+    // integer counts, micro-nat PMI, top-50 by (pmi, pair) — the
+    // phrase-detection / embedding-bootstrap primitive.
+    "pm1_pmi_pairs" -> ((s, d) => {
+      graft.text.Cooccur.pmiPairs(
+          Tables.documents(s, d), "doc_id", "text", window = 2, minCount = 5)
+        .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
     // Vocabulary coverage: per-doc OOV rate against the corpus top-1000
     // vocab (frequency-ranked, token tiebreak — TakeOrdered, no global
     // window). The tokenizer-budget hygiene metric: docs full of
@@ -1160,6 +1170,32 @@ object TextDedupPack {
          |  CAST(least(tok_offset + n_tokens, (block_id + 1) * 64)
          |    - greatest(tok_offset, block_id * 64) AS BIGINT) AS seg_tokens
          |FROM b2 ORDER BY doc_id, block_id""".stripMargin,
+
+    "pm1_pmi_pairs" ->
+      s"""WITH $toksCte,
+         |pr AS (SELECT toks[i] AS a, toks[i + 1] AS b FROM (
+         |    SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |    FROM tok WHERE len(toks) > 1)
+         |  UNION ALL
+         |  SELECT toks[i] AS a, toks[i + 2] AS b FROM (
+         |    SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |    FROM tok WHERE len(toks) > 2)),
+         |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM pr GROUP BY a, b),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS u FROM
+         |  (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+         |tt AS (SELECT CAST(sum(u) AS BIGINT) AS ttok FROM uni),
+         |tp AS (SELECT CAST(count(*) AS BIGINT) AS tpair FROM pr),
+         |scored AS (SELECT a, b, c AS n_pairs,
+         |    CAST(floor(ln((c::DOUBLE * ttok * ttok)
+         |      / (tpair::DOUBLE * ua.u * ub.u)) * 1000000) AS BIGINT)
+         |      AS pmi_micro
+         |  FROM cab JOIN uni ua ON cab.a = ua.t
+         |  JOIN uni ub ON cab.b = ub.t
+         |  CROSS JOIN tt CROSS JOIN tp
+         |  WHERE c >= 5)
+         |SELECT a, b, n_pairs, pmi_micro FROM scored
+         |ORDER BY pmi_micro DESC, a, b LIMIT 50""".stripMargin,
 
     "vc1_vocab_coverage" ->
       s"""WITH $toksCte,
