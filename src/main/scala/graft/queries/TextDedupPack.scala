@@ -398,6 +398,23 @@ object TextDedupPack {
         .orderBy(col("decile"))
     }),
 
+    // Per-doc n-gram novelty: the fraction of a doc's distinct
+    // k-shingles that occur NOWHERE else in the corpus — high novelty
+    // marks original text, low marks template/memorization risk. One
+    // shingle-df aggregate keyed on content, joined back.
+    "ng1_novelty" -> ((s, d) => {
+      val sh = Dedup.docShingles(
+        Tables.documents(s, d), "text", "doc_id", ShingleK)
+      val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      sh.join(df, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          round(col("n_unique").cast("double") / col("n_shingles"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // PMI collocations: forward skip-gram pairs (distances 1-2), exact
     // integer counts, micro-nat PMI, top-50 by (pmi, pair) — the
     // phrase-detection / embedding-bootstrap primitive.
@@ -1170,6 +1187,18 @@ object TextDedupPack {
          |  CAST(least(tok_offset + n_tokens, (block_id + 1) * 64)
          |    - greatest(tok_offset, block_id * 64) AS BIGINT) AS seg_tokens
          |FROM b2 ORDER BY doc_id, block_id""".stripMargin,
+
+    "ng1_novelty" ->
+      s"""WITH $toksCte, $shCte,
+         |sdf AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |  FROM sh GROUP BY shingle)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shingles,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM sh JOIN sdf USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pm1_pmi_pairs" ->
       s"""WITH $toksCte,
