@@ -293,29 +293,36 @@ object Stress {
     spark.stop()
   }
 
-  /** The per-round recording: every op at two factors 10× apart (the
-    * dedup pair sits lower so the whole harness stays ~100 s — the
-    * growth RATIO is the metric, not the absolute size).
+  /** The per-round recording: every op at two factors 10× apart. The
+    * content-heavy families (d3 shingling, bg1 bigrams, pd1 paragraph
+    * window) run their pair at 3/30 so the whole harness stays within
+    * the per-round bench budget — the growth RATIO is the metric, not
+    * the absolute size.
     */
   def runDefault(spark: SparkSession): Seq[(String, Double)] =
-    Seq(3, 30).map { f =>
-      s"x${f}_d3_dedup" -> dedupStress(spark, 5000L * f)._1
-    } ++ run(spark, Seq(10, 100), includeDedup = false)
+    Seq(3, 30).flatMap { f =>
+      val n = 5000L * f
+      Seq(
+        s"x${f}_d3_dedup" -> dedupStress(spark, n)._1,
+        s"x${f}_bg1_bigram" -> bigramStress(spark, n)._1,
+        s"x${f}_pd1_paradedup" -> paraDedupStress(spark, n)._1)
+    } ++ run(spark, Seq(10, 100), includeHeavyText = false)
 
   def run(spark: SparkSession, factors: Seq[Int],
-      includeDedup: Boolean = true): Seq[(String, Double)] =
+      includeHeavyText: Boolean = true): Seq[(String, Double)] =
     factors.flatMap { f =>
       val docsN = 5000L * f
       val dedup =
-        if (includeDedup) Seq(s"x${f}_d3_dedup" -> dedupStress(spark, docsN)._1)
+        if (includeHeavyText)
+          Seq(s"x${f}_d3_dedup" -> dedupStress(spark, docsN)._1,
+            s"x${f}_bg1_bigram" -> bigramStress(spark, docsN)._1,
+            s"x${f}_pd1_paradedup" -> paraDedupStress(spark, docsN)._1)
         else Seq.empty
       val (searchT, _) = batchSearchStress(spark, docsN)
       val (linksT, _) = docLinksStress(spark, docsN)
       val (walkT, _) = walkStress(spark, 10000L * f)
       val (fullT, diffT) = diffKgStress(spark, 2000L * f)
       val (lmT, _) = lmScoreStress(spark, docsN)
-      val (paraT, _) = paraDedupStress(spark, docsN)
-      val (bgT, _) = bigramStress(spark, docsN)
       val (poolT, _) = poolStress(spark, docsN)
       dedup ++ Seq(
         s"x${f}_hb1_batch" -> searchT,
@@ -324,8 +331,6 @@ object Stress {
         s"x${f}_g12_full" -> fullT,
         s"x${f}_g12_diff" -> diffT,
         s"x${f}_un1_lmscore" -> lmT,
-        s"x${f}_pd1_paradedup" -> paraT,
-        s"x${f}_bg1_bigram" -> bgT,
         s"x${f}_ep1_pooling" -> poolT)
     }
 }
