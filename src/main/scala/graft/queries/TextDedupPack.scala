@@ -1214,7 +1214,7 @@ object TextDedupPack {
          |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS u FROM
          |  (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
          |tt AS (SELECT CAST(sum(u) AS BIGINT) AS ttok FROM uni),
-         |tp AS (SELECT CAST(count(*) AS BIGINT) AS tpair FROM pr),
+         |tp AS (SELECT CAST(sum(c) AS BIGINT) AS tpair FROM cab),
          |scored AS (SELECT a, b, c AS n_pairs,
          |    CAST(floor(ln((c::DOUBLE * ttok * ttok)
          |      / (tpair::DOUBLE * ua.u * ub.u)) * 1000000) AS BIGINT)

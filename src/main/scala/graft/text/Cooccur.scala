@@ -39,8 +39,10 @@ object Cooccur {
     val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
     val occ = toked.select(explode(col("toks")).as("t"))
     val u = occ.groupBy(col("t")).agg(count(lit(1)).as("u"))
-    val ttok = occ.agg(count(lit(1)).as("ttok"))
-    val tpair = pairs.agg(count(lit(1)).as("tpair"))
+    // both scalar totals roll up from the count tables — rescanning the
+    // occurrence/pair relations would pay two more corpus passes
+    val ttok = u.agg(sum(col("u")).as("ttok"))
+    val tpair = cab.agg(sum(col("c")).as("tpair"))
     cab.filter(col("c") >= minCount)
       .join(u.select(col("t").as("a"), col("u").as("ua")), Seq("a"))
       .join(u.select(col("t").as("b"), col("u").as("ub")), Seq("b"))
