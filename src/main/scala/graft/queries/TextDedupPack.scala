@@ -42,6 +42,24 @@ object TextDedupPack {
     * doc at every SF).
     */
   val PoolGroups = 40L
+  /** sd1 SemDeDup cosine threshold: planted copies land ≈ 0.99, the
+    * densest natural pair ≈ 0.6 — 0.9 separates cleanly.
+    */
+  val SemDupTau = 0.9
+  /** sa1 repeated-span n-gram width: the corpus carries ~1k naturally
+    * duplicated 8-grams at every SF (text-duplicate docs), so the
+    * interval-union path is exercised without a planted fixture.
+    */
+  val SpanN = 8
+  /** ir1 DSIR hashed-feature bucket count (fixed, corpus-independent —
+    * the bucket table broadcasts at any scale). Target slice = English
+    * docs (~40% of the corpus at every SF).
+    */
+  val DsirBuckets = 1024
+  /** sw1 tokens per output shard (~7 shards at sf0.001, scaling
+    * linearly with the corpus).
+    */
+  val ShardTokens = 4000L
 
   private val subwordPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -686,6 +704,54 @@ object TextDedupPack {
       Knn.hyperplaneBucketTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
           10, nBits = 4)
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
+    // SemDeDup over the persisted IVF centroids: the d6 planted-copy
+    // fixture (component-1-zeroed duplicates at +offset) is assigned by
+    // the portable argmin, then pruned within clusters at tau=0.9.
+    // Oracle generated with the centroid literals (see semDedupOracle).
+    "sd1_semantic_dedup" -> ((s, d) => {
+      val idx = graft.ann.IvfCache.persisted(s, d)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val perturbed = emb.filter(col("vec_id") < NearDupCopies)
+        .select((col("vec_id") + NearDupIdOffset).as("vec_id"),
+          concat(array(lit(0.0f)), slice(col("embedding"), 2, 63)).as("embedding"))
+      val aug = emb.unionByName(perturbed)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.dedup.SemDedup.prune(
+          graft.dedup.SemDedup.assign(aug, idx.centroids), SemDupTau)
+        .orderBy(col("id"))
+    }),
+
+    // Repeated-substring span coverage (Lee et al. 2022 at n-gram
+    // granularity): per doc, the exact token count covered by n-grams
+    // occurring >1 time corpus-wide — the trim/drop score of substring
+    // dedup, linear in corpus tokens (no pair-finding).
+    "sa1_dup_spans" -> ((s, d) => {
+      graft.dedup.SpanDedup.dupSpanCoverage(
+          Tables.documents(s, d), "doc_id", "text", SpanN)
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weights (arXiv:2302.03169): hashed unigram+bigram
+    // log ratios, target = English docs, micro-nat integer sums.
+    "ir1_dsir_weights" -> ((s, d) => {
+      graft.text.Dsir.importanceWeights(Tables.documents(s, d),
+          "doc_id", "text", col("lang") === "en", DsirBuckets)
+        .withColumn("is_target", col("is_target").cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-balanced shard assignment in shuffle order: the trainer-
+    // facing output cut, pure arithmetic over the distributed prefix
+    // sum (window mirror in the oracle).
+    "sw1_shard_assign" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      graft.text.Sharding.assignShards(docs, "doc_id", "n_tokens", ShardTokens)
+        .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
+          col("cum"), col("shard_id"))
+        .orderBy(col("doc_id"))
     }))
 
   /** ic1 derived ingest batch: ids offset into a disjoint space; three
@@ -1428,6 +1494,81 @@ object TextDedupPack {
          |HAVING count(*) >= 3
          |ORDER BY doc_id, bench_id""".stripMargin,
 
+    "sa1_dup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, ${TextFunctions.tokensSql("text")} AS toks
+         |  FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, toks
+         |  FROM tok),
+         |pos AS (SELECT doc_id, toks,
+         |    unnest(range(1, n_tokens - ${SpanN - 2})) AS i
+         |  FROM base WHERE n_tokens >= $SpanN),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |    ${PortableHash.hash60Sql("'span'",
+              s"array_to_string(toks[i:i+${SpanN - 1}], ' ')")} AS g
+         |  FROM pos),
+         |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) > 1),
+         |win AS (SELECT doc_id, pos, pos + $SpanN AS e,
+         |    max(pos + $SpanN) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+         |  FROM occ JOIN dup USING (g)),
+         |cov AS (SELECT doc_id,
+         |    CAST(sum(greatest(0, e - greatest(pos, coalesce(pe, pos))))
+         |      AS BIGINT) AS dup_positions
+         |  FROM win GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(c.dup_positions, 0) AS dup_positions,
+         |  CASE WHEN b.n_tokens = 0 THEN 0.0
+         |    ELSE round(coalesce(c.dup_positions, 0) / b.n_tokens, 6)
+         |  END AS dup_fraction
+         |FROM base b LEFT JOIN cov c USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
+
+    "ir1_dsir_weights" -> {
+      val b = DsirBuckets
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_target,
+         |    ${TextFunctions.tokensSql("text")} AS toks
+         |  FROM documents),
+         |occ AS (SELECT doc_id, is_target, unnest(list_concat(
+         |    list_transform(toks, f -> ${PortableHash.hash60Sql("'dsir'", "f")} % $b),
+         |    list_transform(range(1, len(toks)),
+         |      i -> ${PortableHash.hash60Sql("'dsir'",
+                "toks[i] || ' ' || toks[i+1]")} % $b))) AS bkt
+         |  FROM tok),
+         |tab AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cs,
+         |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM occ GROUP BY bkt),
+         |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ts,
+         |    CAST(sum(ct) AS BIGINT) AS tt FROM tab),
+         |rates AS (SELECT bkt,
+         |    CAST(floor((ln((ct + 1) / (tt + $b)) - ln((cs + 1) / (ts + $b)))
+         |      * 1000000) AS BIGINT) AS qlr
+         |  FROM tab, tot)
+         |SELECT o.doc_id, CAST(o.is_target AS INTEGER) AS is_target,
+         |  CAST(count(*) AS INTEGER) AS n_feats,
+         |  CAST(sum(r.qlr) AS BIGINT) AS sum_micro_nats,
+         |  round(CAST(sum(r.qlr) AS DOUBLE) / count(*) / 1000000, 6)
+         |    AS avg_logratio
+         |FROM occ o JOIN rates r USING (bkt)
+         |GROUP BY o.doc_id, o.is_target
+         |ORDER BY o.doc_id""".stripMargin
+    },
+
+    "sw1_shard_assign" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${TextFunctions.tokensSql("text")}) AS INTEGER)
+         |      AS n_tokens,
+         |    (doc_id * ${graft.text.Mixing.Mult}
+         |      + ${graft.text.Mixing.Add}) % ${graft.text.Mixing.Modulus}
+         |      AS shuffle_key
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens, shuffle_key,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, n_tokens, shuffle_key, cum,
+         |  CAST((cum - n_tokens) // $ShardTokens AS INTEGER) AS shard_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "sp1_token_budget_sample" ->
       s"""WITH t AS (SELECT doc_id, (doc_id * 37) % 100 AS q,
          |    CAST(len(${TextFunctions.tokensSql("text")}) AS INTEGER)
@@ -1546,7 +1687,40 @@ object TextDedupPack {
            |  FROM j GROUP BY cluster_id)
            |SELECT a.cluster_id, a.n_vecs, a.avg_cohesion, m.medoid_id
            |FROM agg a JOIN med m USING (cluster_id)
-           |ORDER BY a.cluster_id""".stripMargin)
+           |ORDER BY a.cluster_id""".stripMargin,
+
+      "sd1_semantic_dedup" -> {
+        // same d6 aug fixture, same portable argmin assignment, then the
+        // within-cluster earlier-member prune — SemDedup.prune mirrored
+        // join-for-join (cosine is bit-identical per the FloatDot
+        // contract, so the >= tau compare and max() agree exactly)
+        val simXY = VectorFunctions.cosineSql("x.vec", "y.vec")
+        s"""WITH cent(cluster_id, centroid) AS (VALUES $vals),
+           |aug AS (
+           |  SELECT vec_id AS id, embedding AS vec FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + $NearDupIdOffset,
+           |    list_concat([CAST(0.0 AS FLOAT)], embedding[2:64])
+           |  FROM embeddings WHERE vec_id < $NearDupCopies),
+           |assign AS (SELECT id, vec, cluster_id FROM (
+           |    SELECT a.id, a.vec, c.cluster_id,
+           |      row_number() OVER (PARTITION BY a.id
+           |        ORDER BY ${VectorFunctions.l2sqSql("c.centroid", "a.vec")},
+           |          c.cluster_id) AS rn
+           |    FROM aug a CROSS JOIN cent c)
+           |  WHERE rn = 1),
+           |p AS (SELECT x.id, min(y.id) AS dup_of,
+           |    round(max($simXY), 6) AS max_sim
+           |  FROM assign x JOIN assign y
+           |    ON x.cluster_id = y.cluster_id AND y.id < x.id
+           |  WHERE $simXY >= $SemDupTau::DOUBLE
+           |  GROUP BY x.id)
+           |SELECT a.id, a.cluster_id,
+           |  CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS is_kept,
+           |  p.dup_of, p.max_sim
+           |FROM assign a LEFT JOIN p USING (id)
+           |ORDER BY a.id""".stripMargin
+      })
     }.toMap
 
   /** DuckDB mirror of `Knn.signBucket`: per hyperplane, the double dot is
