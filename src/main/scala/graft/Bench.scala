@@ -44,7 +44,14 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=<regex> restricts to matching query names (and
+    // implies stress off) — for targeted perf iteration; the driver
+    // never sets it, so recorded rounds always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.findFirstIn(n).isDefined)
+    }
+    val results = selected.map { case (name, fn) =>
       val runs = Seq(once(fn), once(fn), once(fn))
       val median = runs.map(_._1).sorted.apply(1)
       // the min distinguishes host-load contamination (median >> min)
@@ -71,7 +78,7 @@ object Bench {
     // Kept OUT of "total"/"queries" — it measures scaling, not the
     // per-query baseline comparison.
     val stress =
-      if (sys.env.get("SPARK_GRAFT_STRESS").contains("0")) "{}"
+      if (sys.env.get("SPARK_GRAFT_STRESS").contains("0") || only.nonEmpty) "{}"
       else {
         // drop the gate queries' persisted caches (dedup/IVF/ancestry
         // indexes) first: stress builds its own corpora, and measuring

@@ -39,8 +39,14 @@ object HashEmbedder {
         // word bigrams (zip_with pads the tail with null → compacted away)
         zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
           (a, b) => concat(a, lit(" "), b))))).as("gram"))
-    val buckets = grams
+    // the md5-chain portable hash runs once per DISTINCT gram, not per
+    // occurrence (measured ~2× on the e2e gate; same values — the
+    // bucket depends only on the gram). The string equi-join is the
+    // UnigramLm vocabulary-join shape: hash-partitioned at scale, and
+    // AQE broadcasts it when the vocabulary is small.
+    val vocab = grams.select(col("gram")).distinct()
       .withColumn("bucket", pmod(PortableHash.hash60(col("gram"), 7), lit(Dim)).cast("int"))
+    val buckets = grams.join(vocab, Seq("gram"))
       .groupBy(col("id"), col("bucket"))
       .agg(count(lit(1)).as("w"))
     val dense = buckets

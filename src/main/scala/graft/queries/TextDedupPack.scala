@@ -60,6 +60,10 @@ object TextDedupPack {
     * linearly with the corpus).
     */
   val ShardTokens = 4000L
+  /** ws1 systematic-PPS target draw count. */
+  val PpsDraws = 100
+  /** dr1 JL projection output dims (64 → 8: an 8× byte cut). */
+  val JlDims = 8
 
   private val subwordPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -752,6 +756,38 @@ object TextDedupPack {
         .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
           col("cum"), col("shard_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR resampling step: integer-exact systematic PPS multiplicities
+    // over the shifted-positive importance weights — heavy (on-target)
+    // docs draw multiple epochs, off-target docs drop out. The min
+    // shift is a driver scalar like sp1's total (metadata-scale).
+    "ws1_pps_resample" -> ((s, d) => {
+      // per-doc weight table materialized once (doc-scale, 2 columns):
+      // the min-shift scalar and the prefix sum both read it — without
+      // this the whole DSIR pipeline would run twice
+      val wts = graft.text.Dsir.importanceWeights(Tables.documents(s, d),
+          "doc_id", "text", col("lang") === "en", DsirBuckets)
+        .select(col("doc_id"), col("sum_micro_nats"))
+        .localCheckpoint(true)
+      val mn = wts.agg(min(col("sum_micro_nats"))).head().getLong(0)
+      graft.text.Resample.ppsMultiplicity(
+          wts.withColumn("w", col("sum_micro_nats") - mn + 1L),
+          "doc_id", "w", PpsDraws)
+        .select(col("doc_id"), col("w"), col("shuffle_key"), col("cum"),
+          col("multiplicity"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // JL ±1 random projection (Achlioptas 2003): per-vector 64→8
+    // preview components, exploded to scalar rows for the hash compare.
+    "dr1_random_projection" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(
+          graft.embed.RandomProjection.project(col("embedding"), JlDims, 64, "jl")))
+        .select(col("vec_id"), col("pos").as("dim"),
+          round(col("col"), 6).as("component"))
+        .orderBy(col("vec_id"), col("dim"))
     }))
 
   /** ic1 derived ingest batch: ids offset into a disjoint space; three
@@ -1568,6 +1604,61 @@ object TextDedupPack {
          |SELECT doc_id, n_tokens, shuffle_key, cum,
          |  CAST((cum - n_tokens) // $ShardTokens AS INTEGER) AS shard_id
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ws1_pps_resample" -> {
+      val b = DsirBuckets
+      // the ir1 weight pipeline, then the integer PPS arithmetic with
+      // the hash-derived start offset as a literal
+      val h = PortableHash.hash60Local("pps", "start")
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_target,
+         |    ${TextFunctions.tokensSql("text")} AS toks
+         |  FROM documents),
+         |occ AS (SELECT doc_id, is_target, unnest(list_concat(
+         |    list_transform(toks, f -> ${PortableHash.hash60Sql("'dsir'", "f")} % $b),
+         |    list_transform(range(1, len(toks)),
+         |      i -> ${PortableHash.hash60Sql("'dsir'",
+                "toks[i] || ' ' || toks[i+1]")} % $b))) AS bkt
+         |  FROM tok),
+         |tab AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cs,
+         |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM occ GROUP BY bkt),
+         |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ts,
+         |    CAST(sum(ct) AS BIGINT) AS tt FROM tab),
+         |rates AS (SELECT bkt,
+         |    CAST(floor((ln((ct + 1) / (tt + $b)) - ln((cs + 1) / (ts + $b)))
+         |      * 1000000) AS BIGINT) AS qlr
+         |  FROM tab, tot),
+         |wsum AS (SELECT o.doc_id, CAST(sum(r.qlr) AS BIGINT) AS s
+         |  FROM occ o JOIN rates r USING (bkt) GROUP BY o.doc_id),
+         |wts AS (SELECT doc_id, s - (SELECT min(s) FROM wsum) + 1 AS w,
+         |    (doc_id * ${graft.text.Mixing.Mult}
+         |      + ${graft.text.Mixing.Add}) % ${graft.text.Mixing.Modulus}
+         |      AS shuffle_key
+         |  FROM wsum),
+         |c AS (SELECT doc_id, w, shuffle_key,
+         |    CAST(SUM(w) OVER (ORDER BY shuffle_key, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM wts),
+         |o AS (SELECT step, $h % step AS off FROM
+         |  (SELECT greatest((SELECT max(cum) FROM c) // $PpsDraws, 1)
+         |    AS step))
+         |SELECT c.doc_id, c.w, c.shuffle_key, c.cum,
+         |  CAST((cum - 1 - off + step) // step
+         |    - (cum - w - 1 - off + step) // step AS INTEGER)
+         |    AS multiplicity
+         |FROM c, o ORDER BY c.doc_id""".stripMargin
+    },
+
+    "dr1_random_projection" -> {
+      val comps = graft.embed.RandomProjection
+        .projectSql("embedding", JlDims, 64, "jl").mkString(", ")
+      s"""SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+         |  round(comp, 6) AS component
+         |FROM (SELECT vec_id, unnest(range(0, $JlDims)) AS dim,
+         |    unnest([$comps]) AS comp
+         |  FROM embeddings)
+         |ORDER BY vec_id, dim""".stripMargin
+    },
 
     "sp1_token_budget_sample" ->
       s"""WITH t AS (SELECT doc_id, (doc_id * 37) % 100 AS q,

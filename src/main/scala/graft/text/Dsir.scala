@@ -28,19 +28,30 @@ object Dsir {
 
   val MicroNats = 1e6
 
-  /** Hashed unigram+bigram bucket ids of a token-array column. */
-  private def featureBuckets(toks: Column, buckets: Int): Column = {
+  /** Unigram+bigram feature strings of a token-array column
+    * (element_at pairs, not slice+concat_ws — no per-element array
+    * allocation in the hot explode).
+    */
+  private def features(toks: Column): Column = {
     val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "),
+          element_at(toks, i + 2))))
       .otherwise(typedlit(Seq.empty[String]))
-    transform(concat(toks, bigrams),
-      f => pmod(PortableHash.hash60(lit("dsir"), f), lit(buckets.toLong)))
+    concat(toks, bigrams)
   }
 
   /** One row per doc with ≥1 feature: `doc_id`, `is_target`,
     * `n_feats`, `sum_micro_nats` (integer sum of quantized per-feature
     * log ratios), `avg_logratio` (nats, rounded to 6).
+    *
+    * The md5-chain portable hash runs over the DISTINCT-feature
+    * relation only (vocabulary-scale), never per occurrence: feature
+    * counts aggregate on the raw strings first (the [[UnigramLm]] join
+    * shape), buckets and log-ratios attach to that table, and scoring
+    * rejoins occurrences on the string key. Hashing each occurrence
+    * was measured 6× slower at bench scale — same results, same
+    * oracle, wrong place to spend the hash.
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int): DataFrame = {
@@ -48,10 +59,21 @@ object Dsir {
         isTarget.as("is_target"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("is_target"),
-        explode(featureBuckets(col("toks"), buckets)).as("b"))
-    val table = occ.groupBy(col("b"))
-      .agg(count(lit(1)).as("cs"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+        explode(features(col("toks"))).as("f"))
+    // vocabulary-scale: per-feature counts, then the hash ONCE per
+    // distinct feature; bucket table rolls up from it. Materialized
+    // eagerly — it feeds BOTH the bucket rollup and the per-feature
+    // score map, and recomputing it would re-run the occurrence
+    // explode a third time (the LM-table artifact a pipeline persists
+    // anyway at corpus scale).
+    val featCounts = occ.groupBy(col("f"))
+      .agg(count(lit(1)).as("fcs"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("fct"))
+      .withColumn("b",
+        pmod(PortableHash.hash60(lit("dsir"), col("f")), lit(buckets.toLong)))
+      .localCheckpoint(true)
+    val table = featCounts.groupBy(col("b"))
+      .agg(sum(col("fcs")).as("cs"), sum(col("fct")).as("ct"))
     val totals = table.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"))
     val rates = table.crossJoin(broadcast(totals))
       .withColumn("qlr",
@@ -59,7 +81,13 @@ object Dsir {
           log((col("cs") + 1).cast("double") / (col("ts") + buckets)))
           * MicroNats).cast("long"))
       .select(col("b"), col("qlr"))
-    occ.join(broadcast(rates), Seq("b"))
+    // feature -> bucket log-ratio (vocabulary-scale; rates is a fixed
+    // `buckets`-row table so ITS join broadcasts), then one string
+    // equi-join scores the occurrences
+    val featRates = featCounts.select(col("f"), col("b"))
+      .join(broadcast(rates), Seq("b"))
+      .select(col("f"), col("qlr"))
+    occ.join(featRates, Seq("f"))
       .groupBy(col("doc_id"), col("is_target"))
       .agg(count(lit(1)).cast("int").as("n_feats"),
         sum(col("qlr")).as("sum_micro_nats"))
