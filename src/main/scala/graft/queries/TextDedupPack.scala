@@ -64,6 +64,25 @@ object TextDedupPack {
   val PpsDraws = 100
   /** dr1 JL projection output dims (64 → 8: an 8× byte cut). */
   val JlDims = 8
+  /** hh1 count-min geometry: width 512 under a ~1k-token synthetic
+    * vocab, so collisions (the over-estimate path) actually occur and
+    * the oracle REPRODUCES them; est floor + top-k keep output small.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 512
+  val CmsMinEst = 20L
+  val CmsTopK = 50
+  /** hn1 positive-group granularity (vec_id % labels), negatives per
+    * anchor, and the semi-hard margin below the positive ceiling.
+    */
+  val HnLabels = 7L
+  val HnK = 5
+  val HnMargin = 0.05
+  /** mx2 mixture temperature (0.5 routes through IEEE sqrt — exactly
+    * portable) and the apportioned token budget.
+    */
+  val MixAlpha = 0.5
+  val MixBudget = 100000L
 
   private val subwordPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -788,6 +807,46 @@ object TextDedupPack {
         .select(col("vec_id"), col("pos").as("dim"),
           round(col("col"), 6).as("component"))
         .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    // Count-min heavy hitters: fixed depth×width sketch (CONSTANT in
+    // corpus size), portable-hash buckets so the DuckDB mirror rebuilds
+    // the identical sketch — collisions and over-estimates reproduced,
+    // not approximated. Probe side broadcasts the sketch.
+    "hh1_heavy_hitters" -> ((s, d) => {
+      val occ = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      graft.sketch.CountMin.heavyHitters(
+        occ, "tok", CmsDepth, CmsWidth, CmsMinEst, CmsTopK)
+    }),
+
+    // Semi-hard negative mining for contrastive training: per anchor,
+    // top-k most-similar DIFFERENT-label docs strictly below the
+    // anchor's own positive ceiling minus the margin (FaceNet
+    // semi-hard). Anchors broadcast; ranks per-anchor partitioned.
+    "hn1_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("label", col("vec_id") % HnLabels)
+      val anchors = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      graft.ann.HardNegatives.mine(emb, "vec_id", "embedding", "label",
+          anchors, "vec_id", "embedding", "label", HnK, Some(HnMargin))
+        .select(col("aid"), col("id"), round(col("sim"), 6).as("sim"),
+          round(col("pos_ceiling"), 6).as("pos_ceiling"), col("rank"))
+        .orderBy(col("aid"), col("rank"))
+    }),
+
+    // Temperature-weighted domain mixture (Gopher/LLaMA alpha
+    // schedule): integer micro-unit shares + largest-remainder
+    // apportionment — targets sum to the budget EXACTLY, and the whole
+    // post-aggregate computation runs on the tens-of-rows domain
+    // relation with no WindowExec anywhere in the plan.
+    "mx2_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select((col("doc_id") % SplitDomains).as("domain"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      graft.text.Mixture.temperatureTargets(
+          docs, "domain", "n_tokens", MixAlpha, MixBudget)
+        .orderBy(col("domain"))
     }))
 
   /** ic1 derived ingest batch: ids offset into a disjoint space; three
@@ -1659,6 +1718,77 @@ object TextDedupPack {
          |  FROM embeddings)
          |ORDER BY vec_id, dim""".stripMargin
     },
+
+    "hh1_heavy_hitters" ->
+      s"""WITH occ AS (SELECT unnest(${TextFunctions.tokensSql("text")})
+         |    AS tok FROM documents),
+         |rows_ AS (SELECT CAST(unnest(range(0, $CmsDepth)) AS INTEGER)
+         |  AS row_id),
+         |buck AS (SELECT o.tok, r.row_id,
+         |    CAST(${PortableHash.hash60Sql("r.row_id", "o.tok")} % $CmsWidth
+         |      AS INTEGER) AS bucket
+         |  FROM occ o CROSS JOIN rows_ r),
+         |sketch AS (SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM buck GROUP BY row_id, bucket),
+         |cand AS (SELECT DISTINCT tok FROM occ),
+         |probe AS (SELECT c.tok, r.row_id,
+         |    CAST(${PortableHash.hash60Sql("r.row_id", "c.tok")} % $CmsWidth
+         |      AS INTEGER) AS bucket
+         |  FROM cand c CROSS JOIN rows_ r),
+         |est AS (SELECT p.tok, CAST(min(s.cnt) AS BIGINT) AS est
+         |  FROM probe p JOIN sketch s USING (row_id, bucket)
+         |  GROUP BY p.tok)
+         |SELECT tok, est FROM est WHERE est >= $CmsMinEst
+         |ORDER BY est DESC, tok LIMIT $CmsTopK""".stripMargin,
+
+    "hn1_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding, vec_id % $HnLabels AS label
+         |    FROM embeddings),
+         |a AS (SELECT vec_id AS aid, embedding AS avec, label AS alabel
+         |  FROM e WHERE vec_id IN (0, 1, 2)),
+         |scored AS (SELECT a.aid, a.alabel, e.vec_id AS id, e.label,
+         |    ${VectorFunctions.cosineSql("e.embedding", "a.avec")} AS sim
+         |  FROM e CROSS JOIN a WHERE e.vec_id <> a.aid),
+         |ceil_ AS (SELECT aid,
+         |    coalesce(max(CASE WHEN label = alabel THEN sim END),
+         |      -1.0::DOUBLE) AS pos_ceiling
+         |  FROM scored GROUP BY aid),
+         |negs AS (SELECT s.aid, s.id, s.sim, c.pos_ceiling
+         |  FROM scored s JOIN ceil_ c USING (aid)
+         |  WHERE s.label <> s.alabel
+         |    AND s.sim < c.pos_ceiling - ${HnMargin}::DOUBLE),
+         |ranked AS (SELECT aid, id, sim, pos_ceiling,
+         |    CAST(row_number() OVER (PARTITION BY aid
+         |      ORDER BY sim DESC, id) AS INTEGER) AS rank
+         |  FROM negs)
+         |SELECT aid, id, round(sim, 6) AS sim,
+         |  round(pos_ceiling, 6) AS pos_ceiling, rank
+         |FROM ranked WHERE rank <= $HnK ORDER BY aid, rank""".stripMargin,
+
+    "mx2_temperature_mix" ->
+      s"""WITH pd AS (SELECT doc_id % $SplitDomains AS domain,
+         |    CAST(sum(len(${TextFunctions.tokensSql("text")})) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |sh AS (SELECT domain, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS share_micro
+         |  FROM pd),
+         |tot AS (SELECT CAST(sum(share_micro) AS BIGINT) AS s_total
+         |  FROM sh),
+         |base AS (SELECT domain, n_tokens, share_micro,
+         |    ($MixBudget * share_micro) // s_total AS floor_tokens,
+         |    ($MixBudget * share_micro) % s_total AS rem
+         |  FROM sh, tot),
+         |lo AS (SELECT $MixBudget - CAST(sum(floor_tokens) AS BIGINT)
+         |  AS leftover FROM base),
+         |rk AS (SELECT base.*, CAST(row_number() OVER
+         |    (ORDER BY rem DESC, domain) AS BIGINT) AS rrank
+         |  FROM base)
+         |SELECT domain, n_tokens, share_micro,
+         |  CAST(floor_tokens + (CASE WHEN rrank <= leftover THEN 1 ELSE 0
+         |    END) AS BIGINT) AS target_tokens
+         |FROM rk, lo ORDER BY domain""".stripMargin,
 
     "sp1_token_budget_sample" ->
       s"""WITH t AS (SELECT doc_id, (doc_id * 37) % 100 AS q,
