@@ -171,6 +171,19 @@ object Stress {
     }
   }
 
+  /** sa1/sa2 family: corpus-duplicated n-gram span coverage — one
+    * occurrence-scale hash aggregate, the join back, and the
+    * doc-partitioned interval-union window. Token-linear by design;
+    * the stress checks the window stays doc-local as the corpus grows.
+    */
+  def spanStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val docs = synthDocs(spark, n)
+    timed {
+      graft.dedup.SpanDedup.dupSpanCoverage(docs, "doc_id", "text", 8)
+        .agg(coalesce(sum(col("dup_positions")), lit(0L))).head().getLong(0)
+    }
+  }
+
   /** j11 family: doc sections ↔ code entities via the inverted-index
     * candidate channel + README-dir channel.
     */
@@ -305,7 +318,8 @@ object Stress {
       Seq(
         s"x${f}_d3_dedup" -> dedupStress(spark, n)._1,
         s"x${f}_bg1_bigram" -> bigramStress(spark, n)._1,
-        s"x${f}_pd1_paradedup" -> paraDedupStress(spark, n)._1)
+        s"x${f}_pd1_paradedup" -> paraDedupStress(spark, n)._1,
+        s"x${f}_sa1_spans" -> spanStress(spark, n)._1)
     } ++ run(spark, Seq(10, 100), includeHeavyText = false)
 
   def run(spark: SparkSession, factors: Seq[Int],
@@ -316,7 +330,8 @@ object Stress {
         if (includeHeavyText)
           Seq(s"x${f}_d3_dedup" -> dedupStress(spark, docsN)._1,
             s"x${f}_bg1_bigram" -> bigramStress(spark, docsN)._1,
-            s"x${f}_pd1_paradedup" -> paraDedupStress(spark, docsN)._1)
+            s"x${f}_pd1_paradedup" -> paraDedupStress(spark, docsN)._1,
+            s"x${f}_sa1_spans" -> spanStress(spark, docsN)._1)
         else Seq.empty
       val (searchT, _) = batchSearchStress(spark, docsN)
       val (linksT, _) = docLinksStress(spark, docsN)

@@ -68,4 +68,60 @@ object SpanDedup {
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(round(col("dup_positions") / col("n_tokens"), 6)))
   }
+
+  /** The REMOVAL half of substring dedup (Lee et al. 2022 §3): cut
+    * every token covered by a corpus-duplicated n-gram out of the text.
+    * Output: `doc_id`, `n_tokens`, `n_removed`, `clean_text` (kept
+    * tokens re-joined in order; "" when everything was duplicated).
+    *
+    * Per-token coverage WITHOUT a range join or a ×n explode: window
+    * starts and token positions merge into one event stream per doc
+    * (windows sort before the tokens they cover), and a token at p is
+    * covered iff the running max of window ends over events ≤ p
+    * exceeds p — the same doc-partitioned single-window shape as the
+    * coverage metric, linear in corpus tokens.
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val occ = base.filter(col("n_tokens") >= n)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), col("n_tokens") - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))))
+      .select(col("doc_id"), col("pos"),
+        PortableHash.hash60(lit("span"), col("col")).as("g"))
+    val dupGrams = occ.groupBy(col("g"))
+      .agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") > 1)
+      .select(col("g"))
+    // event stream: kind 0 = dup-window start (carries end), kind 1 =
+    // token (carries its text); windows at pos p sort before token p
+    val winEvents = occ.join(dupGrams, Seq("g"))
+      .select(col("doc_id"), col("pos"), lit(0).as("kind"),
+        (col("pos") + n).as("e"), lit(null).cast("string").as("tok"))
+    val tokEvents = base
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), lit(1).as("kind"),
+        lit(null).cast("int").as("e"), col("tok"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val marked = winEvents.unionByName(tokEvents)
+      .withColumn("cover_end", max(col("e")).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("covered",
+        coalesce(col("cover_end") > col("pos"), lit(false)))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("covered"), 1).otherwise(0)).cast("int")
+          .as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(!col("covered"), struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("clean_text"))
+  }
 }

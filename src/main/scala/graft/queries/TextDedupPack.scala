@@ -83,6 +83,13 @@ object TextDedupPack {
     */
   val MixAlpha = 0.5
   val MixBudget = 100000L
+  /** bf1 Bloom geometry: 2^18 bits / 5 hashes — ~6e-6 false-positive
+    * rate at the sf0.01 corpus, still sub-10% at sf0.1; the filter
+    * relation stays ≤ 2^18 rows (constant in corpus size) and any
+    * false positive is REPRODUCED by the oracle, not tolerated.
+    */
+  val BloomD = 5
+  val BloomM = 262144
 
   private val subwordPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -833,6 +840,30 @@ object TextDedupPack {
         .select(col("aid"), col("id"), round(col("sim"), 6).as("sim"),
           round(col("pos_ceiling"), 6).as("pos_ceiling"), col("rank"))
         .orderBy(col("aid"), col("rank"))
+    }),
+
+    // The removal half of substring dedup (Lee et al. 2022): cut every
+    // token covered by a corpus-duplicated 8-gram; per-token coverage
+    // via the merged window/token event stream under ONE doc-
+    // partitioned running-max window — no range join, no ×n explode.
+    "sa2_span_removal" -> ((s, d) => {
+      graft.dedup.SpanDedup.removeDupSpans(
+          Tables.documents(s, d), "doc_id", "text", SpanN)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-filter membership pre-filter: the ingest batch probes the
+    // corpus text filter (broadcast, ≤ 2^18 rows regardless of corpus
+    // size) — exact copies MUST hit; the definitely-absent bulk would
+    // skip the expensive dedup join entirely at 100 TB.
+    "bf1_bloom_prefilter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val filter = graft.sketch.Bloom.build(
+        docs.select(col("text")), "text", BloomD, BloomM)
+      val batch = incrBatch(docs).select(col("doc_id"), col("text"))
+      graft.sketch.Bloom.probe(batch, "text", filter, BloomD, BloomM)
+        .select(col("doc_id"), col("maybe_present"))
+        .orderBy(col("doc_id"))
     }),
 
     // Temperature-weighted domain mixture (Gopher/LLaMA alpha
@@ -1789,6 +1820,66 @@ object TextDedupPack {
          |  CAST(floor_tokens + (CASE WHEN rrank <= leftover THEN 1 ELSE 0
          |    END) AS BIGINT) AS target_tokens
          |FROM rk, lo ORDER BY domain""".stripMargin,
+
+    "sa2_span_removal" ->
+      s"""WITH tok AS (SELECT doc_id, ${TextFunctions.tokensSql("text")} AS toks
+         |  FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, toks
+         |  FROM tok),
+         |pos AS (SELECT doc_id, toks,
+         |    unnest(range(1, n_tokens - ${SpanN - 2})) AS i
+         |  FROM base WHERE n_tokens >= $SpanN),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |    ${PortableHash.hash60Sql("'span'",
+              s"array_to_string(toks[i:i+${SpanN - 1}], ' ')")} AS g
+         |  FROM pos),
+         |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) > 1),
+         |winevt AS (SELECT doc_id, pos, 0 AS kind,
+         |    pos + $SpanN AS e, CAST(NULL AS VARCHAR) AS tok
+         |  FROM occ JOIN dup USING (g)),
+         |tokevt AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, 1 AS kind,
+         |    CAST(NULL AS INTEGER) AS e, toks[i] AS tok
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+         |    FROM base)),
+         |m AS (SELECT doc_id, pos, kind, tok,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY pos, kind
+         |      ROWS UNBOUNDED PRECEDING) AS cover_end
+         |  FROM (SELECT * FROM winevt UNION ALL SELECT * FROM tokevt)),
+         |t AS (SELECT doc_id, pos, tok,
+         |    coalesce(cover_end > pos, FALSE) AS covered
+         |  FROM m WHERE kind = 1)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_removed,
+         |  coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' '
+         |    ORDER BY pos), '') AS clean_text
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bf1_bloom_prefilter" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id + $IncrIdOffset AS doc_id, text
+         |    FROM documents WHERE doc_id % 10 = 1
+         |  UNION ALL
+         |  SELECT doc_id + $IncrIdOffset, text || ' zq wq vq uq tq'
+         |    FROM documents WHERE doc_id % 10 = 2
+         |  UNION ALL
+         |  SELECT doc_id + $IncrIdOffset,
+         |      array_to_string(list_reverse(string_split($normDoc, ' ')), ' ')
+         |    FROM documents WHERE doc_id % 10 = 3),
+         |rows_ AS (SELECT CAST(unnest(range(0, $BloomD)) AS INTEGER) AS i),
+         |bits AS (SELECT DISTINCT
+         |    CAST(${PortableHash.hash60Sql("r.i", "d.text")} % $BloomM
+         |      AS INTEGER) AS bit
+         |  FROM documents d CROSS JOIN rows_ r),
+         |probe AS (SELECT n.doc_id,
+         |    CAST(${PortableHash.hash60Sql("r.i", "n.text")} % $BloomM
+         |      AS INTEGER) AS bit
+         |  FROM nd n CROSS JOIN rows_ r),
+         |j AS (SELECT p.doc_id,
+         |    CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM probe p LEFT JOIN bits b USING (bit))
+         |SELECT doc_id, CAST(sum(hit) AS BIGINT) = $BloomD AS maybe_present
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "sp1_token_budget_sample" ->
       s"""WITH t AS (SELECT doc_id, (doc_id * 37) % 100 AS q,

@@ -82,4 +82,19 @@ class CountMinSpec extends SparkSpec {
     val n = CountMin.build(occ.toDF("k"), "k", Depth, 16).count()
     assert(n <= Depth * 16)
   }
+
+  test("sketches merge by counter addition (the distributed property)") {
+    // two shard sketches unioned + re-summed == the whole-corpus sketch;
+    // this is why the build is one map-side-combinable aggregate at any
+    // partition count
+    val (left, right) = occ.splitAt(occ.length / 3)
+    val merged = CountMin.build(left.toDF("k"), "k", Depth, 64)
+      .unionByName(CountMin.build(right.toDF("k"), "k", Depth, 64))
+      .groupBy("row_id", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val est = CountMin.estimate(occ.toDF("k").distinct(), "k", merged,
+        Depth, 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    assert(est === mirror(occ, 64))
+  }
 }

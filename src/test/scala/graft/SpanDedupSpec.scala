@@ -50,4 +50,51 @@ class SpanDedupSpec extends SparkSpec {
       (1L, 5, 0L, 0.0),
       (2L, 1, 0L, 0.0)))
   }
+
+  private def runRemove(n: Int, docs: (Long, String)*) =
+    SpanDedup.removeDupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+
+  test("removal cuts exactly the covered union and keeps the rest in order") {
+    val out = runRemove(3,
+      1L -> "a b c d e f",
+      2L -> "x y c d e f")
+    // shared "c d e f": positions 2..5 cut from both
+    assert(out.toSeq === Seq(
+      (1L, 6, 4, "a b"),
+      (2L, 6, 4, "x y")))
+  }
+
+  test("fully duplicated docs collapse to empty text") {
+    val out = runRemove(3,
+      1L -> "p q r s",
+      2L -> "p q r s")
+    assert(out.toSeq === Seq(
+      (1L, 4, 4, ""),
+      (2L, 4, 4, "")))
+  }
+
+  test("removal agrees with coverage counts on a mixed corpus") {
+    val docs = Seq(
+      1L -> "a b c z a b c",
+      2L -> "p q r m n x y z",
+      3L -> "unique tokens only here")
+    val cov = run(3, docs: _*).map(r => r._1 -> r._3).toMap
+    val rem = runRemove(3, docs: _*)
+    rem.foreach { case (id, nTok, nRem, clean) =>
+      assert(nRem.toLong === cov(id), s"doc $id")
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept === nTok - nRem, s"doc $id kept-token count")
+    }
+  }
+
+  test("short docs survive removal untouched") {
+    val out = runRemove(4, 1L -> "shorty", 2L -> "shorty")
+    // 1-token docs carry no 4-grams — nothing to remove even though
+    // the docs are identical
+    assert(out.toSeq === Seq(
+      (1L, 1, 0, "shorty"),
+      (2L, 1, 0, "shorty")))
+  }
 }
