@@ -34,6 +34,16 @@ object CountMin {
     array((0 until depth).map(i =>
       pmod(PortableHash.hash60(key, i), lit(width)).cast("int")): _*)
 
+  /** (k, buckets) for each DISTINCT key — the md5-chain portable hash
+    * runs once per vocabulary entry, not per occurrence; occurrence-
+    * scale relations equi-join this back (AQE broadcasts it when the
+    * vocabulary is small — the UnigramLm vocabulary-join shape).
+    */
+  private def keyBuckets(keys: DataFrame, keyCol: String, depth: Int,
+      width: Int): DataFrame =
+    keys.select(col(keyCol).as("k")).distinct()
+      .select(col("k"), bucketArr(col("k"), depth, width).as("_buckets"))
+
   /** Build the sketch: (row_id, bucket, cnt), depth×width max rows.
     *
     * `occurrences` is one row per key occurrence (pre-weighted input:
@@ -44,8 +54,9 @@ object CountMin {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     occurrences
       .select(col(keyCol).as("k"), w.as("w"))
-      .select(posexplode(bucketArr(col("k"), depth, width))
-        .as(Seq("row_id", "bucket")), col("w"))
+      .join(keyBuckets(occurrences, keyCol, depth, width), Seq("k"))
+      .select(posexplode(col("_buckets")).as(Seq("row_id", "bucket")),
+        col("w"))
       .groupBy(col("row_id"), col("bucket"))
       .agg(sum(col("w")).as("cnt"))
   }
@@ -56,9 +67,8 @@ object CountMin {
     */
   def estimate(candidates: DataFrame, keyCol: String, sketch: DataFrame,
       depth: Int, width: Int): DataFrame = {
-    val probed = candidates
-      .select(col(keyCol).as("k"))
-      .select(col("k"), posexplode(bucketArr(col("k"), depth, width))
+    val probed = keyBuckets(candidates, keyCol, depth, width)
+      .select(col("k"), posexplode(col("_buckets"))
         .as(Seq("row_id", "bucket")))
     probed.join(broadcast(sketch), Seq("row_id", "bucket"))
       .groupBy(col("k"))
