@@ -24,18 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader only surfaces as a nanos-since-epoch long
-    * (`spark.sql.legacy.parquet.nanosAsLong`). Normalize to a micros
-    * TimestampType column here (truncation, matching DuckDB's
-    * `CAST(ts AS TIMESTAMP)` ns→us truncation) so downstream operators
-    * see a real timestamp.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader only surfaces as a nanos-since-epoch long
+    * under `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS)
+    * without UTC adjustment (which reads as TIMESTAMP_NTZ). Normalize both
+    * to a session-TZ TimestampType column so downstream operators always
+    * see the same type. Sessions run with `spark.sql.session.timeZone=UTC`,
+    * so the NTZ→LTZ cast is value-preserving and matches DuckDB's naive
+    * TIMESTAMP reading of the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // nanos long: truncate to micros like DuckDB's ns→us cast
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
