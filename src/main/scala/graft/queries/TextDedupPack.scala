@@ -703,6 +703,23 @@ object TextDedupPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Product-quantization ADC retrieval (Jégou et al. 2011; the IVF_PQ
+    // sibling of LanceDB's IVF_SQ path): the approx sweep reads ONLY the
+    // 8×-compressed at-rest codes table — zero float math on the corpus
+    // side, just M integer table lookups — then survivors join back to
+    // the float vectors for the exact rerank. Codebook fit is
+    // indexing-time (PqCache); oracle via codebook-literal interpolation
+    // like a3.
+    "a6_knn_pq" -> ((s, d) => {
+      val idx = graft.ann.PqCache.persisted(s, d)
+      val q = Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 1L, 2L))
+      graft.ann.Pq.adcTopK(idx.codes, idx.vectors, "vec_id", "embedding",
+          q, "vec_id", "embedding", idx.cb, k = 10, refine = 3)
+        .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"),
+          col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Cluster diagnostics over the persisted IVF layout: per cluster,
     // the member count, mean cosine-to-centroid cohesion (micro-unit
     // integer sum so the distributed mean is order-free), and the
@@ -1930,7 +1947,8 @@ object TextDedupPack {
          |  FROM sem WHERE rnk <= 5 AND sim >= 0.2::DOUBLE)
          |SELECT chunk_id, related_id, kind, round(score, 6) AS score
          |FROM (SELECT * FROM semf UNION ALL SELECT * FROM callers)
-         |ORDER BY chunk_id, kind, related_id""".stripMargin) ++ a3Oracle
+         |ORDER BY chunk_id, kind, related_id""".stripMargin) ++
+    a3Oracle ++ pqOracle
 
   /** a3 oracle, generated AFTER the gate runs (Verify writes
     * oracle_sql.json once every query has executed): the fitted float32
@@ -2033,6 +2051,61 @@ object TextDedupPack {
            |FROM assign a LEFT JOIN p USING (id)
            |ORDER BY a.id""".stripMargin
       })
+    }.toMap
+
+  /** a6 oracle, generated after the gate runs (same lifecycle as a3):
+    * the fitted PQ codebook is interpolated as a 128-row literal table;
+    * given it, encode (portable float argmin per subspace, c tiebreak),
+    * the query ADC tables (floor·1e6 BIGINT entries), the order-free
+    * integer candidate sums, and the exact-cosine rerank are all plain
+    * relational algebra DuckDB reproduces bit-for-bit.
+    */
+  private def pqOracle: Map[String, String] =
+    graft.ann.PqCache.lastCodebook.toSeq.map { cb =>
+      val norms = graft.ann.Pq.codeNorms(cb)
+      val vals = cb.entries.map { case (m, c, vec) =>
+        s"($m, $c, [${vec.mkString(", ")}]::FLOAT[], ${norms(m)(c)})"
+      }.mkString(", ")
+      val dsub = cb.dsub
+      def sub(e: String) = s"$e[(cb.m*$dsub+1):(cb.m*$dsub+$dsub)]"
+      val encDist = VectorFunctions.l2sqSql(sub("e.embedding"), "cb.vec")
+      val qDot = VectorFunctions.dotFSql(sub("q.qvec"), "cb.vec")
+      "a6_knn_pq" ->
+        s"""WITH cb(m, c, vec, n2) AS (VALUES $vals),
+           |codes AS (SELECT id, m, code FROM (
+           |    SELECT e.vec_id AS id, cb.m, cb.c AS code,
+           |      row_number() OVER (PARTITION BY e.vec_id, cb.m
+           |        ORDER BY $encDist, cb.c) AS rn
+           |    FROM embeddings e CROSS JOIN cb)
+           |  WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, embedding AS qvec
+           |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+           |dt AS (SELECT q.qid, cb.m, cb.c, cb.n2,
+           |    CAST(floor(CAST($qDot AS DOUBLE) * 1000000) AS BIGINT) AS di
+           |  FROM q CROSS JOIN cb),
+           |adc AS (SELECT dt.qid, codes.id,
+           |    CAST(sum(dt.di) AS DOUBLE) /
+           |      sqrt(CAST(greatest(sum(dt.n2), 1) AS DOUBLE)) AS ascore
+           |  FROM codes JOIN dt ON dt.m = codes.m AND dt.c = codes.code
+           |  WHERE codes.id <> dt.qid
+           |  GROUP BY dt.qid, codes.id),
+           |cand AS (SELECT qid, id FROM (
+           |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+           |      ORDER BY ascore DESC, id) AS arank
+           |    FROM adc)
+           |  WHERE arank <= 30),
+           |rer AS (SELECT c.qid, c.id,
+           |    ${VectorFunctions.cosineSql("e.embedding", "q.qvec")} AS sim
+           |  FROM cand c
+           |  JOIN embeddings e ON e.vec_id = c.id
+           |  JOIN q ON q.qid = c.qid),
+           |ranked AS (SELECT qid, id, sim,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, id) AS INTEGER) AS rank
+           |  FROM rer)
+           |SELECT qid, id, round(sim, 6) AS sim, rank
+           |FROM ranked WHERE rank <= 10
+           |ORDER BY qid, rank""".stripMargin
     }.toMap
 
   /** DuckDB mirror of `Knn.signBucket`: per hyperplane, the double dot is

@@ -47,19 +47,34 @@ object CountMin {
   /** Build the sketch: (row_id, bucket, cnt), depth×width max rows.
     *
     * `occurrences` is one row per key occurrence (pre-weighted input:
-    * pass a `weight` column name to sum instead of count).
+    * pass a `weight` column name to sum instead of count). Counter
+    * increments are associative, so the occurrence relation is first
+    * collapsed to per-key totals — ONE map-side-combined shuffle of the
+    * occurrence rows; the md5-chain portable hash and the ×depth
+    * explode then run at vocabulary scale, not occurrence scale.
     */
   def build(occurrences: DataFrame, keyCol: String, depth: Int, width: Int,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None): DataFrame =
+    buildFromCounts(keyTotals(occurrences, keyCol, weightCol), depth, width)
+
+  /** Per-key occurrence totals: (k, w) — the vocabulary-scale relation
+    * both the sketch build and a heavy-hitter probe derive from.
+    */
+  private def keyTotals(occurrences: DataFrame, keyCol: String,
+      weightCol: Option[String]): DataFrame = {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-    occurrences
-      .select(col(keyCol).as("k"), w.as("w"))
-      .join(keyBuckets(occurrences, keyCol, depth, width), Seq("k"))
-      .select(posexplode(col("_buckets")).as(Seq("row_id", "bucket")),
-        col("w"))
+    occurrences.select(col(keyCol).as("k"), w.as("w"))
+      .groupBy(col("k")).agg(sum(col("w")).as("w"))
+  }
+
+  /** Sketch from a pre-aggregated (k, w) relation. */
+  private def buildFromCounts(keyCounts: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    keyCounts
+      .select(posexplode(bucketArr(col("k"), depth, width))
+        .as(Seq("row_id", "bucket")), col("w"))
       .groupBy(col("row_id"), col("bucket"))
       .agg(sum(col("w")).as("cnt"))
-  }
 
   /** Estimate counts for `candidates` (one row per distinct key):
     * (key..., est) where est = min over sketch rows. The sketch side
@@ -84,8 +99,11 @@ object CountMin {
     */
   def heavyHitters(occurrences: DataFrame, keyCol: String, depth: Int,
       width: Int, minEst: Long, k: Int): DataFrame = {
-    val sketch = build(occurrences, keyCol, depth, width)
-    val cands = occurrences.select(col(keyCol)).distinct()
+    // one occurrence-scale shuffle total: the cached vocab relation
+    // feeds BOTH the sketch build and the candidate probe
+    val totals = keyTotals(occurrences, keyCol, None).cache()
+    val sketch = buildFromCounts(totals, depth, width)
+    val cands = totals.select(col("k").as(keyCol))
     estimate(cands, keyCol, sketch, depth, width)
       .filter(col("est") >= minEst)
       .orderBy(col("est").desc, col(keyCol))
