@@ -69,13 +69,19 @@ object Stress {
       // cache the shingle table like the real flow (DedupCache persists
       // it): the signature path and the jaccard verify both consume it
       val sh = Dedup.docShingles(docs, "text", "doc_id", 3).cache()
+      // bands feed BOTH sides of the bucket self-join — without the
+      // cache the whole shingle→signature→band subtree recomputes per
+      // side (Catalyst does not CSE across self-joins; measured 25 s →
+      // 3 s at 150k docs). Mirrors minhashNearDupPairs' real flow.
+      val bands = Dedup.lshBands(Dedup.minhashSignatures(sh, 64), 8).cache()
       try {
-        val sigs = Dedup.minhashSignatures(sh, 64)
-        val bands = Dedup.lshBands(sigs, 8)
         val cands = Dedup.lshCandidates(bands)
         Dedup.jaccardOfPairs(cands, sh)
           .filter(col("jaccard") >= 0.7).count()
-      } finally sh.unpersist(blocking = false)
+      } finally {
+        sh.unpersist(blocking = false)
+        bands.unpersist(blocking = false)
+      }
     }
     r
   }

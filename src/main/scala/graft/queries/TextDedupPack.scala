@@ -451,8 +451,10 @@ object TextDedupPack {
     // marks original text, low marks template/memorization risk. One
     // shingle-df aggregate keyed on content, joined back.
     "ng1_novelty" -> ((s, d) => {
+      // sh feeds the df table and the join back — cache so the
+      // tokenize+shingle pass runs once
       val sh = Dedup.docShingles(
-        Tables.documents(s, d), "text", "doc_id", ShingleK)
+        Tables.documents(s, d), "text", "doc_id", ShingleK).cache()
       val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       sh.join(df, Seq("shingle"))
         .groupBy(col("doc_id"))

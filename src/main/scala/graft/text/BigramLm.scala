@@ -30,8 +30,11 @@ object BigramLm {
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // toked feeds the bigram explode (consumed by the count table AND
+    // the join back) plus the vocabulary scalar — cache once so the
+    // regex tokenization pass runs once, not per branch
     val toked = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
+      TextFunctions.tokens(col(textCol)).as("toks")).cache()
     val bg = toked.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), " +

@@ -27,8 +27,10 @@ object Cooccur {
     */
   def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
       window: Int, minCount: Long): DataFrame = {
+    // toked feeds both pair-distance explodes and the unigram pass —
+    // cache once so the regex tokenization runs once, not 3×
     val toked = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
+      TextFunctions.tokens(col(textCol)).as("toks")).cache()
     val pairs = (1 to window).map { k =>
       toked.filter(size(col("toks")) > k)
         .select(explode(expr(

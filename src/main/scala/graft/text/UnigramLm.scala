@@ -33,16 +33,14 @@ object UnigramLm {
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // the tokenized occurrences feed the unigram table, the scalar
+    // total, AND the join back — cache once (the write-once tokenized-
+    // corpus artifact, like the dedup flow's shingle table) instead of
+    // paying the regex tokenization per branch
     val occ = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("t"))
+      explode(TextFunctions.tokens(col(textCol))).as("t")).cache()
     val uni = occ.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    // the corpus token total equals sum(cnt) over the unigram table,
-    // but deriving it there would run the explode + vocab-size groupBy
-    // TWICE in one plan (the scalar branch and the join branch); a
-    // per-doc size() scan produces the identical value for one cheap
-    // pass over the raw corpus
-    val total = docs.agg(
-      sum(size(TextFunctions.tokens(col(textCol))).cast("long")).as("total"))
+    val total = occ.agg(count(lit(1)).as("total"))
     occ.join(uni, Seq("t"))
       .crossJoin(broadcast(total))
       .withColumn("qn",
