@@ -72,6 +72,7 @@ object TextDedupPack {
   val CmsWidth = 512
   val CmsMinEst = 20L
   val CmsTopK = 50
+  val HllP = 6
   /** hn1 positive-group granularity (vec_id % labels), negatives per
     * anchor, and the semi-hard margin below the positive ceiling.
     */
@@ -844,6 +845,22 @@ object TextDedupPack {
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       graft.sketch.CountMin.heavyHitters(
         occ, "tok", CmsDepth, CmsWidth, CmsMinEst, CmsTopK)
+    }),
+
+    // HyperLogLog vocabulary-cardinality sketch (Flajolet et al. 2007)
+    // — the third sketch next to count-min (hh1) and Bloom (bf1):
+    // distinct-token estimate in 2^p registers, mergeable by max. The
+    // portable hash makes the registers AND the deterministic
+    // estimation error bit-reproducible in the oracle. Output: the
+    // dense register relation with the estimate columns alongside.
+    "hl1_hll_vocab" -> ((s, d) => {
+      val occ = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      // dense feeds both the register dump and the estimate aggregate —
+      // 2^p rows, cache instead of re-running the occurrence scan
+      val dense = graft.sketch.Hll.denseRegisters(occ, "t", HllP).cache()
+      dense.crossJoin(broadcast(graft.sketch.Hll.estimate(dense, HllP)))
+        .orderBy(col("idx"))
     }),
 
     // Semi-hard negative mining for contrastive training: per anchor,
@@ -1790,6 +1807,35 @@ object TextDedupPack {
          |  GROUP BY p.tok)
          |SELECT tok, est FROM est WHERE est >= $CmsMinEst
          |ORDER BY est DESC, tok LIMIT $CmsTopK""".stripMargin,
+
+    "hl1_hll_vocab" -> {
+      val m = 1 << HllP
+      val scaleExp = 60 - HllP + 1
+      s"""WITH occ AS (SELECT unnest(${TextFunctions.tokensSql("text")})
+         |    AS t FROM documents),
+         |reg0 AS (SELECT ${graft.sketch.Hll.idxSql("t", HllP)} AS idx,
+         |    ${graft.sketch.Hll.rhoSql("t", HllP)} AS rho FROM occ),
+         |regs AS (SELECT idx, max(rho) AS rho FROM reg0 GROUP BY idx),
+         |dense AS (SELECT CAST(t.i AS INTEGER) AS idx,
+         |    CAST(coalesce(r.rho, 0) AS INTEGER) AS rho
+         |  FROM (SELECT unnest(range(0, $m)) AS i) t
+         |  LEFT JOIN regs r ON r.idx = t.i),
+         |agg AS (SELECT
+         |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_zero,
+         |    CAST(sum(1::BIGINT << ($scaleExp - rho)) AS BIGINT)
+         |      AS z_scaled
+         |  FROM dense),
+         |fin AS (SELECT n_zero, z_scaled,
+         |    round(CASE WHEN (${graft.sketch.Hll.estConst(HllP)} /
+         |        CAST(z_scaled AS DOUBLE)) <= ${2.5 * m} AND n_zero > 0
+         |      THEN ${m.toDouble} * ln(${m.toDouble} / n_zero)
+         |      ELSE ${graft.sketch.Hll.estConst(HllP)} /
+         |        CAST(z_scaled AS DOUBLE) END, 4) AS est_distinct
+         |  FROM agg)
+         |SELECT d.idx, d.rho, f.n_zero, f.z_scaled, f.est_distinct
+         |FROM dense d CROSS JOIN fin f ORDER BY d.idx""".stripMargin
+    },
 
     "hn1_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, embedding, vec_id % $HnLabels AS label
