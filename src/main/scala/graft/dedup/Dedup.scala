@@ -154,6 +154,82 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Duplicate-cluster resolution by alternating large-star / small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the O(log n)-round closure for dup graphs whose
+    * components are NOT shallow: [[resolveClusters]]' label propagation
+    * needs rounds ∝ component diameter (fine for near-dup cliques,
+    * ruinous for chain-shaped components a 100 TB crawl produces via
+    * transitive near-dup links); star contraction doubles the hop
+    * distance covered per round instead.
+    *
+    * Each round is two groupBy-min + explode passes over the EDGE
+    * relation only (nodes outside any pair never enter); edges only move
+    * toward component minima, and the unique fixpoint is the star graph
+    * centered on each component's smallest id — the same (cluster id =
+    * min member) contract as resolveClusters, so the two are
+    * interchangeable and oracle-compatible.
+    */
+  def resolveClustersStar(pairs: DataFrame, docs: DataFrame, idCol: String,
+      maxRounds: Int = 15): DataFrame = {
+    // canonical undirected edges a < b, no self-loops
+    var edges = pairs
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    // set-identity probe: count + an order-free keyed checksum (a wrong
+    // early stop would surface as a wrong component table, so the
+    // checksum is over the canonical (a,b) pairs, not just Σ(a+b))
+    def probe(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(col("a") * 1000003L + col("b")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = probe(edges)
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      // large-star: per node u over BOTH directions, attach every
+      // strictly-larger neighbor to m = min(N(u) ∪ {u})
+      val nbr = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val mL = nbr.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = nbr.join(mL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: per node u over its SMALLER neighbors (key = larger
+      // endpoint), attach them (and u) to the minimum
+      val sNbr = large.select(col("b").as("u"), col("a").as("v"))
+      val mS = sNbr.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = sNbr.join(mS, Seq("u"))
+        .select(col("v"), col("u"), col("m"))
+        .select(explode(array(
+          struct(col("v").as("x"), col("m")),
+          struct(col("u").as("x"), col("m")))).as("e"))
+        .select(least(col("e.x"), col("e.m")).as("a"),
+          greatest(col("e.x"), col("e.m")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      val s = probe(small)
+      converged = s == prev
+      prev = s
+      edges = small
+      round += 1
+    }
+    // fixpoint is a star per component: every edge is (min, member)
+    val labels = edges.select(col("b").as("doc_id"), col("a").as("lbl"))
+      .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   /** Exact Jaccard over shingle sets for the given pairs.
     * `pairs` must have columns (a, b); result adds `jaccard`.
     */

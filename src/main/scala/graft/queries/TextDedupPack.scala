@@ -73,6 +73,7 @@ object TextDedupPack {
   val CmsMinEst = 20L
   val CmsTopK = 50
   val HllP = 6
+  val QcBuckets = 1024
   /** hn1 positive-group granularity (vec_id % labels), negatives per
     * anchor, and the semi-hard margin below the positive ceiling.
     */
@@ -623,6 +624,21 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The same component closure by alternating large-star/small-star
+    // (Kiveris et al. 2014): O(log n) rounds instead of rounds ∝
+    // diameter — the scale path for chain-shaped dup components. The
+    // unique fixpoint (cluster id = component min) makes it oracle-
+    // interchangeable with dd1.
+    "cc1_star_components" -> ((s, d) => {
+      val idx = graft.dedup.DedupCache.persisted(
+        s, d, ShingleK, NumHashes, RowsPerBand)
+      val pairs = Dedup.jaccardOfPairs(Dedup.lshCandidates(idx.bands),
+          idx.shingles)
+        .filter(col("jaccard") >= 0.6)
+      Dedup.resolveClustersStar(pairs, Tables.documents(s, d), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: corpus×eval-set pairs sharing ≥3
     // distinct word 5-grams (the n-gram collision test that keeps eval
     // sets out of training mixes). The eval set is a 10-token window
@@ -853,6 +869,20 @@ object TextDedupPack {
     // portable hash makes the registers AND the deterministic
     // estimation error bit-reproducible in the oracle. Output: the
     // dense register relation with the estimate columns alongside.
+    // Model-based quality filtering (fasttext-shaped, Joulin et al.
+    // 2016; the CCNet/GPT-3 pipeline stage): linear model over hashed
+    // unigram+bigram features, weights as a broadcast relation, mean-
+    // pooled logit through the sigmoid, keep-threshold at 0.5. The
+    // weight table here is the deterministic hash-derived stand-in —
+    // real deployments load trained weights through the same seam.
+    "ql1_quality_classifier" -> ((s, d) => {
+      val w = graft.text.QualityClassifier.hashWeights(s, QcBuckets)
+      graft.text.QualityClassifier.score(
+          Tables.documents(s, d), "doc_id", "text", w, QcBuckets)
+        .withColumn("keep", col("keep").cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     "hl1_hll_vocab" -> ((s, d) => {
       val occ = Tables.documents(s, d)
         .select(explode(TextFunctions.tokens(col("text"))).as("t"))
@@ -991,6 +1021,44 @@ object TextDedupPack {
        |  FROM segs x JOIN segs y
        |    ON x.seg = y.seg AND x.seg_val = y.seg_val AND x.doc_id < y.doc_id)""".stripMargin
   }
+
+  /** dd1/cc1 shared mirror: LSH pairs -> recursive reachability ->
+    * per-component min. Exact regardless of which distributed closure
+    * algorithm the engine side used.
+    */
+  private lazy val ddClustersOracle: String =
+    s"""WITH RECURSIVE $toksCte, $shCte, $mhCte,
+         |bands AS (SELECT doc_id, CAST(h // $RowsPerBand AS INTEGER) AS band,
+         |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY h) AS band_val
+         |  FROM mh GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+         |  FROM sh s1 JOIN sh s2
+         |    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |  JOIN cand c ON c.a = s1.doc_id AND c.b = s2.doc_id
+         |  GROUP BY s1.doc_id, s2.doc_id),
+         |pairs AS (SELECT c.a, c.b FROM cand c
+         |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+         |  JOIN sizes na ON na.doc_id = c.a
+         |  JOIN sizes nb ON nb.doc_id = c.b
+         |  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |    / (na.n + nb.n - COALESCE(i.i, 0)) >= 0.6::DOUBLE),
+         |e AS (SELECT a AS x, b AS y FROM pairs
+         |  UNION ALL SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT x, x FROM e
+         |  UNION
+         |  SELECT e.y, reach.r FROM reach JOIN e ON e.x = reach.id),
+         |cl AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+         |  (d.doc_id = COALESCE(cl.cluster_id, d.doc_id)) AS is_canonical
+         |FROM documents d LEFT JOIN cl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -1601,39 +1669,13 @@ object TextDedupPack {
          |  round(quantile_cont(n_toks, 0.9), 6) AS p90_toks
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "dd1_dup_clusters" ->
-      s"""WITH RECURSIVE $toksCte, $shCte, $mhCte,
-         |bands AS (SELECT doc_id, CAST(h // $RowsPerBand AS INTEGER) AS band,
-         |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY h) AS band_val
-         |  FROM mh GROUP BY doc_id, band),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.band_val = y.band_val
-         |   AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
-         |  FROM sh s1 JOIN sh s2
-         |    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-         |  JOIN cand c ON c.a = s1.doc_id AND c.b = s2.doc_id
-         |  GROUP BY s1.doc_id, s2.doc_id),
-         |pairs AS (SELECT c.a, c.b FROM cand c
-         |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-         |  JOIN sizes na ON na.doc_id = c.a
-         |  JOIN sizes nb ON nb.doc_id = c.b
-         |  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
-         |    / (na.n + nb.n - COALESCE(i.i, 0)) >= 0.6::DOUBLE),
-         |e AS (SELECT a AS x, b AS y FROM pairs
-         |  UNION ALL SELECT b, a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT x, x FROM e
-         |  UNION
-         |  SELECT e.y, reach.r FROM reach JOIN e ON e.x = reach.id),
-         |cl AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
-         |  FROM reach GROUP BY id)
-         |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
-         |  (d.doc_id = COALESCE(cl.cluster_id, d.doc_id)) AS is_canonical
-         |FROM documents d LEFT JOIN cl USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "dd1_dup_clusters" -> ddClustersOracle,
+
+    // same recursive-CTE mirror: connected components have a UNIQUE
+    // fixpoint (cluster id = component min), so the O(log n) star-
+    // contraction gate is checked against the identical oracle the
+    // label-propagation gate uses — algorithm-independence is the proof
+    "cc1_star_components" -> ddClustersOracle,
 
     "dc1_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks
@@ -1807,6 +1849,37 @@ object TextDedupPack {
          |  GROUP BY p.tok)
          |SELECT tok, est FROM est WHERE est >= $CmsMinEst
          |ORDER BY est DESC, tok LIMIT $CmsTopK""".stripMargin,
+
+    "ql1_quality_classifier" -> {
+      val b = QcBuckets
+      s"""WITH tok AS (SELECT doc_id, ${TextFunctions.tokensSql("text")}
+         |    AS toks FROM documents),
+         |feats AS (SELECT doc_id, unnest(list_concat(toks,
+         |    list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1]))) AS f
+         |  FROM tok),
+         |pf AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS n
+         |  FROM feats GROUP BY doc_id, f),
+         |pfb AS (SELECT doc_id, n,
+         |    (${PortableHash.hash60Sql("'qf'", "f")}) % $b AS bkt
+         |  FROM pf),
+         |w AS (SELECT i AS bkt,
+         |    CAST((${PortableHash.hash60Sql("'qw'", "CAST(i AS VARCHAR)")})
+         |      % 2001 - 1000 AS BIGINT) AS w_micro
+         |  FROM (SELECT unnest(range(0, $b)) AS i)),
+         |sc AS (SELECT doc_id,
+         |    CAST(sum(n) AS BIGINT) AS n_features,
+         |    CAST(sum(n * w_micro) AS BIGINT) AS w_sum_micro
+         |  FROM pfb JOIN w USING (bkt) GROUP BY doc_id),
+         |fin AS (SELECT doc_id, n_features, w_sum_micro,
+         |    round(1.0 / (1.0 + exp(-((0 + w_sum_micro / n_features)
+         |      / 1000000.0))), 6) AS score
+         |  FROM sc)
+         |SELECT doc_id, n_features, w_sum_micro, score,
+         |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER)
+         |    AS keep
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
 
     "hl1_hll_vocab" -> {
       val m = 1 << HllP

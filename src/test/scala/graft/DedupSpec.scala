@@ -72,4 +72,46 @@ class DedupSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sims(1L), sims(3L)) < ham(sims(1L), sims(4L)))
   }
+
+  test("star contraction resolves deep chains within O(log n) rounds") {
+    // a 60-node chain (diameter 59): label propagation would need ~59
+    // rounds; large-star/small-star must close it inside its default 15
+    val pairs = (0L until 59L).map(i => (100 + i, 101 + i)).toDF("a", "b")
+    val nodes = (100L to 159L).toDF("doc_id")
+    val got = graft.dedup.Dedup
+      .resolveClustersStar(pairs, nodes, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val expected = (100L to 159L)
+      .map(i => (i, 100L, i == 100L)).toSet
+    assert(got == expected)
+  }
+
+  test("star contraction and label propagation agree on a mixed graph") {
+    // two cliques, one chain, singletons
+    val pairs = (
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++           // clique {1,2,3}
+      Seq((10L, 11L), (11L, 12L)) ++                 // path {10,11,12}
+      Seq((20L, 25L), (25L, 21L), (21L, 26L))        // chain {20,21,25,26}
+    ).toDF("a", "b")
+    val nodes = ((1L to 3L) ++ (10L to 12L) ++ Seq(20L, 21L, 25L, 26L)
+      ++ Seq(40L, 41L)).toDF("doc_id")
+    val star = graft.dedup.Dedup
+      .resolveClustersStar(pairs, nodes, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val prop = graft.dedup.Dedup
+      .resolveClusters(pairs, nodes, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(star == prop)
+    assert(star.contains((26L, 20L, false)))
+    assert(star.contains((40L, 40L, true)))
+  }
+
+  test("star contraction: empty pair set leaves every doc canonical") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val nodes = (1L to 5L).toDF("doc_id")
+    val got = graft.dedup.Dedup
+      .resolveClustersStar(pairs, nodes, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == (1L to 5L).map(i => (i, i, true)).toSet)
+  }
 }
