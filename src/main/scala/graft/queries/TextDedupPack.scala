@@ -869,6 +869,30 @@ object TextDedupPack {
     // portable hash makes the registers AND the deterministic
     // estimation error bit-reproducible in the oracle. Output: the
     // dense register relation with the estimate columns alongside.
+    // One BPE merge round (Sennrich et al. 2016) over the corpus word
+    // types: frequency-weighted pair counts, the (cnt desc, a, b)
+    // argmax merge, and the greedy leftmost application — per-word-type
+    // symbol counts before/after. The argmax collect is 1 row
+    // (metadata-scale); everything else is the type relation. Multi-
+    // round learning is Bpe.learn (BpeSpec); the oracle mirrors the
+    // greedy count via the ceil(run/2) run-length rule (exact also for
+    // self-overlapping a==b merges).
+    "bpe1_merge_round" -> ((s, d) => {
+      val types = graft.text.Bpe.initSymbols(
+        graft.text.Bpe.wordTypes(Tables.documents(s, d), "text"))
+        .localCheckpoint(true)
+      val Some((a, b, _)) = graft.text.Bpe.topMerge(
+        graft.text.Bpe.pairCounts(types))
+      types
+        .withColumn("n_before", size(col("syms")))
+        .withColumn("n_after",
+          size(graft.text.Bpe.applyMerge(col("syms"), a, b)))
+        .select(col("word"), col("freq"), col("n_before"), col("n_after"),
+          lit(a).as("merge_a"), lit(b).as("merge_b"))
+        .orderBy(col("freq").desc, col("word"))
+        .limit(200)
+    }),
+
     // Model-based quality filtering (fasttext-shaped, Joulin et al.
     // 2016; the CCNet/GPT-3 pipeline stage): linear model over hashed
     // unigram+bigram features, weights as a broadcast relation, mean-
@@ -1849,6 +1873,33 @@ object TextDedupPack {
          |  GROUP BY p.tok)
          |SELECT tok, est FROM est WHERE est >= $CmsMinEst
          |ORDER BY est DESC, tok LIMIT $CmsTopK""".stripMargin,
+
+    "bpe1_merge_round" ->
+      s"""WITH occ AS (SELECT unnest(${TextFunctions.tokensSql("text")})
+         |    AS word FROM documents),
+         |wt AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM occ GROUP BY word),
+         |pr AS (SELECT w.word[t.i] AS a, w.word[t.i + 1] AS b, w.freq
+         |  FROM wt w, unnest(range(1, len(w.word))) AS t(i)),
+         |pc AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM pr GROUP BY a, b),
+         |top AS (SELECT a, b FROM pc ORDER BY cnt DESC, a, b LIMIT 1),
+         |mpos AS (SELECT w.word, t.i
+         |  FROM wt w CROSS JOIN top, unnest(range(1, len(w.word))) AS t(i)
+         |  WHERE w.word[t.i] = top.a AND w.word[t.i + 1] = top.b),
+         |runs AS (SELECT word, i,
+         |    i - row_number() OVER (PARTITION BY word ORDER BY i) AS rg
+         |  FROM mpos),
+         |rl AS (SELECT word, rg, count(*) AS run_len
+         |  FROM runs GROUP BY word, rg),
+         |mc AS (SELECT word, CAST(sum((run_len + 1) // 2) AS BIGINT)
+         |    AS merges
+         |  FROM rl GROUP BY word)
+         |SELECT w.word, w.freq, CAST(len(w.word) AS INTEGER) AS n_before,
+         |  CAST(len(w.word) - coalesce(m.merges, 0) AS INTEGER) AS n_after,
+         |  top.a AS merge_a, top.b AS merge_b
+         |FROM wt w CROSS JOIN top LEFT JOIN mc m USING (word)
+         |ORDER BY w.freq DESC, w.word LIMIT 200""".stripMargin,
 
     "ql1_quality_classifier" -> {
       val b = QcBuckets

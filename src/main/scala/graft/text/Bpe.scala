@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+  * tokenizer-training half of a data pipeline (token counting against
+  * a LEARNED vocabulary is t1/vc1; this is where the vocabulary comes
+  * from). Classic BPE is presented as a sequential algorithm; the
+  * distributed shape is:
+  *
+  *  - the corpus collapses to WORD TYPES once (groupBy word, count —
+  *    one map-side-combined shuffle; all later rounds run on the
+  *    type relation, ~vocabulary-scale);
+  *  - each round: adjacent-pair counts weighted by word frequency
+  *    (explode + groupBy), argmax by (count, pair) — a 1-row
+  *    TakeOrdered collect (metadata-scale, the ONLY driver data);
+  *  - the merge applies per word type as a greedy leftmost
+  *    non-overlapping fold — a pure per-row higher-order function, no
+  *    shuffle at all.
+  *
+  * Determinism: counts are exact integers; the argmax tiebreak is
+  * (count desc, a, b); the greedy fold is the textbook leftmost rule
+  * ("aaa" + merge(a,a) → ["aa","a"]).
+  */
+object Bpe {
+
+  /** (word, freq) types from a documents relation. */
+  def wordTypes(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol sequences: one character per symbol. */
+  def initSymbols(types: DataFrame): DataFrame =
+    types.withColumn("syms", split(col("word"), ""))
+
+  /** Frequency-weighted adjacent-pair counts over (word, freq, syms). */
+  def pairCounts(syms: DataFrame): DataFrame =
+    syms.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), " +
+          "i -> struct(syms[i] as a, syms[i + 1] as b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** The round's winning merge: (a, b, cnt) by (cnt desc, a, b) —
+    * TakeOrderedAndProject, 1 row.
+    */
+  def topMerge(pc: DataFrame): Option[(String, String, Long)] =
+    pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      .collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** Greedy leftmost non-overlapping application of merge (a,b) to a
+    * symbol array — per-row HOF fold, no shuffle.
+    */
+  def applyMerge(syms: Column, a: String, b: String): Column = {
+    val emptyOut = typedlit(Seq.empty[String])
+    val init = struct(emptyOut.as("out"),
+      lit(null).cast("string").as("prev"))
+    aggregate(
+      syms,
+      init,
+      (acc, x) => {
+        val out = acc.getField("out")
+        val prev = acc.getField("prev")
+        when(prev === lit(a) && x === lit(b),
+          struct(concat(out, array(lit(a + b))).as("out"),
+            lit(null).cast("string").as("prev")))
+          .when(prev.isNull,
+            struct(out.as("out"), x.as("prev")))
+          .otherwise(
+            struct(concat(out, array(prev)).as("out"), x.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNotNull,
+        concat(acc.getField("out"), array(acc.getField("prev"))))
+        .otherwise(acc.getField("out")))
+  }
+
+  /** Learn `rounds` merges. Returns (merges in order, final symbol
+    * relation). Each round collects exactly ONE row (the argmax).
+    */
+  def learn(docs: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    var syms = initSymbols(wordTypes(docs, textCol)).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    var r = 0
+    while (r < rounds && !done) {
+      topMerge(pairCounts(syms)) match {
+        case Some((a, b, cnt)) =>
+          merges += ((a, b, cnt))
+          syms = syms.withColumn("syms", applyMerge(col("syms"), a, b))
+            .localCheckpoint(true)
+        case None => done = true
+      }
+      r += 1
+    }
+    (merges.toSeq, syms)
+  }
+}
