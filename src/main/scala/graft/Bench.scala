@@ -40,7 +40,9 @@ object Bench {
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
-          Some(e.toString.replaceAll("\\s+", " ").take(200))
+          // keep errors SHORT: the driver tails the bench output, and 12
+          // long stack prefixes once truncated away all 121 timings
+          Some(e.toString.replaceAll("\\s+", " ").take(80))
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
@@ -64,9 +66,10 @@ object Bench {
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    def j3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
-    val qmins = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+    val qmins = results.map { case (k, _, m, _) => "\"" + k + "\":" + j3(m) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
@@ -90,11 +93,11 @@ object Bench {
             System.err.println(s"[bench] stress failed: ${e.toString.take(200)}")
             Seq.empty
           }
-        res.map { case (k, v) => "\"" + k + "\":" + v }
+        res.map { case (k, v) => "\"" + k + "\":" + j3(v) }
           .mkString("{", ",", "}")
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"stress":$stress,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"stress":$stress,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -216,7 +216,11 @@ object Kg {
     val deep = maxHops >= 3
     val e0 = edges.select(col(from).as("walk_from"), col(to).as("walk_to"))
     val e = if (deep) e0.localCheckpoint(eager = true) else e0
-    var acc = seeds.select(col("id"), lit(0).as("dist"))
+    // the seed derivation can itself be a multi-join plan (a13 roots the
+    // walk at the EntryPoints detector output): left unmaterialized it is
+    // re-derived by EVERY hop's anti-join against acc — checkpoint it once
+    val s0 = seeds.select(col("id"), lit(0).as("dist"))
+    var acc = if (deep) s0.localCheckpoint(eager = true) else s0
     var frontier = acc
     var hop = 1
     var growing = true

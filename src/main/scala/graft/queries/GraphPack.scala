@@ -55,6 +55,18 @@ object GraphPack {
         ((col("doc_id") * 7 + 3) % PrNodes).as("dst"))
       .filter(col("src") =!= col("dst"))
 
+  /** tc1 undirected fixture: circulant offsets 1,2 (which compose into
+    * triangles) plus the 7x+3 family for irregular degree spread.
+    */
+  private def triEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val f = (b: org.apache.spark.sql.Column) =>
+      docs.select((col("doc_id") % PrNodes).as("a"), (b % PrNodes).as("b"))
+    f(col("doc_id") + 1)
+      .unionByName(f(col("doc_id") + 2))
+      .unionByName(f(col("doc_id") * 7 + 3))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Integer-exact PageRank (fixed 3 iterations, micro-unit damping
     // arithmetic — order-free sums, so the oracle chains the SAME
@@ -63,6 +75,16 @@ object GraphPack {
     "pr1_pagerank" -> ((s, d) => {
       graft.graph.PageRank.integerPageRank(prEdges(s, d), PrIters)
         .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // Exact per-node triangle counts + local clustering coefficient by
+    // degree-ordered orientation (Suri & Vassilvitskii 2011) — the
+    // skew-proof wedge join. Oracle replays the identical orientation
+    // with tuple comparisons; counts are exact integers, the single
+    // float division rounds identically both sides.
+    "tc1_triangles" -> ((s, d) => {
+      graft.graph.Triangles.nodeTriangles(triEdges(s, d))
+        .orderBy(col("node"))
     }),
 
     // A17: counts per relation type + distinct node counts.
@@ -406,6 +428,37 @@ object GraphPack {
          |${prIterCtes(PrIters)}
          |SELECT node, pr FROM p$PrIters
          |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
+    "tc1_triangles" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id % $PrNodes AS a, (doc_id + 1) % $PrNodes AS b FROM documents
+         |  UNION ALL SELECT doc_id % $PrNodes, (doc_id + 2) % $PrNodes FROM documents
+         |  UNION ALL SELECT doc_id % $PrNodes, (doc_id * 7 + 3) % $PrNodes FROM documents),
+         |e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+         |  FROM raw WHERE a <> b),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+         |o AS (SELECT
+         |    CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+         |    CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv,
+         |    CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v
+         |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+         |w AS (SELECT o1.u, o1.v AS x, o2.v AS y
+         |  FROM o o1 JOIN o o2
+         |  ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)),
+         |tri AS (SELECT w.u, w.x, w.y FROM w
+         |  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y)),
+         |pern AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |    SELECT u AS node FROM tri
+         |    UNION ALL SELECT x FROM tri
+         |    UNION ALL SELECT y FROM tri) GROUP BY node)
+         |SELECT deg.id AS node, deg.deg,
+         |  CAST(coalesce(pern.triangles, 0) AS BIGINT) AS triangles,
+         |  CASE WHEN deg.deg >= 2
+         |    THEN round(coalesce(pern.triangles, 0) * 2.0 / (deg.deg * (deg.deg - 1)), 6)
+         |    ELSE 0.0 END AS clustering
+         |FROM deg LEFT JOIN pern ON pern.node = deg.id
+         |ORDER BY node""".stripMargin,
 
     "g1_kg_stats" ->
       s"""WITH $edgesSql

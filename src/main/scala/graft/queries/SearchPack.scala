@@ -72,6 +72,12 @@ object SearchPack {
     */
   val E2eQuery = "fast table scan over sorted data"
 
+  /** ev1 cutoff; discount literals derive from it on both sides. */
+  val EvalK = 10
+
+  /** ph1 phrase — adjacent-token exact match over the documents corpus. */
+  val PhraseTerms = Seq("table", "scan")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q5+J12+P5/P7 end to end: the ENTIRE vector-search data path —
     // hash-n-gram featurization (unigrams + bigrams → portable-hash
@@ -91,6 +97,34 @@ object SearchPack {
         .orderBy(col("sim").desc, col("id").asc)
         .limit(20)
         .select(col("id").as("doc_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // Ranking-quality eval (NDCG@10 / MRR / P@10 / R@10) over a
+    // deterministic ranked-list + judgments fixture: integer micro-unit
+    // rank discounts make DCG/IDCG order-free integer sums, so the
+    // oracle inlines the IDENTICAL driver-computed discount literals.
+    "ev1_rank_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val results = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") % 5).as("query_id"), col("doc_id").as("id"),
+          expr("CAST(doc_id DIV 5 + 1 AS INT)").as("rank"))
+      val qrels = docs.filter(col("doc_id") < 200)
+        .select((col("doc_id") % 5).as("query_id"), col("doc_id").as("id"),
+          when(col("doc_id") % 3 === 0, 2L)
+            .when(col("doc_id") % 7 === 0, 1L)
+            .otherwise(0L).as("rel"))
+      graft.search.RankEval.rankingMetrics(results, qrels, EvalK)
+        .orderBy(col("query_id"))
+    }),
+
+    // Exact phrase search over positional postings: one pushdown-scan +
+    // equi-join per phrase term, rarest term first; occurrence counts
+    // ranked top-k with id tiebreak.
+    "ph1_phrase_search" -> ((s, d) => {
+      val postings = graft.search.Phrase.positionalPostings(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", TextFunctions.tokens)
+      graft.search.Phrase.phraseSearch(postings, PhraseTerms, 30)
     }),
 
     // Q7/A3: BM25 top-k for a fixed query.
@@ -184,6 +218,75 @@ object SearchPack {
     val bm25Ctes = Bm25.scoreSqlCtes("documents", "doc_id", docTokensSql, Query)
 
     Map(
+      // ev1: identical discount literals (driver-computed micro units),
+      // identical ideal-ordering tiebreak, single final divisions.
+      "ev1_rank_eval" -> {
+        val discVals = graft.search.RankEval.discountMicros(EvalK)
+          .map { case (r, m) => s"($r, ${m}::BIGINT)" }.mkString(", ")
+        s"""WITH disc(rank, dm) AS (VALUES $discVals),
+           |results AS (SELECT doc_id % 5 AS query_id, doc_id AS id,
+           |    CAST(doc_id // 5 + 1 AS INTEGER) AS rank
+           |  FROM documents WHERE doc_id < 50),
+           |rel AS (SELECT doc_id % 5 AS query_id, doc_id AS id,
+           |    CASE WHEN doc_id % 3 = 0 THEN 2::BIGINT
+           |      WHEN doc_id % 7 = 0 THEN 1::BIGINT END AS rel
+           |  FROM documents WHERE doc_id < 200
+           |    AND (doc_id % 3 = 0 OR doc_id % 7 = 0)),
+           |ink AS (SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+           |  FROM results r LEFT JOIN rel q
+           |    ON q.query_id = r.query_id AND q.id = r.id
+           |  WHERE r.rank <= $EvalK),
+           |perq AS (SELECT ink.query_id,
+           |    CAST(sum(ink.rel * d.dm) AS BIGINT) AS dcg,
+           |    CAST(sum(CASE WHEN ink.rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS hits,
+           |    min(CASE WHEN ink.rel > 0 THEN ink.rank END) AS first_hit
+           |  FROM ink JOIN disc d ON d.rank = ink.rank
+           |  GROUP BY ink.query_id),
+           |ideal AS (SELECT query_id,
+           |    CAST(sum(rel * dm) AS BIGINT) AS idcg
+           |  FROM (SELECT query_id, rel, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY rel DESC, id) AS irank
+           |    FROM rel) x JOIN disc ON disc.rank = x.irank
+           |  WHERE x.irank <= $EvalK GROUP BY query_id),
+           |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+           |  FROM rel GROUP BY query_id)
+           |SELECT p.query_id,
+           |  CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel, p.hits,
+           |  CASE WHEN coalesce(i.idcg, 0) > 0
+           |    THEN round(CAST(p.dcg AS DOUBLE) / i.idcg, 6)
+           |    ELSE 0.0 END AS ndcg,
+           |  CASE WHEN p.first_hit IS NOT NULL
+           |    THEN round(1.0 / p.first_hit, 6) ELSE 0.0 END AS mrr,
+           |  round(p.hits / ${EvalK.toDouble}, 6) AS precision_at_k,
+           |  CASE WHEN coalesce(n.n_rel, 0) > 0
+           |    THEN round(CAST(p.hits AS DOUBLE) / n.n_rel, 6)
+           |    ELSE 0.0 END AS recall_at_k
+           |FROM perq p LEFT JOIN ideal i USING (query_id)
+           |LEFT JOIN nrel n USING (query_id)
+           |ORDER BY p.query_id""".stripMargin
+      },
+
+      // ph1: positional postings via an index-carrying list_transform,
+      // then one self-join per phrase term on (id, start).
+      "ph1_phrase_search" -> {
+        val joins = PhraseTerms.zipWithIndex.tail.map { case (t, i) =>
+          s"""JOIN p p$i ON p$i.id = p0.id AND p$i.pos = p0.pos + $i
+             |    AND p$i.term = '$t'""".stripMargin
+        }.mkString("\n  ")
+        s"""WITH tok AS (SELECT doc_id AS id,
+           |    ${TextFunctions.tokensSql("text")} AS toks FROM documents),
+           |praw AS (SELECT id, unnest(list_transform(toks,
+           |    (t, i) -> {'term': t, 'pos': i - 1})) AS u FROM tok),
+           |p AS (SELECT id, u.term AS term, u.pos AS pos FROM praw
+           |  WHERE u.term <> ''),
+           |m AS (SELECT p0.id FROM p p0
+           |  $joins
+           |  WHERE p0.term = '${PhraseTerms.head}')
+           |SELECT id, CAST(count(*) AS BIGINT) AS n_matches FROM m
+           |GROUP BY id ORDER BY n_matches DESC, id LIMIT 30""".stripMargin
+      },
+
       // The full vector path in SQL: same n-gram multiset (unigrams +
       // index-aligned bigrams), same portable-hash buckets, integer
       // counts (so the squared-norm sum is EXACT in any order — counts²

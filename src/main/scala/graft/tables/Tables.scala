@@ -34,10 +34,17 @@ object Tables {
     * TIMESTAMP reading of the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(apply(s, d, "events"))
+  }
+
+  /** The ts-normalization branch on its own, so streaming readers (which
+    * must pass an explicit schema and hence see the same drift) can apply
+    * the identical rule to a `readStream` relation.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => // nanos long: truncate to micros like DuckDB's ns→us cast
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -194,21 +194,70 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("windowed event-rate aggregation with watermark (streamed parquet)") {
+    // The streaming source must be given an explicit schema, so read it off
+    // the batch relation and normalize ts through the SAME branch the batch
+    // loader uses — the testdata's ts physical type has drifted between
+    // rounds (nanos-long vs timestamp-micros) and a hard-coded schema here
+    // silently computed 1000×-off timestamps once already.
+    val sfDir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load("/root/testdata/sf0.001")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = graft.tables.Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sfDir))
     val agg = WatchStream.eventRates(stream, "1 day", "1 day")
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("rates").start()
     try {
       q.processAllAvailable()
-      val rows = spark.sql("SELECT count(*) FROM rates").head().getLong(0)
-      assert(rows > 0)
+      // Value-bearing check: the streamed windowed counts must equal the
+      // batch computation over the same file — unit drift (ms-vs-us) moves
+      // every window boundary and fails the set compare, unlike rows > 0.
+      val streamed = spark.sql(
+        "SELECT window.start, event_type, n FROM rates").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.tables.Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("event_type"), col("n")).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch)
     } finally q.stop()
+  }
+
+  test("Tables.events normalizes nanos-long and micros-NTZ ts identically") {
+    // Schema-drift guard: the driver regenerated events.parquet once
+    // (TIMESTAMP(NANOS)-as-long -> TIMESTAMP(MICROS)/NTZ) and broke 12
+    // gates. Write both physical shapes for the same instants and assert
+    // the loader yields the identical TimestampType column for each.
+    withTempDir { dir =>
+      val micros = Seq(
+        (1L, 1700000000000000L, "click"),
+        (2L, 1700000123456789L, "view"),
+        (3L, 1700086400000000L, "click"))
+      val nanosDir = dir.resolve("nanos").toString
+      val microsDir = dir.resolve("micros").toString
+      micros.toDF("event_id", "ts", "event_type")
+        .withColumn("ts", col("ts") * 1000L) // nanos since epoch, LongType
+        .write.parquet(s"$nanosDir/events.parquet")
+      micros.toDF("event_id", "ts", "event_type")
+        .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+        .write.parquet(s"$microsDir/events.parquet")
+      def load(d: String): Seq[(Long, java.sql.Timestamp)] = {
+        val df = graft.tables.Tables.events(spark, d)
+        assert(df.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType)
+        df.select(col("event_id"), col("ts")).collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq.sortBy(_._1)
+      }
+      val a = load(nanosDir)
+      val b = load(microsDir)
+      assert(a == b)
+      assert(a.map(_._2.getTime).toSet ==
+        Set(1700000000000L, 1700000123456L, 1700086400000L))
+    }
   }
 }
