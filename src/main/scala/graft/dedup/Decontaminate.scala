@@ -26,13 +26,16 @@ object Decontaminate {
       bench: DataFrame, bTextCol: String, bIdCol: String,
       n: Int = 13, minShared: Int = 1,
       broadcastBench: Boolean = true): DataFrame = {
+    // docShingles explodes array_distinct'd shingles, so (doc_id,
+    // shingle) is ALREADY distinct — no dedup shuffle of the
+    // corpus-side relation here
     val cg = Dedup.docShingles(
       corpus.select(col(cIdCol).as("doc_id"), col(cTextCol).as("text")),
-      "text", "doc_id", n).distinct()
+      "text", "doc_id", n)
     val bg0 = Dedup.docShingles(
       bench.select(col(bIdCol).as("doc_id"), col(bTextCol).as("text")),
       "text", "doc_id", n)
-      .withColumnRenamed("doc_id", "bench_id").distinct()
+      .withColumnRenamed("doc_id", "bench_id")
     val bg = if (broadcastBench) broadcast(bg0) else bg0
     cg.join(bg, Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))

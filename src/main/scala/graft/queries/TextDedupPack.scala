@@ -60,6 +60,16 @@ object TextDedupPack {
     * linearly with the corpus).
     */
   val ShardTokens = 4000L
+
+  /** bpe2 fixed merge list, rank order. Constructed so (a) every merge
+    * consumes only raw chars or EARLIER merge outputs — sequential
+    * application equals rank-priority BPE — and (b) no corpus word
+    * contains an x-y-x-y repetition of any pair, so the oracle's
+    * chained non-overlapping replace matches the greedy leftmost rule.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("s", "c"), ("a", "n"), ("sc", "an"),
+    ("b", "l"), ("ta", "bl"), ("e", "r"), ("o", "r"))
   /** ws1 systematic-PPS target draw count. */
   val PpsDraws = 100
   /** dr1 JL projection output dims (64 → 8: an 8× byte cut). */
@@ -891,6 +901,19 @@ object TextDedupPack {
           lit(a).as("merge_a"), lit(b).as("merge_b"))
         .orderBy(col("freq").desc, col("word"))
         .limit(200)
+    }),
+
+    // BPE ENCODE (the inference half of bpe1's merge learning): fixed
+    // rank-ordered merge list applied as a fold of the applyMerge
+    // Column HOF — the whole encode is one WholeStageCodegen stage, no
+    // UDF. The list is built so later merges only consume earlier
+    // outputs (sequential == rank-priority; BpeApplySpec pins both) and
+    // no corpus word repeats a pair x-y-x-y (so the oracle's chained
+    // non-overlapping replace is exact).
+    "bpe2_encode" -> ((s, d) => {
+      graft.text.Bpe.sequentialTokenCounts(
+        Tables.documents(s, d), "doc_id", "text", BpeMerges)
+        .orderBy(col("doc_id"))
     }),
 
     // Model-based quality filtering (fasttext-shaped, Joulin et al.
@@ -1900,6 +1923,22 @@ object TextDedupPack {
          |  top.a AS merge_a, top.b AS merge_b
          |FROM wt w CROSS JOIN top LEFT JOIN mc m USING (word)
          |ORDER BY w.freq DESC, w.word LIMIT 200""".stripMargin,
+
+    "bpe2_encode" -> {
+      val spaced = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
+      val chained = BpeMerges.foldLeft(spaced) { case (e, (a, b)) =>
+        s"replace($e, ' $a $b ', ' ${a + b} ')"
+      }
+      s"""WITH tok AS (SELECT doc_id,
+         |    list_filter(${TextFunctions.tokensSql("text")}, w -> w <> '')
+         |      AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+         |enc AS (SELECT doc_id,
+         |    len(string_split(trim($chained), ' ')) AS n FROM w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "ql1_quality_classifier" -> {
       val b = QcBuckets

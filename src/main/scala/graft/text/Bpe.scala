@@ -77,6 +77,91 @@ object Bpe {
         .otherwise(acc.getField("out")))
   }
 
+  /** Sequential (rank-order) BPE encoding as a PURE Column pipeline:
+    * fold [[applyMerge]] over the merge list — each merge is one
+    * higher-order `aggregate` the codegen engine inlines, so the whole
+    * encode stays inside WholeStageCodegen with zero UDFs and zero
+    * shuffles beyond the final per-doc count. The right tool for
+    * bounded merge lists (the plan grows with the list); for full
+    * 30k-merge tokenizers use [[encode]].
+    *
+    * Sequential semantics: merge 1 is applied everywhere, then merge 2,
+    * … — identical to rank-priority BPE whenever no later merge
+    * creates an occurrence of an earlier pair (true of any prefix-built
+    * list whose outputs are fresh symbols; BpeApplySpec pins the
+    * divergence case).
+    */
+  def sequentialTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+    val symsN = merges.foldLeft(split(col("word"), ""): Column) {
+      case (c, (a, b)) => applyMerge(c, a, b)
+    }
+    words.select(col("doc_id"), size(symsN).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe_tokens"))
+  }
+
+  /** Rank-priority greedy encode of one word: repeatedly merge the
+    * lowest-rank adjacent pair present (all its occurrences, leftmost
+    * rule) until none applies — textbook BPE inference.
+    */
+  def encodeWord(word: String, rank: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var a = ""; var b = ""
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; a = syms(i); b = syms(i + 1) }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Production-scale encode: per-doc token counts under a broadcast
+    * rank map via mapPartitions (the merge table is metadata-scale —
+    * 30k entries broadcast once; docs stream through partitions). The
+    * genuinely imperative inner loop (priority scan per word) is why
+    * this is not a Column expression.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    docs.select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { case (id, toks) =>
+          val ws = toks.filter(_.nonEmpty)
+          val total = ws.iterator.map(w => encodeWord(w, rk).length.toLong).sum
+          (id, ws.length.toLong, total)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens")
+  }
+
   /** Learn `rounds` merges. Returns (merges in order, final symbol
     * relation). Each round collects exactly ONE row (the argmax).
     */

@@ -60,15 +60,22 @@ object Dsir {
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("is_target"),
         explode(features(col("toks"))).as("f"))
+    // ONE pass over the occurrence explode: roll up to per-(doc,
+    // feature) counts first — the relation every later step reads.
+    // Materialized eagerly because BOTH the vocabulary rollup and the
+    // final scoring join consume it; left lazy, the corpus-wide explode
+    // would run twice (this is the LM-table artifact a pipeline
+    // persists anyway at corpus scale).
+    val docFeat = occ
+      .groupBy(col("doc_id"), col("is_target"), col("f"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // vocabulary-scale: per-feature counts, then the hash ONCE per
-    // distinct feature; bucket table rolls up from it. Materialized
-    // eagerly — it feeds BOTH the bucket rollup and the per-feature
-    // score map, and recomputing it would re-run the occurrence
-    // explode a third time (the LM-table artifact a pipeline persists
-    // anyway at corpus scale).
-    val featCounts = occ.groupBy(col("f"))
-      .agg(count(lit(1)).as("fcs"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("fct"))
+    // distinct feature; bucket table rolls up from it. Checkpointed —
+    // it feeds both the bucket rollup and the per-feature score map.
+    val featCounts = docFeat.groupBy(col("f"))
+      .agg(sum(col("n")).as("fcs"),
+        sum(when(col("is_target"), col("n")).otherwise(0L)).as("fct"))
       .withColumn("b",
         pmod(PortableHash.hash60(lit("dsir"), col("f")), lit(buckets.toLong)))
       .localCheckpoint(true)
@@ -87,10 +94,10 @@ object Dsir {
     val featRates = featCounts.select(col("f"), col("b"))
       .join(broadcast(rates), Seq("b"))
       .select(col("f"), col("qlr"))
-    occ.join(featRates, Seq("f"))
+    docFeat.join(featRates, Seq("f"))
       .groupBy(col("doc_id"), col("is_target"))
-      .agg(count(lit(1)).cast("int").as("n_feats"),
-        sum(col("qlr")).as("sum_micro_nats"))
+      .agg(sum(col("n")).cast("int").as("n_feats"),
+        sum(col("qlr") * col("n")).as("sum_micro_nats"))
       .withColumn("avg_logratio",
         round(col("sum_micro_nats").cast("double") / col("n_feats")
           / MicroNats, 6))

@@ -58,13 +58,17 @@ object QualityClassifier {
     val occ = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(features(col("toks"))).as("f"))
-    // per-feature doc counts on the raw strings first; hash once per
-    // distinct feature (the Dsir shape)
+    // per-feature doc counts on the raw strings first; the md5-chain
+    // hash runs once per DISTINCT feature (vocabulary-scale), not per
+    // (doc, feature) row — buckets rejoin on the string key
     val perDocFeat = occ.groupBy(col("doc_id"), col("f"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the feature vocabulary AND scoring
+    val featBuckets = perDocFeat.select(col("f")).distinct()
       .withColumn("b",
         pmod(PortableHash.hash60(lit("qf"), col("f")), lit(buckets.toLong)))
     val scored = perDocFeat
+      .join(featBuckets, Seq("f"))
       .join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).cast("long").as("n_features"),

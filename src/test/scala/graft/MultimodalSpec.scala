@@ -44,6 +44,39 @@ class MultimodalSpec extends SparkSpec {
     assert(idxs == Seq(0, 2, 4, 6, 8))
   }
 
+  test("resizeNearest: identity size returns the grid unchanged") {
+    val grid = Array.tabulate(12)(i => i.toByte) // 4x3
+    assert(Multimodal.resizeNearest(grid, 4, 3, 4, 3).toSeq == grid.toSeq)
+  }
+
+  test("resizeNearest: 4x4 -> 2x2 samples the integer-stride corners") {
+    val grid = Array.tabulate(16)(i => i.toByte) // rows 0..3
+    // src index = (oy*4/2)*4 + (ox*4/2): rows 0,2 cols 0,2
+    assert(Multimodal.resizeNearest(grid, 4, 4, 2, 2).toSeq ==
+      Seq[Byte](0, 2, 8, 10))
+  }
+
+  test("resizeNearest: upsample repeats nearest pixels") {
+    val grid = Array[Byte](1, 2, 3, 4) // 2x2
+    assert(Multimodal.resizeNearest(grid, 2, 2, 4, 4).toSeq ==
+      Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+  }
+
+  test("resizeFeatures drops media smaller than the target grid") {
+    import spark.implicits._
+    val tiny = Seq(
+      Multimodal.MediaRecord(1L, "image", "u", "ab".getBytes, Map.empty),
+      Multimodal.MediaRecord(2L, "image", "u",
+        ("a" * 200).getBytes, Map.empty)).toDS()
+    val out = Multimodal.resizeFeatures(tiny, 4, 4)
+    assert(out.select("media_id").as[Long].collect().toSeq == Seq(2L))
+    // doc 2: byte0 'a'=97 -> w = 8 + 97%8 = 9, h = 200/9 = 22; all
+    // pixels 'a' -> checksum 16*97
+    val r = out.head()
+    assert(r.getInt(1) == 9 && r.getInt(2) == 22 &&
+      r.getLong(3) == 16L * 97)
+  }
+
   test("audio features feed the standard ANN operator") {
     val media = Multimodal.synthesize(spark, 30, "audio")
     val feats = Multimodal.audioFeatures(media, windows = 16)
