@@ -230,6 +230,31 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Asymmetric containment over shingle sets for the given pairs
+    * (Broder 1997, "On the resemblance and containment of documents"):
+    * containment_a = |A∩B| / |A| (≈1 ⇒ a is a quote/subset of b) and
+    * the converse containment_b — the directional signal Jaccard
+    * resemblance washes out (a 12-token quote inside a 500-token doc
+    * has Jaccard ≈ 0.02 but containment_a = 1.0). Pair-routed exactly
+    * like [[jaccardOfPairs]]: candidates come from any pair-finder, the
+    * shingle join streams through them, never a corpus self-join.
+    */
+  def containmentOfPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("containment_a", round(col("inter") / col("na"), 6))
+      .withColumn("containment_b", round(col("inter") / col("nb"), 6))
+  }
+
   /** Exact Jaccard over shingle sets for the given pairs.
     * `pairs` must have columns (a, b); result adds `jaccard`.
     */

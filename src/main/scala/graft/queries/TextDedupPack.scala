@@ -61,6 +61,11 @@ object TextDedupPack {
     */
   val ShardTokens = 4000L
 
+  /** d7 quote ids live in a space disjoint from docs and the other
+    * synthetic offsets.
+    */
+  val QuoteIdOffset = 5000000L
+
   /** bpe2 fixed merge list, rank order. Constructed so (a) every merge
     * consumes only raw chars or EARLIER merge outputs — sequential
     * application equals rank-priority BPE — and (b) no corpus word
@@ -782,6 +787,47 @@ object TextDedupPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Asymmetric containment scoring (d7): planted 12-token quotes of
+    // every doc_id%9==4 doc, paired with their sources; containment_a
+    // hits 1.0 where Jaccard stays near zero — the quote/subset signal
+    // the resemblance metrics miss. Pair-routed like jaccardOfPairs
+    // (candidates from any pair-finder; here the construction itself).
+    "d7_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val quotes = docs.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + QuoteIdOffset).as("doc_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 12), " ")
+            .as("text"))
+      val sh = Dedup.docShingles(docs.unionByName(quotes),
+        "text", "doc_id", ShingleK)
+      val pairs = docs.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + QuoteIdOffset).as("a"), col("doc_id").as("b"))
+      Dedup.containmentOfPairs(pairs, sh)
+        .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+          col("containment_a"), col("containment_b"))
+        .orderBy(col("a"))
+    }),
+
+    // ANN quality eval: recall@10 of the sign-LSH multi-probe index
+    // against exact brute force, per query — the accept/reject metric
+    // every approximate index ships with (a 100 TB deployment tunes
+    // nBits/probes against exactly this number on a sample).
+    "ar1_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      val exact = Knn.bruteForceTopK(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", 10).select(col("qid"), col("id"))
+      val approx = Knn.hyperplaneBucketTopK(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", 10, nBits = 4)
+        .select(col("qid"), col("id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("qid", "id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .withColumn("recall_at_k", round(col("hits") / col("k"), 6))
+        .orderBy(col("qid"))
+    }),
+
     // SemDeDup over the persisted IVF centroids: the d6 planted-copy
     // fixture (component-1-zeroed duplicates at +offset) is assigned by
     // the portable argmin, then pruned within clusters at tau=0.9.
@@ -1374,6 +1420,65 @@ object TextDedupPack {
          |  FROM ex)
          |SELECT qid, id, round(sim, 6) AS sim, rank
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "d7_containment" ->
+      s"""WITH qd AS (SELECT doc_id + $QuoteIdOffset AS doc_id,
+         |    array_to_string((string_split($normDoc, ' '))[1:12], ' ') AS text
+         |  FROM documents WHERE doc_id % 9 = 4),
+         |ad AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM qd),
+         |tok AS (SELECT doc_id, string_split(${normalizeSql("text")}, ' ')
+         |    AS toks FROM ad),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks", ShingleK)})
+         |    AS shingle FROM tok WHERE len(toks) >= $ShingleK),
+         |pairs AS (SELECT doc_id + $QuoteIdOffset AS a, doc_id AS b
+         |  FROM documents WHERE doc_id % 9 = 4),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS i
+         |  FROM pairs p JOIN sh s1 ON s1.doc_id = p.a
+         |  JOIN sh s2 ON s2.doc_id = p.b AND s2.shingle = s1.shingle
+         |  GROUP BY p.a, p.b)
+         |SELECT p.a, p.b, CAST(coalesce(i.i, 0) AS BIGINT) AS inter,
+         |  na.n AS na, nb.n AS nb,
+         |  round(CAST(coalesce(i.i, 0) AS DOUBLE) / na.n, 6)
+         |    AS containment_a,
+         |  round(CAST(coalesce(i.i, 0) AS DOUBLE) / nb.n, 6)
+         |    AS containment_b
+         |FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+         |JOIN sizes na ON na.doc_id = p.a
+         |JOIN sizes nb ON nb.doc_id = p.b
+         |ORDER BY p.a""".stripMargin,
+
+    "ar1_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+         |    FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |scored AS (SELECT q.qid, e.vec_id AS id, $cosSql AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |exact AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+         |      AS rank FROM scored) WHERE rank <= 10),
+         |qs AS (SELECT qid, qvec,
+         |    ${signBucketSql("qvec", 4)} AS bucket0 FROM q),
+         |flips(f) AS (VALUES (0::BIGINT), (1), (2), (4), (8)),
+         |probes AS (SELECT qid, qvec, xor(bucket0, f) AS bucket
+         |  FROM qs, flips),
+         |corpus AS (SELECT vec_id AS id, embedding AS vec,
+         |    ${signBucketSql("embedding", 4)} AS bucket FROM embeddings),
+         |cand AS (SELECT p.qid, c.id,
+         |    ${VectorFunctions.cosineSql("c.vec", "p.qvec")} AS sim
+         |  FROM corpus c JOIN probes p ON p.bucket = c.bucket
+         |  WHERE c.id <> p.qid),
+         |approx AS (SELECT qid, id FROM (SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+         |      AS rank FROM cand) WHERE rank <= 10)
+         |SELECT e.qid, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*), 6) AS recall_at_k
+         |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.id = e.id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 
     "a2_knn_bucketed" ->
       s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec,

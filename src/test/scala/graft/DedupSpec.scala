@@ -114,4 +114,23 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(got == (1L to 5L).map(i => (i, i, true)).toSet)
   }
+
+  test("containment: a strict quote scores 1.0 one way, low the other") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta"), // prefix quote of 1
+      (3L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.docShingles(docs, "text", "doc_id", 3)
+    val pairs = Seq((2L, 1L), (3L, 1L)).toDF("a", "b")
+    val out = graft.dedup.Dedup.containmentOfPairs(pairs, sh)
+      .select("a", "b", "inter", "na", "nb", "containment_a",
+        "containment_b")
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // doc2: 2 shingles, both inside doc1's 8 -> c_a=1.0, c_b=0.25
+    assert(out(2L) == ((2L, 2L, 8L, 1.0, 0.25)))
+    // disjoint docs share nothing
+    assert(out(3L)._1 == 0L && out(3L)._4 == 0.0)
+  }
 }
