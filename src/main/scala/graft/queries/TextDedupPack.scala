@@ -66,6 +66,9 @@ object TextDedupPack {
     */
   val QuoteIdOffset = 5000000L
 
+  /** gq1 stopword evidence list (the corpus's two function words). */
+  val GqStopwords = Seq("the", "a")
+
   /** bpe2 fixed merge list, rank order. Constructed so (a) every merge
     * consumes only raw chars or EARLIER merge outputs — sequential
     * application equals rank-priority BPE — and (b) no corpus word
@@ -787,6 +790,29 @@ object TextDedupPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Gopher-style rule filter (gq1): length / mean-word-length /
+    // lexical-diversity / stopword rules as ONE narrow codegen map —
+    // no explode, no shuffle; per-rule booleans ride along for rule
+    // ablation. Thresholds chosen to split the synthetic corpus on
+    // every rule (n in [10,99], meanlen in [3.7,5.3], dfrac in
+    // [0.28,1.0], nstop in [0,14]).
+    "gq1_gopher_rules" -> ((s, d) => {
+      graft.text.GopherRules.gopherFilter(
+          Tables.documents(s, d), "doc_id", "text",
+          stopwords = GqStopwords,
+          minWords = 30, maxWords = 80,
+          minMeanLen = 4.2, maxMeanLen = 4.8,
+          minDistinctFrac = 0.4, minStopwords = 2)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("distinct_frac"), col("n_stopwords"),
+          col("ok_length").cast("int").as("ok_length"),
+          col("ok_word_len").cast("int").as("ok_word_len"),
+          col("ok_diversity").cast("int").as("ok_diversity"),
+          col("ok_stopwords").cast("int").as("ok_stopwords"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Asymmetric containment scoring (d7): planted 12-token quotes of
     // every doc_id%9==4 doc, paired with their sources; containment_a
     // hits 1.0 where Jaccard stays near zero — the quote/subset signal
@@ -1420,6 +1446,34 @@ object TextDedupPack {
          |  FROM ex)
          |SELECT qid, id, round(sim, 6) AS sim, rank
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "gq1_gopher_rules" -> {
+      val stopList = GqStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT doc_id,
+         |    list_filter(${TextFunctions.tokensSql("text")}, w -> w <> '')
+         |      AS toks FROM documents),
+         |t2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+         |m AS (SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_words,
+         |    round(CAST(list_aggregate(list_transform(toks, t -> len(t)),
+         |        'sum') AS DOUBLE) / len(toks), 6) AS mean_word_len,
+         |    round(CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / len(toks), 6) AS distinct_frac,
+         |    CAST(len(list_filter(toks, t -> list_contains($stopList, t)))
+         |      AS INTEGER) AS n_stopwords
+         |  FROM t2)
+         |SELECT doc_id, n_words, mean_word_len, distinct_frac, n_stopwords,
+         |  CAST(n_words >= 30 AND n_words <= 80 AS INTEGER) AS ok_length,
+         |  CAST(mean_word_len >= 4.2 AND mean_word_len <= 4.8 AS INTEGER)
+         |    AS ok_word_len,
+         |  CAST(distinct_frac >= 0.4 AS INTEGER) AS ok_diversity,
+         |  CAST(n_stopwords >= 2 AS INTEGER) AS ok_stopwords,
+         |  CAST(n_words >= 30 AND n_words <= 80
+         |    AND mean_word_len >= 4.2 AND mean_word_len <= 4.8
+         |    AND distinct_frac >= 0.4 AND n_stopwords >= 2 AS INTEGER)
+         |    AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "d7_containment" ->
       s"""WITH qd AS (SELECT doc_id + $QuoteIdOffset AS doc_id,

@@ -54,5 +54,23 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** The whole similarity stack (cosine folds, sign buckets, IVF
+    * assignment, quantization) is specified in float32 and the oracles
+    * mirror float32 — pin the column to array<float> so a regenerated
+    * parquet with double lists cannot silently move every gate to
+    * double arithmetic (the events.ts lesson applied to the other
+    * drift-prone column).
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val df = apply(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case _: ArrayType =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case _ => df
+    }
+  }
 }

@@ -69,6 +69,30 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("gq1 rule filter is a pure map: zero exchanges in the plan") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // every signal is a Column HOF over the token array — the plan
+      // must contain no shuffle AND no broadcast: scan → project →
+      // (sort for the gate's orderBy) only. The final orderBy is the
+      // one allowed global operation (driver-side presentation sort).
+      val plan = SparkEntry.queries("gq1_gopher_rules")(spark, sfDir)
+        .queryExecution.executedPlan
+      val exchanges = plan.collectWithSubqueries {
+        case e: Exchange => e
+      }
+      // the gate's presentation orderBy plans one range exchange; the
+      // OPERATOR itself must contribute none (no hash shuffle, no
+      // broadcast, no aggregation exchange)
+      import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+      val nonSort = exchanges.filterNot(
+        _.outputPartitioning.isInstanceOf[RangePartitioning])
+      assert(nonSort.isEmpty,
+        s"gq1: expected a shuffle-free map, found: ${nonSort.map(_.nodeName)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q12 parses the props JSON exactly once per row") {
     import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, JsonToStructs}
     val df = SparkEntry.queries("q12_json_and_case")(spark, sfDir)

@@ -260,4 +260,20 @@ class StreamingSpec extends SparkSpec {
         Set(1700000000000L, 1700000123456L, 1700086400000L))
     }
   }
+
+  test("Tables.embeddings pins double-list payloads back to float32") {
+    withTempDir { dir =>
+      val p = dir.resolve("emb").toString
+      Seq((1L, Seq(0.25, 0.5)), (2L, Seq(1.0, 2.0)))
+        .toDF("vec_id", "embedding")
+        .write.parquet(s"$p/embeddings.parquet")
+      val df = graft.tables.Tables.embeddings(spark, p)
+      assert(df.schema("embedding").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      val v = df.orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).toSeq)
+      assert(v.head == Seq(0.25f, 0.5f))
+    }
+  }
 }
