@@ -240,6 +240,31 @@ object Stress {
     timed { Analytics.deadCode(vertices.limit(0), kg).count() }
   }
 
+  /** tc1 family: degree-ordered wedge join over a ~3n-edge synthetic
+    * graph (circulant + hash-scattered offsets so degrees vary) — the
+    * triangle-count scaling is the wedge-join scaling.
+    */
+  def triangleStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val e = spark.range(3L * n).select(
+      pmod(col("id"), lit(n)).as("a"),
+      pmod(col("id") * 7 + col("id") / lit(n) + 1, lit(n)).as("b"))
+    timed(graft.graph.Triangles.nodeTriangles(e).count())
+  }
+
+  /** ph1 family: positional postings + 3-term phrase join; the phrase
+    * is planted in 1/11 docs so matches exist at every size.
+    */
+  def phraseStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val docs = synthDocs(spark, n).withColumn("text",
+      when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" alpha beta gamma")))
+        .otherwise(col("text")))
+    val p = graft.search.Phrase.positionalPostings(
+      docs, "doc_id", graft.text.TextFunctions.tokens)
+    timed(graft.search.Phrase
+      .phraseSearch(p, Seq("alpha", "beta", "gamma"), 50).count())
+  }
+
   private def synthChunks(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(
       concat(lit("src/f"), (col("id") / 10).cast("long"), lit(".py"))
@@ -345,6 +370,8 @@ object Stress {
       val (fullT, diffT) = diffKgStress(spark, 2000L * f)
       val (lmT, _) = lmScoreStress(spark, docsN)
       val (poolT, _) = poolStress(spark, docsN)
+      val (triT, _) = triangleStress(spark, 20000L * f)
+      val (phT, _) = phraseStress(spark, docsN)
       dedup ++ Seq(
         s"x${f}_hb1_batch" -> searchT,
         s"x${f}_j11_doclinks" -> linksT,
@@ -352,6 +379,8 @@ object Stress {
         s"x${f}_g12_full" -> fullT,
         s"x${f}_g12_diff" -> diffT,
         s"x${f}_un1_lmscore" -> lmT,
-        s"x${f}_ep1_pooling" -> poolT)
+        s"x${f}_ep1_pooling" -> poolT,
+        s"x${f}_tc1_triangles" -> triT,
+        s"x${f}_ph1_phrase" -> phT)
     }
 }

@@ -35,16 +35,23 @@ object Phrase {
   def phraseSearch(postings: DataFrame, phrase: Seq[String],
       k: Int = 20): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
+    // ONE pass over the postings derivation: materialize just the
+    // phrase terms' postings (the persisted-index access pattern — a
+    // deployment reads these partitions off the inverted index; a
+    // derived relation would otherwise re-run its explode once per
+    // term plus once for the df probe)
+    val relevant = postings
+      .filter(col("term").isin(phrase.distinct: _*))
+      .localCheckpoint(true)
     // document frequencies of just the phrase terms: bounded collect
     // (≤ phrase.length rows), used ONLY to pick a join order
-    val dfs = postings
-      .filter(col("term").isin(phrase.distinct: _*))
+    val dfs = relevant
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val order = phrase.zipWithIndex
       .sortBy { case (t, i) => (dfs.getOrElse(t, 0L), i) }
     def anchored(t: String, i: Int): DataFrame =
-      postings.filter(col("term") === t)
+      relevant.filter(col("term") === t)
         .select(col("id"), (col("pos") - i).as("start"))
     val matched = order.tail.foldLeft(anchored(order.head._1, order.head._2)) {
       case (acc, (t, i)) => acc.join(anchored(t, i), Seq("id", "start"))

@@ -35,7 +35,7 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(apply(s, d, "events"))
+    pinLong(normalizeTs(apply(s, d, "events")), "event_id", "user_id")
   }
 
   /** The ts-normalization branch on its own, so streaming readers (which
@@ -53,7 +53,23 @@ object Tables {
       case _ => df
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  /** Pin integral id columns to LongType: a regenerated parquet with
+    * int32 ids would silently flip the output schema of every gate
+    * doing id arithmetic (the events.ts failure mode, wholesale).
+    */
+  private def pinLong(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    cols.foldLeft(df) { (acc, c) =>
+      if (acc.schema.fieldNames.contains(c) &&
+          acc.schema(c).dataType != LongType)
+        acc.withColumn(c, col(c).cast(LongType))
+      else acc
+    }
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    pinLong(apply(s, d, "documents"), "doc_id")
 
   /** The whole similarity stack (cosine folds, sign buckets, IVF
     * assignment, quantization) is specified in float32 and the oracles
@@ -65,7 +81,7 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
-    val df = apply(s, d, "embeddings")
+    val df = pinLong(apply(s, d, "embeddings"), "vec_id")
     df.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => df
       case _: ArrayType =>

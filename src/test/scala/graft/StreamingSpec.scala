@@ -261,6 +261,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Tables.documents pins int32 ids back to long") {
+    withTempDir { dir =>
+      val p = dir.resolve("docs").toString
+      Seq((1, "a doc"), (2, "another")).toDF("doc_id", "text")
+        .write.parquet(s"$p/documents.parquet")
+      val df = graft.tables.Tables.documents(spark, p)
+      assert(df.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(df.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L))
+    }
+  }
+
   test("Tables.embeddings pins double-list payloads back to float32") {
     withTempDir { dir =>
       val p = dir.resolve("emb").toString
