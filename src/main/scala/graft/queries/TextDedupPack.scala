@@ -69,6 +69,17 @@ object TextDedupPack {
   /** gq1 stopword evidence list (the corpus's two function words). */
   val GqStopwords = Seq("the", "a")
 
+  /** lr1 training hyperparameters — shared by gate and oracle. Step =
+    * etaNum/(n·etaDen); 8 presence-feature epochs at step 2/n reach
+    * 100% train accuracy on the planted-marker fixture (count features
+    * need ~100 epochs — see LogisticTrain.hashedFeatures).
+    */
+  val LrBuckets = 64
+  val LrEpochs = 12
+  val LrEtaNum = 1L
+  val LrEtaDen = 1L
+  val LrMarker = " crisp coherent prose"
+
   /** bpe2 fixed merge list, rank order. Constructed so (a) every merge
     * consumes only raw chars or EARLIER merge outputs — sequential
     * application equals rank-priority BPE — and (b) no corpus word
@@ -790,6 +801,37 @@ object TextDedupPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Distributed logistic-regression TRAINING (lr1): full-batch GD in
+    // integer micro-unit arithmetic (fast-sigmoid rational squashing, no
+    // exp) — every epoch hash-matches the oracle's chained CTEs, not
+    // just the final scores. Fixture: a planted 3-token quality marker
+    // on every doc_id%3==0 doc (the pi1/ic1 synthesis pattern); the
+    // model must LEARN the marker buckets from labels alone, and the
+    // gate's `correct` column records that it does (100% at these
+    // hyperparameters — a regression in the trainer shows up as a
+    // wrong-accuracy hash, not just a wrong number).
+    "lr1_logistic_train" -> ((s, d) => {
+      import graft.text.LogisticTrain
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(LrMarker)))
+          .otherwise(col("text")).as("text"))
+      val labels = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y"))
+      val feats = LogisticTrain.hashedFeatures(docs, "doc_id", "text",
+        LrBuckets, presence = true, withBias = true)
+      val w = LogisticTrain.train(feats, labels, LrBuckets + 1, LrEpochs,
+        LrEtaNum, LrEtaDen)
+      LogisticTrain.predictMargins(feats, w)
+        .join(labels, Seq("doc_id"))
+        .withColumn("pred",
+          (col("p_micro") >= 500000L).cast("int"))
+        .withColumn("correct",
+          (col("pred") === col("y").cast("int")).cast("int"))
+        .select(col("doc_id"), col("y"), col("margin_micro"),
+          col("p_micro"), col("pred"), col("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style rule filter (gq1): length / mean-word-length /
     // lexical-diversity / stopword rules as ONE narrow codegen map —
     // no explode, no shuffle; per-rule booleans ride along for rule
@@ -1446,6 +1488,65 @@ object TextDedupPack {
          |  FROM ex)
          |SELECT qid, id, round(sim, 6) AS sim, rank
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "lr1_logistic_train" -> {
+      val b = LrBuckets
+      val hash = PortableHash.hash60Sql("'lr'", "t")
+      val sgn = (x: String) =>
+        s"(CASE WHEN $x > 0 THEN 1 WHEN $x < 0 THEN -1 ELSE 0 END)"
+      val epochCtes = (1 to LrEpochs).map { e =>
+        s"""m$e AS MATERIALIZED (SELECT f.doc_id,
+           |    CAST(sum(f.x * w.w_micro) AS BIGINT) AS margin_micro
+           |  FROM feats f JOIN w${e - 1} w USING (b) GROUP BY f.doc_id),
+           |p$e AS MATERIALIZED (SELECT doc_id, CAST(500000 + ${sgn("margin_micro")}
+           |      * ((abs(margin_micro) * 500000)
+           |        // (1000000 + abs(margin_micro))) AS BIGINT) AS p_micro
+           |  FROM m$e),
+           |g$e AS MATERIALIZED (SELECT f.b,
+           |    CAST(sum((p.p_micro - l.y * 1000000) * f.x) AS BIGINT) AS g
+           |  FROM feats f JOIN p$e p USING (doc_id)
+           |  JOIN labels l USING (doc_id) GROUP BY f.b),
+           |w$e AS MATERIALIZED (SELECT w.b, CAST(w.w_micro - ${sgn("coalesce(g.g, 0)")}
+           |      * ((abs(coalesce(g.g, 0)) * $LrEtaNum)
+           |        // ((SELECT n FROM nn) * $LrEtaDen)) AS BIGINT) AS w_micro
+           |  FROM w${e - 1} w LEFT JOIN g$e g USING (b))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d0 AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || '$LrMarker'
+         |      ELSE text END AS text FROM documents),
+         |tok AS MATERIALIZED (SELECT doc_id,
+         |    list_filter(${TextFunctions.tokensSql("text")}, t -> t <> '')
+         |      AS toks FROM d0),
+         |occ AS MATERIALIZED (SELECT doc_id, unnest(toks) AS t FROM tok),
+         |pdt AS MATERIALIZED (SELECT DISTINCT doc_id, t FROM occ),
+         |tb AS MATERIALIZED (SELECT t, ($hash) % $b AS b
+         |  FROM (SELECT DISTINCT t FROM pdt)),
+         |feats AS MATERIALIZED (SELECT pdt.doc_id, tb.b, CAST(count(*) AS BIGINT) AS x
+         |  FROM pdt JOIN tb USING (t) GROUP BY pdt.doc_id, tb.b
+         |  UNION ALL SELECT DISTINCT doc_id, CAST($b AS BIGINT), 1::BIGINT
+         |  FROM pdt),
+         |labels AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN 1::BIGINT ELSE 0::BIGINT END AS y
+         |  FROM tok),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM labels),
+         |w0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS b, 0::BIGINT AS w_micro
+         |  FROM range(${b + 1})),
+         |$epochCtes,
+         |mf AS MATERIALIZED (SELECT f.doc_id,
+         |    CAST(sum(f.x * w.w_micro) AS BIGINT) AS margin_micro
+         |  FROM feats f JOIN w$LrEpochs w USING (b) GROUP BY f.doc_id),
+         |pf AS MATERIALIZED (SELECT doc_id, margin_micro,
+         |    CAST(500000 + ${sgn("margin_micro")}
+         |      * ((abs(margin_micro) * 500000)
+         |        // (1000000 + abs(margin_micro))) AS BIGINT) AS p_micro
+         |  FROM mf)
+         |SELECT p.doc_id, l.y, p.margin_micro, p.p_micro,
+         |  CAST(p.p_micro >= 500000 AS INTEGER) AS pred,
+         |  CAST((p.p_micro >= 500000) = (l.y = 1) AS INTEGER) AS correct
+         |FROM pf p JOIN labels l USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin
+    },
 
     "gq1_gopher_rules" -> {
       val stopList = GqStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
