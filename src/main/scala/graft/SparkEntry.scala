@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsPack, AuditPack, GitPack, GraphPack, IndexPack, MultimodalPack, RelationalPack, SearchPack, TextDedupPack}
+import graft.queries.{AnalyticsPack, AuditPack, CurationPack, GitPack, GraphPack, IndexPack, MultimodalPack, RelationalPack, SearchPack, TextDedupPack}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalPack.queries ++ TextDedupPack.queries ++ SearchPack.queries ++
       GraphPack.queries ++ GitPack.queries ++ AnalyticsPack.queries ++
-      AuditPack.queries ++ MultimodalPack.queries ++ IndexPack.queries
+      AuditPack.queries ++ MultimodalPack.queries ++ IndexPack.queries ++
+      CurationPack.queries
 
   def oracleSql: Map[String, String] =
     RelationalPack.oracles ++ TextDedupPack.oracles ++ SearchPack.oracles ++
       GraphPack.oracles ++ GitPack.oracles ++ AnalyticsPack.oracles ++
-      AuditPack.oracles ++ MultimodalPack.oracles ++ IndexPack.oracles
+      AuditPack.oracles ++ MultimodalPack.oracles ++ IndexPack.oracles ++
+      CurationPack.oracles
 }

@@ -1,0 +1,114 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling.
+  *
+  * Complements the cohesion analytics (triangles tc1, components cc1,
+  * PageRank pr1): the reference profiles its knowledge graph with
+  * centrality/stats surfaces (`mcp_vector_search/core/knowledge_graph.py`
+  * stats methods); coreness is the standard "how deep in the dense part
+  * of the graph does this node sit" measure used to rank entities and to
+  * prune low-support nodes before expensive pairwise work.
+  *
+  * Scale shape: each peel round is one degree aggregation plus two
+  * semi-joins (both endpoints must survive) — all hash-partitioned by
+  * node id, no windows, no collects. The surviving edge set only ever
+  * shrinks, so round cost is monotonically decreasing; rounds stop as
+  * soon as a peel removes nothing (early exit on a metadata-scale
+  * count). Deep cascades eagerly `localCheckpoint` the shrinking edge
+  * relation so Catalyst never re-optimizes a growing lineage — the same
+  * discipline as `Kg.minDist`. Round count is bounded by the peel depth
+  * of the graph (≤ longest degeneracy cascade), not by |V|: each round
+  * removes EVERY currently-under-k node at once.
+  */
+object KCore {
+
+  /** Canonical undirected edge set: (a < b), self-loops and duplicate /
+    * reversed copies dropped.
+    */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** The k-core subgraph's nodes: every returned node has degree ≥ k
+    * within the returned set. Output: (node, deg) with deg = degree
+    * inside the k-core.
+    *
+    * @param maxRounds safety bound on peel rounds (early exit fires
+    *                  first on any real graph).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    var e = canonical(edges).localCheckpoint(eager = true)
+    var round = 0
+    var shrinking = true
+    while (shrinking && round < maxRounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val survivors = deg.filter(col("deg") >= k).select(col("node"))
+      val e2 = e
+        .join(survivors.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(survivors.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(eager = true)
+      // both relations are materialized checkpoints — counting is a
+      // cached-partition scan, not a recompute
+      shrinking = e2.count() < e.count()
+      e = e2
+      round += 1
+    }
+    e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
+  }
+
+  /** Full coreness decomposition: (node, coreness) where coreness is the
+    * largest k such that the node survives in the k-core. Nodes with at
+    * least one edge get coreness ≥ 1. Computed by nesting: the
+    * (k+1)-core is peeled from the k-core's edges, so total work is the
+    * sum of the (shrinking) core sizes — not kMax full passes over the
+    * input.
+    */
+  def coreness(edges: DataFrame, kMax: Int = 64): DataFrame = {
+    var e = canonical(edges).localCheckpoint(eager = true)
+    var acc = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .distinct()
+      .select(col("node"), lit(1).as("coreness"))
+      .localCheckpoint(eager = true)
+    var k = 2
+    var nonEmpty = e.limit(1).count() > 0
+    while (nonEmpty && k <= kMax) {
+      // peel the k-core out of the (k-1)-core's surviving edges
+      var shrinking = true
+      while (shrinking) {
+        val deg = e.select(col("a").as("node"))
+          .unionByName(e.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val survivors = deg.filter(col("deg") >= k).select(col("node"))
+        val e2 = e
+          .join(survivors.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(survivors.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .localCheckpoint(eager = true)
+        shrinking = e2.count() < e.count()
+        e = e2
+      }
+      nonEmpty = e.limit(1).count() > 0
+      if (nonEmpty) {
+        val inCore = e.select(col("a").as("node"))
+          .unionByName(e.select(col("b").as("node")))
+          .distinct()
+          .select(col("node"), lit(k).as("coreness"))
+        acc = acc.join(inCore.select("node"), Seq("node"), "left_anti")
+          .unionByName(inCore)
+          .localCheckpoint(eager = true)
+        k += 1
+      }
+    }
+    acc.select(col("node"), col("coreness").cast("int").as("coreness"))
+  }
+}

@@ -67,6 +67,25 @@ object GraphPack {
       .unionByName(f(col("doc_id") * 7 + 3))
   }
 
+  /** kc1 fixture: a 60-node cycle + an irregular map into the first 40
+    * nodes + a planted dense core (circulant C10(1..4), 8-regular) on
+    * nodes 0..9. At k=5 the periphery cascades away over 6 peel rounds
+    * and exactly the planted core survives. Node set is fixed at 60
+    * regardless of SF (everything is doc_id-residue arithmetic), so the
+    * peel depth is scale-invariant.
+    */
+  private def kcEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val r = col("doc_id") % 60
+    val cyc = docs.select(r.as("a"), ((col("doc_id") + 1) % 60).as("b"))
+    val sparse = docs.select(r.as("a"),
+      ((col("doc_id") * 3 + 7) % 40).as("b"))
+    val core = (1 to 4).map { k =>
+      docs.filter(r < 10).select(r.as("a"), ((r + k) % 10).as("b"))
+    }.reduce(_ unionByName _)
+    cyc.unionByName(sparse).unionByName(core)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Integer-exact PageRank (fixed 3 iterations, micro-unit damping
     // arithmetic — order-free sums, so the oracle chains the SAME
@@ -85,6 +104,25 @@ object GraphPack {
     "tc1_triangles" -> ((s, d) => {
       graft.graph.Triangles.nodeTriangles(triEdges(s, d))
         .orderBy(col("node"))
+    }),
+
+    // k-core membership by iterative peeling (early-exit frontier
+    // rounds; the fixture cascades over 6 rounds down to the planted
+    // 10-node dense core). Oracle chains 8 fixed peel rounds — rounds
+    // past the fixpoint are no-ops, so fixed-vs-early-exit agree.
+    "kc1_kcore" -> ((s, d) => {
+      graft.graph.KCore.kCore(kcEdges(s, d), k = 5)
+        .orderBy(col("node"))
+    }),
+
+    // Link prediction by shared neighborhood (Zhou-Lü-Zhang Resource
+    // Allocation index in exact integer pico-units + common-neighbor
+    // counts); wedge join partitioned by the center node, existing
+    // edges anti-joined away.
+    "lp1_link_predict" -> ((s, d) => {
+      graft.graph.LinkPredict.predictLinks(triEdges(s, d))
+        .orderBy(col("ra_micro").desc, col("cn").desc, col("x"), col("y"))
+        .limit(100)
     }),
 
     // A17: counts per relation type + distinct node counts.
@@ -416,7 +454,70 @@ object GraphPack {
          |    GROUP BY e.dst) t ON nn.node = t.node)""".stripMargin
     }.mkString(",\n")
 
+  /** tc1's undirected fixture as SQL CTEs (raw + canonical e0), shared
+    * with lp1. MATERIALIZED: chained/multiply-referenced CTEs would
+    * otherwise be inlined per reference by the oracle engine.
+    */
+  private val triEdgesSqlCtes =
+    s"""raw AS (
+       |  SELECT doc_id % $PrNodes AS a, (doc_id + 1) % $PrNodes AS b FROM documents
+       |  UNION ALL SELECT doc_id % $PrNodes, (doc_id + 2) % $PrNodes FROM documents
+       |  UNION ALL SELECT doc_id % $PrNodes, (doc_id * 7 + 3) % $PrNodes FROM documents),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |  FROM raw WHERE a <> b)""".stripMargin
+
+  /** kc1's fixture (see [[kcEdges]]) as SQL CTEs. */
+  private val kcEdgesSqlCtes =
+    """raw AS (
+      |  SELECT doc_id % 60 AS a, (doc_id + 1) % 60 AS b FROM documents
+      |  UNION ALL SELECT doc_id % 60, (doc_id * 3 + 7) % 40 FROM documents
+      |  UNION ALL SELECT doc_id % 60, (doc_id % 60 + 1) % 10 FROM documents WHERE doc_id % 60 < 10
+      |  UNION ALL SELECT doc_id % 60, (doc_id % 60 + 2) % 10 FROM documents WHERE doc_id % 60 < 10
+      |  UNION ALL SELECT doc_id % 60, (doc_id % 60 + 3) % 10 FROM documents WHERE doc_id % 60 < 10
+      |  UNION ALL SELECT doc_id % 60, (doc_id % 60 + 4) % 10 FROM documents WHERE doc_id % 60 < 10),
+      |e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      |  FROM raw WHERE a <> b)""".stripMargin
+
+  /** kc1 peel-round CTEs: degree over e{i-1}, keep edges whose both
+    * endpoints have degree ≥ k. MATERIALIZED so the chain stays linear
+    * (inlined, each round would re-expand every earlier round ~3×).
+    */
+  private def kcorePeelCtes(rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+         |    SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY id),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN d$i x ON x.id = e.a AND x.deg >= $k
+         |  JOIN d$i y ON y.id = e.b AND y.deg >= $k)""".stripMargin
+    }.mkString(",\n")
+
   def oracles: Map[String, String] = Map(
+    "kc1_kcore" ->
+      s"""WITH $kcEdgesSqlCtes,
+         |${kcorePeelCtes(rounds = 8, k = 5)}
+         |SELECT id AS node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS id FROM e8 UNION ALL SELECT b FROM e8)
+         |GROUP BY id ORDER BY node""".stripMargin,
+
+    "lp1_link_predict" ->
+      s"""WITH $triEdgesSqlCtes,
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY id),
+         |adj AS MATERIALIZED (SELECT j.u, j.v, deg.deg FROM (
+         |    SELECT a AS u, b AS v FROM e0
+         |    UNION ALL SELECT b, a FROM e0) j
+         |  JOIN deg ON deg.id = j.u),
+         |wedge AS (SELECT t1.v AS x, t2.v AS y,
+         |    CAST(1000000000000 // t1.deg AS BIGINT) AS w
+         |  FROM adj t1 JOIN adj t2 ON t1.u = t2.u AND t1.v < t2.v),
+         |nonedge AS (SELECT x, y, w FROM wedge
+         |  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = wedge.x AND e0.b = wedge.y))
+         |SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+         |  CAST(sum(w) AS BIGINT) AS ra_micro
+         |FROM nonedge GROUP BY x, y
+         |ORDER BY ra_micro DESC, cn DESC, x, y LIMIT 100""".stripMargin,
+
     "pr1_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT doc_id % $PrNodes AS src,
          |    (doc_id * 7 + 3) % $PrNodes AS dst
