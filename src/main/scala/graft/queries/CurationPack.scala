@@ -107,6 +107,78 @@ object CurationPack {
         .orderBy(col("zbucket"))
     }),
 
+    // Margin-based cross-set pair mining (Artetxe-Schwenk): forward
+    // top-k candidates only (never all-pairs), backward denominators
+    // computed for the bounded candidate target set, shifted-cosine
+    // integer margin so both engines divide identically.
+    "bx1_margin_mining" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val x = emb.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("xid"), col("embedding").as("vec"))
+      val y = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("yid"), col("embedding").as("vec"))
+      graft.ann.Bitext.marginPairs(x, y, k = 4)
+        .orderBy(col("margin_ppm").desc, col("xid"), col("yid"))
+        .limit(50)
+    }),
+
+    // Mergeable equi-width histogram quantiles: constant-size bucket
+    // aggregate (map-side combine), read-out on the bucket table via
+    // the shared two-pass prefix sum, 9-row quantile probe broadcast.
+    "hq1_histogram_quantiles" -> ((s, d) => {
+      val hist = graft.sketch.HistogramQuantiles.histogram(
+        Tables.documents(s, d).select(col("n_chars")),
+        "n_chars", lo = 0L, hi = 512L, buckets = 32)
+      graft.sketch.HistogramQuantiles
+        .quantiles(hist, 0L, 512L, 32, HqQuantiles)
+        .orderBy(col("q_permille"))
+    }),
+
+    // Daily gap fill + LOCF over a sparsified event stream: per-key
+    // date spine (sequence/explode bounded by each key's own span),
+    // hash join on (key, day), one key-partitioned window for the
+    // carry-forward.
+    "tg1_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_id") % 11 === 0)
+        .select(col("user_id").as("k"), col("ts").cast("date").as("day"),
+          col("event_id"))
+        .groupBy(col("k"), col("day"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          max(col("event_id")).as("last_eid"))
+      graft.util.GapFill.fillDaily(daily, "k", "day", "n", "last_eid")
+        .select(col("k"), col("day"), col("n"), col("last_eid"),
+          col("observed"))
+        .orderBy(col("k"), col("day"))
+    }),
+
+    // BLEU-2 overlap scoring of candidate/reference pairs (even doc ↔
+    // odd doc of each consecutive pair): clipped n-gram precision via
+    // (pair, gram)-partitioned count joins; BP-free (exp is not an
+    // engine-portable contract), lengths emitted for callers that
+    // apply it.
+    "bl1_bleu_pairs" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      val cand = t.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") / 2).cast("long").as("pair_id"),
+          col("toks").as("cand_toks"))
+      val ref = t.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") / 2).cast("long").as("pair_id"),
+          col("toks").as("ref_toks"))
+      graft.text.Bleu.bleu2(cand.join(ref, Seq("pair_id")))
+        .orderBy(col("pair_id"))
+    }),
+
+    // Sliding token-window chunking (winLen 16, stride 8): the
+    // long-document dual of pk1 packing — pure sequence/explode/slice
+    // projection, no shuffle.
+    "tw1_token_windows" -> ((s, d) => {
+      graft.text.Windowing.tokenWindows(
+          Tables.documents(s, d), "doc_id", "text", winLen = 16, stride = 8)
+        .orderBy(col("doc_id"), col("window_id"))
+    }),
+
     // SCD2 history build over the order-status change log of every 10th
     // customer: key-partitioned gaps-and-islands, versioned intervals
     // closed by lead(), 9999-12-31 sentinel on the open run.
@@ -122,7 +194,82 @@ object CurationPack {
     })
   )
 
+  /** hq1 quantile probes (per-mille). */
+  private val HqQuantiles = Seq(100, 250, 500, 750, 900, 990)
+
   def oracles: Map[String, String] = Map(
+    "bx1_margin_mining" -> {
+      import graft.functions.VectorFunctions
+      val fwdCos = VectorFunctions.cosineSql("y.vec", "x.vec")
+      val bwdCos = VectorFunctions.cosineSql("x.vec", "y2.vec")
+      s"""WITH x AS MATERIALIZED (SELECT vec_id AS xid, embedding AS vec
+         |    FROM embeddings WHERE vec_id % 2 = 0),
+         |y AS MATERIALIZED (SELECT vec_id AS yid, embedding AS vec
+         |    FROM embeddings WHERE vec_id % 2 = 1),
+         |fs AS (SELECT x.xid, y.yid, $fwdCos AS sim FROM y CROSS JOIN x),
+         |fr AS (SELECT xid, yid,
+         |    CAST(round(sim * 1000000) AS BIGINT) AS cos_micro,
+         |    row_number() OVER (PARTITION BY xid ORDER BY sim DESC, yid)
+         |      AS rk
+         |  FROM fs),
+         |fwd AS MATERIALIZED (SELECT xid, yid, cos_micro FROM fr WHERE rk <= 4),
+         |dx AS (SELECT xid, CAST(sum(cos_micro + 1000000) AS BIGINT) AS dx
+         |  FROM fwd GROUP BY xid),
+         |yp AS (SELECT y.* FROM y
+         |  JOIN (SELECT DISTINCT yid FROM fwd) p USING (yid)),
+         |bs AS (SELECT y2.yid, x.xid, $bwdCos AS sim
+         |  FROM x CROSS JOIN yp y2),
+         |br AS (SELECT yid,
+         |    CAST(round(sim * 1000000) AS BIGINT) AS cos_micro,
+         |    row_number() OVER (PARTITION BY yid ORDER BY sim DESC, xid)
+         |      AS rk
+         |  FROM bs),
+         |dy AS (SELECT yid, CAST(sum(cos_micro + 1000000) AS BIGINT) AS dy
+         |  FROM br WHERE rk <= 4 GROUP BY yid)
+         |SELECT f.xid, f.yid, f.cos_micro,
+         |  CAST(((f.cos_micro + 1000000) * 8 * 1000000) // (dx.dx + dy.dy)
+         |    AS BIGINT) AS margin_ppm
+         |FROM fwd f JOIN dx USING (xid) JOIN dy USING (yid)
+         |ORDER BY margin_ppm DESC, xid, yid LIMIT 50""".stripMargin
+    },
+
+    "hq1_histogram_quantiles" -> {
+      val qValues = HqQuantiles.map(q => s"($q)").mkString(", ")
+      s"""WITH h AS (SELECT
+         |    least(greatest(CAST((n_chars * 32) // 512 AS INTEGER), 0), 31)
+         |      AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |c AS (SELECT bucket, n,
+         |    sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM h),
+         |t AS (SELECT CAST(max(cum) AS BIGINT) AS total FROM c),
+         |q(q_permille) AS (VALUES $qValues)
+         |SELECT q.q_permille,
+         |  round(min(c.bucket) * 16.0::DOUBLE, 6) AS est,
+         |  CAST(min(c.bucket) AS INTEGER) AS bucket,
+         |  min(t.total) AS total
+         |FROM q, c, t
+         |WHERE c.cum * 1000 >= q.q_permille * t.total
+         |GROUP BY q.q_permille ORDER BY q.q_permille""".stripMargin
+    },
+
+    "tg1_gap_fill" ->
+      """WITH obs AS (SELECT user_id AS k, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n, max(event_id) AS last_eid
+        |  FROM events WHERE event_id % 11 = 0 GROUP BY 1, 2),
+        |spine AS (SELECT k,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT k, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY k)),
+        |j AS (SELECT s.k, s.day, coalesce(o.n, 0) AS n,
+        |    o.last_eid AS raw_eid, o.last_eid IS NOT NULL AS observed
+        |  FROM spine s LEFT JOIN obs o USING (k, day))
+        |SELECT k, day, n,
+        |  last_value(raw_eid IGNORE NULLS)
+        |    OVER (PARTITION BY k ORDER BY day) AS last_eid,
+        |  observed
+        |FROM j ORDER BY k, day""".stripMargin,
+
     "c4f1_c4_filter" ->
       s"""WITH $pagesSqlCtes,
          |split AS (SELECT doc_id, page,
@@ -161,6 +308,59 @@ object CurationPack {
          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM bkt GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
+
+    "bl1_bleu_pairs" -> {
+      val norm = TextFunctions.normalizeSql("text")
+      s"""WITH tok AS (SELECT doc_id, string_split($norm, ' ') AS toks
+         |  FROM documents),
+         |cand AS (SELECT doc_id // 2 AS pair_id, toks AS ct FROM tok
+         |  WHERE doc_id % 2 = 0),
+         |ref AS (SELECT doc_id // 2 AS pair_id, toks AS rt FROM tok
+         |  WHERE doc_id % 2 = 1),
+         |p AS MATERIALIZED (SELECT c.pair_id, ct, rt,
+         |    len(ct) AS cand_len, len(rt) AS ref_len
+         |  FROM cand c JOIN ref USING (pair_id)
+         |  WHERE len(ct) >= 2 AND len(rt) >= 2),
+         |cg1 AS (SELECT pair_id, g, count(*) AS cc FROM (
+         |    SELECT pair_id, unnest(ct) AS g FROM p) GROUP BY 1, 2),
+         |rg1 AS (SELECT pair_id, g, count(*) AS rc FROM (
+         |    SELECT pair_id, unnest(rt) AS g FROM p) GROUP BY 1, 2),
+         |m1 AS (SELECT pair_id, CAST(sum(least(cc, rc)) AS BIGINT) AS m1
+         |  FROM cg1 JOIN rg1 USING (pair_id, g) GROUP BY pair_id),
+         |cg2 AS (SELECT pair_id, g, count(*) AS cc FROM (
+         |    SELECT pair_id, unnest(list_transform(generate_series(2, len(ct)),
+         |      i -> ct[i - 1] || ' ' || ct[i])) AS g FROM p) GROUP BY 1, 2),
+         |rg2 AS (SELECT pair_id, g, count(*) AS rc FROM (
+         |    SELECT pair_id, unnest(list_transform(generate_series(2, len(rt)),
+         |      i -> rt[i - 1] || ' ' || rt[i])) AS g FROM p) GROUP BY 1, 2),
+         |m2 AS (SELECT pair_id, CAST(sum(least(cc, rc)) AS BIGINT) AS m2
+         |  FROM cg2 JOIN rg2 USING (pair_id, g) GROUP BY pair_id),
+         |scored AS (SELECT p.pair_id,
+         |    CAST(cand_len AS INTEGER) AS cand_len,
+         |    CAST(ref_len AS INTEGER) AS ref_len,
+         |    round(coalesce(m1.m1, 0) / CAST(cand_len AS DOUBLE), 6) AS p1,
+         |    round(coalesce(m2.m2, 0) / CAST(cand_len - 1 AS DOUBLE), 6) AS p2
+         |  FROM p LEFT JOIN m1 USING (pair_id) LEFT JOIN m2 USING (pair_id))
+         |SELECT pair_id, cand_len, ref_len, p1, p2,
+         |  round(sqrt(p1 * p2), 6) AS bleu2
+         |FROM scored ORDER BY pair_id""".stripMargin
+    },
+
+    "tw1_token_windows" -> {
+      val norm = TextFunctions.normalizeSql("text")
+      s"""WITH tok AS (SELECT doc_id, string_split($norm, ' ') AS toks
+         |  FROM documents),
+         |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, len(toks) - 1, 8)) AS start
+         |  FROM base)
+         |SELECT doc_id,
+         |  CAST(start // 8 AS INTEGER) AS window_id,
+         |  CAST(start AS INTEGER) AS start,
+         |  CAST(len(toks[start + 1 : start + 16]) AS INTEGER) AS n_tokens,
+         |  array_to_string(toks[start + 1 : start + 16], ' ') AS window_text
+         |FROM st ORDER BY doc_id, window_id""".stripMargin
     },
 
     "scd1_status_history" ->
