@@ -1,0 +1,55 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy entity resolution: match a dirty feed against a clean
+  * reference by edit distance, with prefix blocking so the comparison
+  * space is per-block, never all-pairs — the record-linkage analogue of
+  * the MinHash banding used for document near-dups ([[Dedup]]), at the
+  * string/entity granularity (catalog reconciliation, author/name
+  * normalization, dirty-metadata joins before training-data export).
+  *
+  * Scale shape: candidates come from an equi-join on the block key
+  * (hash-partitioned); `maxBlock` drops degenerate blocks (the empty-
+  * prefix / stop-prefix skew guard, same policy as the blank-paragraph
+  * key exemption in [[ParaDedup]]); best-match selection is one window
+  * PARTITIONED by the dirty id. Edit distance is Spark's codegen'd
+  * `levenshtein` — unit-cost classic DP, identical in the oracle
+  * engine — so distances and verdicts are exact integers.
+  */
+object FuzzyJoin {
+
+  /** Best fuzzy match per `right` row. left: (lid, name);
+    * right: (rid, name). Output: (rid, lid, dist, n_cands) — the
+    * lowest-distance left match (ties broken by lid), plus how many
+    * candidates survived the threshold (an ER ambiguity signal).
+    */
+  def blockedBestMatch(left: DataFrame, right: DataFrame,
+      blockLen: Int = 2, maxDist: Int = 2,
+      maxBlock: Int = 100000): DataFrame = {
+    val l = left.select(col("lid"), col("name").as("lname"),
+      substring(col("name"), 1, blockLen).as("bk"))
+    val blockSizes = l.groupBy(col("bk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBlock)
+      .select(col("bk"))
+    val r = right.select(col("rid"), col("name").as("rname"),
+      substring(col("name"), 1, blockLen).as("bk"))
+    val cand = r
+      .join(blockSizes, Seq("bk"), "left_semi")
+      .join(l, Seq("bk"))
+      .withColumn("dist", levenshtein(col("lname"), col("rname")))
+      .filter(col("dist") <= maxDist)
+    val byRid = Window.partitionBy(col("rid"))
+    val best = Window.partitionBy(col("rid"))
+      .orderBy(col("dist"), col("lid"))
+    cand
+      .withColumn("n_cands", count(lit(1)).over(byRid))
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("rid"), col("lid"), col("dist"),
+        col("n_cands").cast("long").as("n_cands"))
+  }
+}

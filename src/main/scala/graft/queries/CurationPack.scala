@@ -152,6 +152,51 @@ object CurationPack {
         .orderBy(col("k"), col("day"))
     }),
 
+    // Blocked fuzzy entity resolution: a dirty feed (3rd char deleted
+    // from every 4th part's display name) matched to the clean catalog
+    // by levenshtein within 2-char prefix blocks; best match per dirty
+    // row via an rid-partitioned window, candidate count as the
+    // ambiguity signal.
+    "er1_fuzzy_match" -> ((s, d) => {
+      val base = Tables.part(s, d).select(col("p_partkey"),
+        concat(col("p_name"), lit(" #"), col("p_partkey") % 50).as("name"))
+      val left = base.select(col("p_partkey").as("lid"), col("name"))
+      val right = base.filter(col("p_partkey") % 4 === 0)
+        .select((col("p_partkey") + 100000).as("rid"),
+          concat(substring(col("name"), 1, 2), expr("substring(name, 4)"))
+            .as("name"))
+      graft.dedup.FuzzyJoin.blockedBestMatch(left, right,
+          blockLen = 2, maxDist = 2)
+        .orderBy(col("rid"))
+    }),
+
+    // Rolling z-score anomaly signal over daily event volumes: trailing
+    // 7-row integer sums (Σx, Σx², n) per event type, z formed from the
+    // integers in one double expression — no engine stddev aggregate.
+    "an1_rolling_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      graft.analyze.RollingStats.rollingZ(daily, "event_type", "day", "n", 7)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // CUBE aggregate (all four grouping combinations in one pass) over
+    // order status × priority — completes the rollup/pivot family (rb1,
+    // pv1) with integer-exact money sums.
+    "cb1_cube_revenue" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).cast("long").as("n_orders"),
+          Oracle.moneySum(col("o_totalprice")).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid").cast("int").as("gid"), col("n_orders"), col("revenue"))
+        .orderBy(col("gid"), col("status"), col("priority"))
+    }),
+
     // BLEU-2 overlap scoring of candidate/reference pairs (even doc ↔
     // odd doc of each consecutive pair): clipped n-gram precision via
     // (pair, gram)-partitioned count joins; BP-free (exp is not an
@@ -309,6 +354,55 @@ object CurationPack {
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM bkt GROUP BY zbucket ORDER BY zbucket""".stripMargin
     },
+
+    "er1_fuzzy_match" ->
+      """WITH base AS (SELECT p_partkey,
+        |    p_name || ' #' || (p_partkey % 50) AS name FROM part),
+        |l AS (SELECT p_partkey AS lid, name AS lname,
+        |    substr(name, 1, 2) AS bk FROM base),
+        |r AS (SELECT p_partkey + 100000 AS rid,
+        |    substr(name, 1, 2) || substr(name, 4) AS rname,
+        |    substr(name, 1, 2) AS bk
+        |  FROM base WHERE p_partkey % 4 = 0),
+        |cand AS (SELECT r.rid, l.lid,
+        |    levenshtein(l.lname, r.rname) AS dist
+        |  FROM r JOIN l USING (bk)
+        |  WHERE levenshtein(l.lname, r.rname) <= 2),
+        |rk AS (SELECT rid, lid, dist,
+        |    row_number() OVER (PARTITION BY rid ORDER BY dist, lid) AS rk,
+        |    count(*) OVER (PARTITION BY rid) AS n_cands
+        |  FROM cand)
+        |SELECT rid, lid, CAST(dist AS INTEGER) AS dist,
+        |  CAST(n_cands AS BIGINT) AS n_cands
+        |FROM rk WHERE rk = 1 ORDER BY rid""".stripMargin,
+
+    "an1_rolling_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, n,
+        |    sum(n) OVER w AS s1, sum(n * n) OVER w AS s2,
+        |    count(n) OVER w AS win_n
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n, CAST(win_n AS BIGINT) AS win_n,
+        |  round(CAST(s1 AS DOUBLE) / win_n, 6) AS mean,
+        |  CASE WHEN win_n >= 2 AND win_n * s2 - s1 * s1 > 0
+        |    THEN round(CAST(n * win_n - s1 AS DOUBLE) /
+        |      sqrt(CAST((win_n * s2 - s1 * s1) * win_n AS DOUBLE)
+        |        / (win_n - 1)), 4)
+        |    ELSE 0.0::DOUBLE END AS z
+        |FROM r ORDER BY event_type, day""".stripMargin,
+
+    "cb1_cube_revenue" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  ${Oracle.moneySumSql("o_totalprice")} AS revenue
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY gid, status, priority""".stripMargin,
 
     "bl1_bleu_pairs" -> {
       val norm = TextFunctions.normalizeSql("text")
