@@ -125,6 +125,20 @@ object GraphPack {
         .limit(100)
     }),
 
+    // Single-source weighted shortest paths (Bellman-Ford relaxation
+    // rounds with early exit; fixture fixpoints in 10 rounds, oracle
+    // chains 12 — extra rounds are no-ops).
+    "wp1_shortest_path" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val r = col("doc_id") % 60
+      val e1 = docs.select(r.as("src"), ((col("doc_id") + 1) % 60).as("dst"),
+        (lit(1) + r % 3).as("w"))
+      val e2 = docs.select(r.as("src"),
+        ((col("doc_id") * 7 + 3) % 60).as("dst"), (lit(2) + r % 5).as("w"))
+      graft.graph.ShortestPath.fromSource(e1.unionByName(e2), source = 0L)
+        .orderBy(col("node"))
+    }),
+
     // A17: counts per relation type + distinct node counts.
     "g1_kg_stats" -> ((s, d) => {
       edges(s, d)
@@ -492,7 +506,30 @@ object GraphPack {
          |  JOIN d$i y ON y.id = e.b AND y.deg >= $k)""".stripMargin
     }.mkString(",\n")
 
+  /** wp1 relaxation-round CTEs: min over (carry ∪ one-hop extensions). */
+  private def relaxCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(cost) AS cost FROM (
+         |    SELECT node, cost FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, d${i - 1}.cost + e.w FROM d${i - 1}
+         |    JOIN e ON e.src = d${i - 1}.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+
   def oracles: Map[String, String] = Map(
+    "wp1_shortest_path" ->
+      s"""WITH e AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM (
+         |    SELECT doc_id % 60 AS src, (doc_id + 1) % 60 AS dst,
+         |      1 + (doc_id % 60) % 3 AS w FROM documents
+         |    UNION ALL SELECT doc_id % 60, (doc_id * 7 + 3) % 60,
+         |      2 + (doc_id % 60) % 5 FROM documents)
+         |  GROUP BY src, dst),
+         |d0(node, cost) AS (VALUES (0, 0)),
+         |${relaxCtes(12)}
+         |SELECT node, CAST(cost AS BIGINT) AS cost FROM d12
+         |ORDER BY node""".stripMargin,
+
     "kc1_kcore" ->
       s"""WITH $kcEdgesSqlCtes,
          |${kcorePeelCtes(rounds = 8, k = 5)}

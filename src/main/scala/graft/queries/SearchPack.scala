@@ -78,7 +78,35 @@ object SearchPack {
   /** ph1 phrase — adjacent-token exact match over the documents corpus. */
   val PhraseTerms = Seq("table", "scan")
 
+  /** bq1's three boolean queries: (qid, must, should, mustNot). */
+  val BoolQueries: Seq[(Int, Seq[String], Seq[String], Seq[String])] = Seq(
+    (1, Seq("spark", "join"), Seq.empty, Seq("slow")),
+    (2, Seq("table"), Seq("fast", "merge"), Seq.empty),
+    (3, Seq.empty, Seq("window", "batch"), Seq("key")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Boolean set retrieval (must/should/must-not) over the inverted
+    // postings: pushdown term filters, one groupBy for ALL, semi/anti
+    // joins for ANY/NONE — three query shapes unioned under a qid.
+    "bq1_boolean_search" -> ((s, d) => {
+      val p = graft.search.BooleanQuery
+        .postings(Tables.documents(s, d), "doc_id", "text").cache()
+      BoolQueries.map { case (qid, must, should, not) =>
+        graft.search.BooleanQuery.query(p, must, should, not)
+          .select(lit(qid).as("qid"), col("doc_id"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("qid"), col("doc_id"))
+    }),
+
+    // Prefix autocomplete: top-3 vocabulary terms by document frequency
+    // per 2-char prefix (edge-ngram completion index over the postings).
+    "ac1_autocomplete" -> ((s, d) => {
+      val p = graft.search.BooleanQuery
+        .postings(Tables.documents(s, d), "doc_id", "text")
+      graft.search.BooleanQuery.completions(p, prefixLen = 2, k = 3)
+        .orderBy(col("prefix"), col("rank"))
+    }),
+
     // Q5+J12+P5/P7 end to end: the ENTIRE vector-search data path —
     // hash-n-gram featurization (unigrams + bigrams → portable-hash
     // buckets → integer counts → L2 normalize) of corpus AND query,
@@ -216,8 +244,45 @@ object SearchPack {
 
   def oracles: Map[String, String] = {
     val bm25Ctes = Bm25.scoreSqlCtes("documents", "doc_id", docTokensSql, Query)
+    val postingsCte =
+      s"""p AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(${TextFunctions.normalizeSql("text")}, ' '))
+         |        AS term
+         |    FROM documents) WHERE term <> '')""".stripMargin
 
     Map(
+      "bq1_boolean_search" ->
+        s"""WITH $postingsCte,
+           |b1 AS (SELECT 1 AS qid, a.doc_id FROM (
+           |    SELECT doc_id FROM p WHERE term IN ('spark', 'join')
+           |    GROUP BY doc_id HAVING count(DISTINCT term) = 2) a
+           |  WHERE NOT EXISTS (SELECT 1 FROM p
+           |    WHERE p.doc_id = a.doc_id AND p.term = 'slow')),
+           |b2 AS (SELECT 2 AS qid, a.doc_id FROM (
+           |    SELECT doc_id FROM p WHERE term = 'table' GROUP BY doc_id) a
+           |  WHERE EXISTS (SELECT 1 FROM p
+           |    WHERE p.doc_id = a.doc_id AND p.term IN ('fast', 'merge'))),
+           |b3 AS (SELECT 3 AS qid, a.doc_id FROM (
+           |    SELECT DISTINCT doc_id FROM p
+           |    WHERE term IN ('window', 'batch')) a
+           |  WHERE NOT EXISTS (SELECT 1 FROM p
+           |    WHERE p.doc_id = a.doc_id AND p.term = 'key'))
+           |SELECT qid, doc_id FROM (
+           |  SELECT * FROM b1 UNION ALL SELECT * FROM b2
+           |  UNION ALL SELECT * FROM b3)
+           |ORDER BY qid, doc_id""".stripMargin,
+
+      "ac1_autocomplete" ->
+        s"""WITH $postingsCte,
+           |v AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |  FROM p GROUP BY term),
+           |c AS (SELECT substr(term, 1, 2) AS prefix, term, df,
+           |    row_number() OVER (PARTITION BY substr(term, 1, 2)
+           |      ORDER BY df DESC, term) AS rank
+           |  FROM v WHERE length(term) >= 2)
+           |SELECT prefix, term, df, CAST(rank AS INTEGER) AS rank
+           |FROM c WHERE rank <= 3 ORDER BY prefix, rank""".stripMargin,
       // ev1: identical discount literals (driver-computed micro units),
       // identical ideal-ordering tiebreak, single final divisions.
       "ev1_rank_eval" -> {
