@@ -154,7 +154,9 @@ object CurationPack {
 
     // Blocked fuzzy entity resolution: a dirty feed (3rd char deleted
     // from every 4th part's display name) matched to the clean catalog
-    // by levenshtein within 2-char prefix blocks; best match per dirty
+    // by levenshtein within two-sided (2-char prefix + 2-char suffix)
+    // blocks — both ends survive an interior edit, and the suffix leg
+    // keeps block sizes sublinear in the catalog; best match per dirty
     // row via an rid-partitioned window, candidate count as the
     // ambiguity signal.
     "er1_fuzzy_match" -> ((s, d) => {
@@ -166,7 +168,7 @@ object CurationPack {
           concat(substring(col("name"), 1, 2), expr("substring(name, 4)"))
             .as("name"))
       graft.dedup.FuzzyJoin.blockedBestMatch(left, right,
-          blockLen = 2, maxDist = 2)
+          blockLen = 2, maxDist = 2, suffixLen = 2)
         .orderBy(col("rid"))
     }),
 
@@ -359,10 +361,10 @@ object CurationPack {
       """WITH base AS (SELECT p_partkey,
         |    p_name || ' #' || (p_partkey % 50) AS name FROM part),
         |l AS (SELECT p_partkey AS lid, name AS lname,
-        |    substr(name, 1, 2) AS bk FROM base),
+        |    substr(name, 1, 2) || right(name, 2) AS bk FROM base),
         |r AS (SELECT p_partkey + 100000 AS rid,
         |    substr(name, 1, 2) || substr(name, 4) AS rname,
-        |    substr(name, 1, 2) AS bk
+        |    substr(name, 1, 2) || right(name, 2) AS bk
         |  FROM base WHERE p_partkey % 4 = 0),
         |cand AS (SELECT r.rid, l.lid,
         |    levenshtein(l.lname, r.rname) AS dist

@@ -96,6 +96,16 @@ object GraphPack {
         .orderBy(col("pr").desc, col("node")).limit(20)
     }),
 
+    // Personalized PageRank from seeds {0, 7}: teleport mass restricted
+    // to the seeds, ranks measure graph proximity to them (the
+    // related-entity ranking); same integer damping, oracle chains the
+    // same iterations with a seed CASE.
+    "ppr1_personalized_pr" -> ((s, d) => {
+      graft.graph.PageRank.personalizedPageRank(prEdges(s, d),
+          seeds = PprSeeds, iters = PrIters)
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
     // Exact per-node triangle counts + local clustering coefficient by
     // degree-ordered orientation (Suri & Vassilvitskii 2011) — the
     // skew-proof wedge join. Oracle replays the identical orientation
@@ -455,6 +465,25 @@ object GraphPack {
       concat(lit("Processes "), col("lang"), lit(" documents batch"),
         col("doc_id") % 5, lit(" quickly. Ignored tail.")).as("docstring"))
 
+  /** ppr1 seed set (nodes of the pr1 fixture graph). */
+  val PprSeeds: Seq[Long] = Seq(0L, 7L)
+
+  /** ppr1 iteration CTEs: damping update with seed-restricted teleport. */
+  private def pprIterCtes(n: Int, seeds: Seq[Long]): String = {
+    val seedList = seeds.mkString(", ")
+    (1 to n).map { i =>
+      s"""pp$i AS (SELECT nn.node,
+         |    CAST((CASE WHEN nn.node IN ($seedList) THEN 150000 ELSE 0 END)
+         |      + (85 * coalesce(t.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(pp${i - 1}.pr // od.outdeg) AS BIGINT) AS s
+         |    FROM e JOIN od USING (src)
+         |    JOIN pp${i - 1} ON pp${i - 1}.node = e.src
+         |    GROUP BY e.dst) t ON nn.node = t.node)""".stripMargin
+    }.mkString(",\n")
+  }
+
   /** pr1 iteration CTEs: the exact integer damping update, chained. */
   private def prIterCtes(n: Int): String =
     (1 to n).map { i =>
@@ -554,6 +583,22 @@ object GraphPack {
          |  CAST(sum(w) AS BIGINT) AS ra_micro
          |FROM nonedge GROUP BY x, y
          |ORDER BY ra_micro DESC, cn DESC, x, y LIMIT 100""".stripMargin,
+
+    "ppr1_personalized_pr" -> {
+      val seedList = PprSeeds.mkString(", ")
+      s"""WITH e AS (SELECT DISTINCT doc_id % $PrNodes AS src,
+         |    (doc_id * 7 + 3) % $PrNodes AS dst
+         |  FROM documents WHERE doc_id % $PrNodes <> (doc_id * 7 + 3) % $PrNodes),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM e GROUP BY src),
+         |nn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |pp0 AS (SELECT node,
+         |    CAST(CASE WHEN node IN ($seedList) THEN 1000000 ELSE 0 END
+         |      AS BIGINT) AS pr FROM nn),
+         |${pprIterCtes(PrIters, PprSeeds)}
+         |SELECT node, pr FROM pp$PrIters
+         |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+    },
 
     "pr1_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT doc_id % $PrNodes AS src,

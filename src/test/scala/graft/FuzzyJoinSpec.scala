@@ -35,6 +35,18 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("two-sided blocking: interior edits match, suffix mismatches don't") {
+    val clean = Seq(1L -> "abcdef", 2L -> "abcdxx")
+    val out = FuzzyJoin.blockedBestMatch(
+        clean.toDF("lid", "name"), Seq(10L -> "abdef").toDF("rid", "name"),
+        blockLen = 2, maxDist = 2, suffixLen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    // "abdef" shares prefix "ab" + suffix "ef" with "abcdef" only;
+    // "abcdxx" is blocked away despite the shared prefix
+    assert(out(10L) == ((1L, 1)))
+  }
+
   test("oversized blocks are skipped (skew guard)") {
     val clean = (1L to 5L).map(i => i -> s"aa item $i")
     val out = matchUp(clean, Seq(10L -> "aa item 1"), maxBlock = 3)
