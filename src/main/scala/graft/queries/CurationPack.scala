@@ -184,6 +184,23 @@ object CurationPack {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Two-stage salted aggregation proved EXACT against the plain
+    // GROUP BY oracle: the skew-mitigation plan shape (partial per
+    // salt → final) produces bit-identical integer sums — the gate
+    // that licenses salting any hot-key aggregate at 100 TB.
+    "sj1_salted_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("qc"),
+          lit(1L).as("one"))
+      graft.util.Salting.saltedSum(li, Seq("l_returnflag"), factor = 8,
+          Map("qc" -> "sum_qc", "one" -> "n_rows"))
+        .select(col("l_returnflag"),
+          (col("sum_qc") / 100.0).as("sum_qty"),
+          col("n_rows").cast("long").as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // CUBE aggregate (all four grouping combinations in one pass) over
     // order status × priority — completes the rollup/pivot family (rb1,
     // pv1) with integer-exact money sums.
@@ -396,6 +413,12 @@ object CurationPack {
         |        / (win_n - 1)), 4)
         |    ELSE 0.0::DOUBLE END AS z
         |FROM r ORDER BY event_type, day""".stripMargin,
+
+    "sj1_salted_agg" ->
+      """SELECT l_returnflag,
+        |  SUM(CAST(round(l_quantity * 1e2) AS BIGINT)) / 1e2 AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cb1_cube_revenue" ->
       s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -86,6 +86,23 @@ object GraphPack {
     cyc.unionByName(sparse).unionByName(core)
   }
 
+  /** lpa1 fixture: two C10(1,2) circulant communities (nodes 0-9 and
+    * 10-19) joined by the single bridge (0, 10) — labels converge
+    * inside each community, the bridge stays a minority vote.
+    */
+  private def lpaEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grp = expr("((doc_id % 20) div 10) * 10")
+    val base = col("doc_id") % 10
+    val e1 = docs.select((grp + base).as("a"),
+      (grp + (base + 1) % 10).as("b"))
+    val e2 = docs.select((grp + base).as("a"),
+      (grp + (base + 2) % 10).as("b"))
+    val bridge = docs.filter(col("doc_id") % 100 === 0)
+      .select(lit(0L).as("a"), lit(10L).as("b"))
+    e1.unionByName(e2).unionByName(bridge)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Integer-exact PageRank (fixed 3 iterations, micro-unit damping
     // arithmetic — order-free sums, so the oracle chains the SAME
@@ -133,6 +150,15 @@ object GraphPack {
       graft.graph.LinkPredict.predictLinks(triEdges(s, d))
         .orderBy(col("ra_micro").desc, col("cn").desc, col("x"), col("y"))
         .limit(100)
+    }),
+
+    // Fixed-round synchronous label propagation over two planted
+    // circulant communities plus a single bridge edge: each node adopts
+    // its neighbors' modal label (ties to the smaller label) — the
+    // community detector beside cc1's connectivity and kc1's density.
+    "lpa1_label_prop" -> ((s, d) => {
+      graft.graph.LabelProp.communities(lpaEdges(s, d), rounds = 3)
+        .orderBy(col("node"))
     }),
 
     // Single-source weighted shortest paths (Bellman-Ford relaxation
@@ -546,7 +572,41 @@ object GraphPack {
          |  GROUP BY node)""".stripMargin
     }.mkString(",\n")
 
+  /** lpa1 round CTEs: neighbor-label counts, then the (count desc,
+    * label asc) argmax per node.
+    */
+  private def lpaRoundCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""cnt$i AS (SELECT a.node, l.label, count(*) AS c
+         |  FROM adj a JOIN l${i - 1} l ON l.node = a.nbr
+         |  GROUP BY a.node, l.label),
+         |l$i AS MATERIALIZED (SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label)
+         |        AS rk
+         |    FROM cnt$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+
   def oracles: Map[String, String] = Map(
+    "lpa1_label_prop" ->
+      s"""WITH raw AS (
+         |  SELECT ((doc_id % 20) // 10) * 10 + doc_id % 10 AS a,
+         |    ((doc_id % 20) // 10) * 10 + (doc_id % 10 + 1) % 10 AS b
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT ((doc_id % 20) // 10) * 10 + doc_id % 10,
+         |    ((doc_id % 20) // 10) * 10 + (doc_id % 10 + 2) % 10
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 0, 10 FROM documents WHERE doc_id % 100 = 0),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a,
+         |    greatest(a, b) AS b FROM raw WHERE a <> b),
+         |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+         |${lpaRoundCtes(3)}
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
+
     "wp1_shortest_path" ->
       s"""WITH e AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM (
          |    SELECT doc_id % 60 AS src, (doc_id + 1) % 60 AS dst,
