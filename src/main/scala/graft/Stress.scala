@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analyze.Analytics
-import graft.dedup.Dedup
-import graft.graph.{DocLinks, Kg}
+import graft.dedup.{Dedup, FuzzyJoin}
+import graft.graph.{DocLinks, KCore, Kg}
 import graft.search.{Bm25, Fusion}
 
 /** Scale-stress harness: the heaviest operator families (d3 LSH
@@ -251,6 +251,47 @@ object Stress {
     timed(graft.graph.Triangles.nodeTriangles(e).count())
   }
 
+  /** er1 family: two-sided blocked fuzzy matching of a dirty feed
+    * (interior char deleted past the prefix window) against a catalog
+    * whose name-token vocabulary grows ∝ n, so the block-key
+    * cardinality scales with the data — the property that keeps
+    * per-block comparison counts bounded as the catalog grows (a real
+    * catalog's name diversity; constant-cardinality keys would be the
+    * pathological case, not the operator).
+    */
+  def fuzzyStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val vocab = math.max(1000L, n)
+    val names = spark.range(n).select(col("id").as("lid"),
+      concat(lit("t"), pmod(hash(col("id") * 7).cast("long"), lit(vocab)),
+        lit(" t"), pmod(hash(col("id") * 13).cast("long"), lit(vocab)),
+        lit(" #"), col("id") % 997).as("name"))
+    val dirty = names.filter(col("lid") % 4 === 0)
+      .select((col("lid") + 1000000000L).as("rid"),
+        concat(substring(col("name"), 1, 7), expr("substring(name, 9)"))
+          .as("name"))
+    timed(FuzzyJoin.blockedBestMatch(names, dirty,
+      blockLen = 4, maxDist = 2, suffixLen = 2).count())
+  }
+
+  /** kc1 family: iterative k-core peel on a cycle + irregular-map graph
+    * with a planted dense core — cascade depth is set by the LOCAL
+    * structure, not |V|, so rounds (and the per-round shrinking joins)
+    * should grow sublinearly in the node count.
+    */
+  def kcoreStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val m = math.max(2L, (n * 2) / 3)
+    val coreN = math.min(1000L, n)
+    val docs = spark.range(n)
+    val e1 = docs.select(col("id").as("a"), ((col("id") + 1) % n).as("b"))
+    val e2 = docs.select(col("id").as("a"),
+      ((col("id") * 3 + 7) % m).as("b"))
+    val eCore = (1 to 4).map { k =>
+      docs.filter(col("id") < coreN)
+        .select(col("id").as("a"), ((col("id") + k) % coreN).as("b"))
+    }.reduce(_ unionByName _)
+    timed(KCore.kCore(e1.unionByName(e2).unionByName(eCore), 5).count())
+  }
+
   /** ph1 family: positional postings + 3-term phrase join; the phrase
     * is planted in 1/11 docs so matches exist at every size.
     */
@@ -372,6 +413,8 @@ object Stress {
       val (poolT, _) = poolStress(spark, docsN)
       val (triT, _) = triangleStress(spark, 20000L * f)
       val (phT, _) = phraseStress(spark, docsN)
+      val (fzT, _) = fuzzyStress(spark, 2000L * f)
+      val (kcT, _) = kcoreStress(spark, 10000L * f)
       dedup ++ Seq(
         s"x${f}_hb1_batch" -> searchT,
         s"x${f}_j11_doclinks" -> linksT,
@@ -381,6 +424,8 @@ object Stress {
         s"x${f}_un1_lmscore" -> lmT,
         s"x${f}_ep1_pooling" -> poolT,
         s"x${f}_tc1_triangles" -> triT,
-        s"x${f}_ph1_phrase" -> phT)
+        s"x${f}_ph1_phrase" -> phT,
+        s"x${f}_er1_fuzzy" -> fzT,
+        s"x${f}_kc1_kcore" -> kcT)
     }
 }
