@@ -74,6 +74,32 @@ object Ivf {
     IvfIndex(assigned, centroids, k)
   }
 
+  /** Incremental index maintenance: assign a NEW batch to the EXISTING
+    * centroid table (no refit — the ANN parallel of ic1's incremental
+    * dedup routing). Identical portable argmin to [[build]], so the
+    * combined index is exactly what a from-scratch assignment against
+    * the same centroids would produce; periodic refit stays a separate
+    * indexing-time decision (the reference's reindex path).
+    */
+  def assignBatch(centroids: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", VectorFunctions.l2sqF(col("vec"), col("centroid")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("cdist"), col("cluster_id"), col("vec"))).as("m"))
+      .select(col("id"), col("m.vec").as("vec"),
+        col("m.cluster_id").as("cluster_id"))
+
+  /** Append an assigned batch to a persisted layout: mode=append under
+    * the same cluster partitioning, so new files land inside existing
+    * cluster directories and probes keep pruning at the scan.
+    */
+  def append(path: String, assignedBatch: DataFrame): Unit =
+    assignedBatch.select(col("id"), col("vec"), col("cluster_id"))
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(s"$path/vectors")
+
   /** Persist partitioned by cluster so probes prune at the scan. */
   def write(index: IvfIndex, path: String): Unit = {
     index.assigned.write.mode("overwrite")

@@ -751,6 +751,33 @@ object TextDedupPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Incremental IVF maintenance: a derived near-dup batch (perturbed
+    // copies of vec_id<50, ids +20000) assigned to the EXISTING
+    // centroids by the same portable argmin — no refit — then searched
+    // together with the base index; queries retrieve their appended
+    // twins at rank 1, proving the new vectors are immediately
+    // searchable. The disk append itself (mode=append under the cluster
+    // partitioning) is exercised in IvfSpec on a temp layout.
+    "a7_ivf_incremental" -> ((s, d) => {
+      val idx = graft.ann.IvfCache.persisted(s, d)
+      val emb = Tables.embeddings(s, d)
+      val batch = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 20000).as("vec_id"),
+          concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
+            .as("embedding"))
+      val appended = graft.ann.Ivf.assignBatch(idx.centroids, batch,
+        "vec_id", "embedding")
+      val combined = graft.ann.Ivf.IvfIndex(
+        idx.assigned.select(col("id"), col("vec"), col("cluster_id"))
+          .unionByName(appended),
+        idx.centroids, idx.k)
+      val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      graft.ann.Ivf.topK(combined, q, "vec_id", "embedding", 10, nprobes = 2)
+        .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"),
+          col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Product-quantization ADC retrieval (Jégou et al. 2011; the IVF_PQ
     // sibling of LanceDB's IVF_SQ path): the approx sweep reads ONLY the
     // 8×-compressed at-rest codes table — zero float math on the corpus
@@ -2439,7 +2466,38 @@ object TextDedupPack {
       }.mkString(", ")
       val probeDist = VectorFunctions.l2sqSql("c.centroid", "q.qvec")
       val assignDist = VectorFunctions.l2sqSql("c.centroid", "e.embedding")
-      Seq("a3_knn_ivf" ->
+      Seq("a7_ivf_incremental" ->
+        s"""WITH cent(cluster_id, centroid) AS (VALUES $vals),
+           |emb2 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 20000, [0.0::FLOAT] || embedding[2:64]
+           |  FROM embeddings WHERE vec_id < 50),
+           |q AS (SELECT vec_id AS qid, embedding AS qvec
+           |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+           |probes AS (SELECT qid, qvec, cluster_id FROM (
+           |    SELECT q.qid, q.qvec, c.cluster_id,
+           |      row_number() OVER (PARTITION BY q.qid
+           |        ORDER BY $probeDist, c.cluster_id) AS crank
+           |    FROM cent c CROSS JOIN q)
+           |  WHERE crank <= 2),
+           |assign AS (SELECT vec_id AS id, embedding AS vec, cluster_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cluster_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $assignDist, c.cluster_id) AS rn
+           |    FROM emb2 e CROSS JOIN cent c)
+           |  WHERE rn = 1),
+           |cand AS (SELECT p.qid, a.id,
+           |    ${VectorFunctions.cosineSql("a.vec", "p.qvec")} AS sim
+           |  FROM assign a JOIN probes p USING (cluster_id)
+           |  WHERE a.id <> p.qid),
+           |ranked AS (SELECT qid, id, sim,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+           |      AS INTEGER) AS rank
+           |  FROM cand)
+           |SELECT qid, id, round(sim, 6) AS sim, rank
+           |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+      "a3_knn_ivf" ->
         s"""WITH cent(cluster_id, centroid) AS (VALUES $vals),
            |q AS (SELECT vec_id AS qid, embedding AS qvec
            |  FROM embeddings WHERE vec_id IN (0, 1, 2)),

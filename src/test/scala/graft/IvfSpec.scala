@@ -69,6 +69,40 @@ class IvfSpec extends SparkSpec {
     assert(mem == disk)
   }
 
+  test("incremental append: batch assigned to existing centroids, " +
+      "disk layout grows in place, queries see the new vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app")
+    val corpus = clusteredCorpus(100).cache()
+    val idx = Ivf.build(corpus, "vec_id", "embedding", kOverride = Some(8))
+    Ivf.write(idx, dir.toString)
+    // batch = near-copies of vecs 0..9 under new ids
+    val batch = corpus.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val assigned = Ivf.assignBatch(idx.centroids, batch,
+      "vec_id", "embedding")
+    // a near-copy lands in its twin's cluster
+    val twin = idx.assigned.filter(col("id") === 3L)
+      .select("cluster_id").head().getInt(0)
+    assert(assigned.filter(col("id") === 100003L)
+      .select("cluster_id").head().getInt(0) == twin)
+    Ivf.append(dir.toString, assigned)
+    val reread = Ivf.read(spark, dir.toString)
+    assert(reread.assigned.count() == corpus.count() + 10)
+    // the appended twin is retrieved for its source query
+    val q = corpus.filter(col("vec_id") === 3L)
+    val hits = Ivf.topK(reread, q, "vec_id", "embedding", 10, nprobes = 2)
+      .select("id").as[Long].collect().toSet
+    assert(hits.contains(100003L))
+    // fresh full assignment against the same centroids == base ∪ batch
+    val fresh = Ivf.assignBatch(idx.centroids,
+        corpus.unionByName(batch), "vec_id", "embedding")
+      .select("id", "cluster_id")
+      .as[(Long, Int)].collect().toMap
+    val combined = reread.assigned.select("id", "cluster_id")
+      .as[(Long, Int)].collect().toMap
+    assert(combined == fresh)
+  }
+
   test("sign-LSH multi-probe recall beats single-probe") {
     val corpus = clusteredCorpus(200).cache()
     val queries = corpus.filter(col("vec_id").isin(5L, 400L, 900L))
