@@ -163,6 +163,24 @@ object SearchPack {
         .limit(20)
     }),
 
+    // Incremental BM25 maintenance: index built on doc_id >= 100, the
+    // <100 batch merged in WITHOUT re-tokenizing the corpus (postings/
+    // doc_stats union disjointly; corpus-global n/avgdl/idf re-derive
+    // from the aggregated tables). The oracle is the FULL-REBUILD
+    // mirror over all documents — the merge must be bit-identical to
+    // rebuilding from scratch, epsilon-floored idf included.
+    "b2_bm25_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = Bm25.buildIndex(Bm25.postings(
+        docs.filter(col("doc_id") >= 100), "doc_id", docTokens))
+      val batch = Bm25.postings(
+        docs.filter(col("doc_id") < 100), "doc_id", docTokens)
+      Bm25.scoreIndexed(s, Bm25.mergeIndex(base, batch), Query)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Q8/A4: hybrid RRF — vector ranks (query = embedding of vec_id 0)
     // fused with BM25 ranks, max-normalized.
     "h1_hybrid_rrf" -> ((s, d) => {
@@ -395,6 +413,12 @@ object SearchPack {
       },
 
       "b1_bm25_topk" ->
+        s"""WITH $bm25Ctes
+           |SELECT id AS doc_id, round(score, 6) AS score FROM bm25
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      // b2's merge ≡ rebuild contract: the oracle IS the full rebuild.
+      "b2_bm25_incremental" ->
         s"""WITH $bm25Ctes
            |SELECT id AS doc_id, round(score, 6) AS score FROM bm25
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,

@@ -67,6 +67,25 @@ object Bm25 {
     Bm25Index(postings, ds, corpus, termIdf(postings, corpus))
   }
 
+  /** Incremental index maintenance: merge a NEW batch's postings into
+    * an existing index without re-tokenizing the corpus (the expensive
+    * part at scale — raw text is never re-read). Postings and doc_stats
+    * union disjointly; the GLOBAL statistics (corpus n/avgdl, per-term
+    * idf with the epsilon floor) re-derive from the already-aggregated
+    * tables — df/idf are corpus-global by definition, so any index
+    * update must touch them, but that re-aggregation runs over the
+    * postings relation, orders of magnitude smaller than the text.
+    * Integer dl/tf sums are order-free, so the merged index is
+    * BIT-IDENTICAL to a full rebuild over the union (gate-proved:
+    * b2's oracle is the full-rebuild mirror).
+    */
+  def mergeIndex(old: Bm25Index, batchPostings: DataFrame): Bm25Index = {
+    val merged = old.postings.unionByName(batchPostings)
+    val ds = old.docStats.unionByName(docStats(batchPostings))
+    val corpus = corpusStats(ds)
+    Bm25Index(merged, ds, corpus, termIdf(merged, corpus))
+  }
+
   /** Persist the index tables (the reference pickles an in-memory BM25
     * object, `bm25_backend.py:202-267`; here it's four parquet tables a
     * cluster can share and scan incrementally).

@@ -55,4 +55,25 @@ class BatchSearchSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Double]("rrf_score"))).toMap
     assert(out(1L) == 1.0 && out(2L) == 1.0)
   }
+
+  test("mergeIndex equals a full rebuild over the union") {
+    val batch = Seq(
+      (10L, Seq("table", "scan", "fresh")),
+      (11L, Seq("merge", "merge", "row"))).toDF("id", "toks")
+    val merged = Bm25.mergeIndex(idx,
+      Bm25.postings(batch, "id", col("toks")))
+    val full = Bm25.buildIndex(
+      Bm25.postings(docs.unionByName(batch), "id", col("toks")))
+    def scores(i: Bm25.Bm25Index) =
+      Bm25.scoreIndexed(spark, i, Seq("table", "merge", "scan"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(merged) == scores(full))
+    // global stats identical: same n/avgdl, same idf table
+    assert(merged.corpus.collect().toSeq == full.corpus.collect().toSeq)
+    val mIdf = merged.idf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fIdf = full.idf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mIdf == fIdf)
+  }
 }
