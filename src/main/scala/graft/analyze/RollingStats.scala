@@ -27,10 +27,15 @@ object RollingStats {
   /** Attach trailing-window stats to (keyCol, orderCol, valueCol) rows:
     * win_n (observations in frame), mean (round 6), z (round 4; 0.0
     * when the frame has <2 rows or zero variance).
+    *
+    * `tieCol` makes the frame ordering TOTAL when (key, orderCol) can
+    * repeat (the repo-wide unique-tiebreak rule — a ROWS frame over a
+    * partial order would make z depend on physical row order).
     */
   def rollingZ(series: DataFrame, keyCol: String, orderCol: String,
-      valueCol: String, window: Int): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      valueCol: String, window: Int, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
       .rowsBetween(-(window - 1), 0)
     val x = col(valueCol)
     val withSums = series

@@ -37,7 +37,11 @@ object IvfCache {
       Ivf.write(Ivf.build(emb, "vec_id", "embedding", kOverride = kOverride), path)
       Ivf.read(spark, path)
     })
-    if (last.isEmpty) last = Some(
+    // track the MOST RECENT fit, as documented (the oracle-generation
+    // contract is one corpus dir per Verify process; tracking the
+    // latest keeps the literals right even if a dev session touches
+    // two dirs and then dumps oracles for the second)
+    last = Some(
       idx.centroids.orderBy("cluster_id")
         .collect()
         .map(r => (r.getAs[Int]("cluster_id"),

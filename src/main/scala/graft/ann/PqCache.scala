@@ -38,7 +38,7 @@ object PqCache {
       PqIndex(spark.read.parquet(path),
         emb.select("vec_id", "embedding"), cb)
     })
-    if (last.isEmpty) last = Some(idx.cb)
+    last = Some(idx.cb) // track the most recent fit, as documented
     idx
   }
 }

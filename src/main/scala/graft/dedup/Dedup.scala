@@ -220,6 +220,15 @@ object Dedup {
       edges = small
       round += 1
     }
+    // refuse to emit labels from a non-fixpoint edge set: a maxRounds
+    // bail-out would silently produce cluster ids that are not
+    // component minima (alternating star rounds converge in O(log n);
+    // 15 covers astronomically large components, so tripping this means
+    // something is genuinely wrong)
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClustersStar did not reach the star fixpoint in " +
+          s"$maxRounds rounds")
     // fixpoint is a star per component: every edge is (min, member)
     val labels = edges.select(col("b").as("doc_id"), col("a").as("lbl"))
       .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))

@@ -180,7 +180,7 @@ object CurationPack {
         .select(col("event_type"), col("ts").cast("date").as("day"))
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).cast("long").as("n"))
-      graft.analyze.RollingStats.rollingZ(daily, "event_type", "day", "n", 7)
+      graft.analyze.RollingStats.rollingZ(daily, "event_type", "day", "n", 7, tieCol = "day")
         .orderBy(col("event_type"), col("day"))
     }),
 

@@ -2188,7 +2188,7 @@ object TextDedupPack {
       s"""WITH occ AS (SELECT unnest(${TextFunctions.tokensSql("text")})
          |    AS word FROM documents),
          |wt AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM occ GROUP BY word),
+         |  FROM occ WHERE word <> '' GROUP BY word),
          |pr AS (SELECT w.word[t.i] AS a, w.word[t.i + 1] AS b, w.freq
          |  FROM wt w, unnest(range(1, len(w.word))) AS t(i)),
          |pc AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
@@ -2249,8 +2249,9 @@ object TextDedupPack {
          |    CAST(sum(n * w_micro) AS BIGINT) AS w_sum_micro
          |  FROM pfb JOIN w USING (bkt) GROUP BY doc_id),
          |fin AS (SELECT doc_id, n_features, w_sum_micro,
-         |    round(1.0 / (1.0 + exp(-((0 + w_sum_micro / n_features)
-         |      / 1000000.0))), 6) AS score
+         |    round(0.5 + ((0 + w_sum_micro / n_features) / 1000000.0)
+         |      / (2.0 * (1.0 + abs((0 + w_sum_micro / n_features)
+         |        / 1000000.0))), 6) AS score
          |  FROM sc)
          |SELECT doc_id, n_features, w_sum_micro, score,
          |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER)

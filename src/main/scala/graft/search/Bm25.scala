@@ -80,8 +80,16 @@ object Bm25 {
     * b2's oracle is the full-rebuild mirror).
     */
   def mergeIndex(old: Bm25Index, batchPostings: DataFrame): Bm25Index = {
-    val merged = old.postings.unionByName(batchPostings)
-    val ds = old.docStats.unionByName(docStats(batchPostings))
+    // upsert semantics (the S5 contract): a doc id present in the batch
+    // REPLACES its old postings/stats — re-ingesting a changed document
+    // must not double-count it in df/idf/avgdl. The anti-join keys on
+    // the batch's (bounded) doc-id set; for a disjoint batch it removes
+    // nothing and the merge degenerates to the pure union.
+    val batchDocs = batchPostings.select(col("id")).distinct()
+    val merged = old.postings.join(batchDocs, Seq("id"), "left_anti")
+      .unionByName(batchPostings)
+    val ds = old.docStats.join(batchDocs, Seq("id"), "left_anti")
+      .unionByName(docStats(batchPostings))
     val corpus = corpusStats(ds)
     Bm25Index(merged, ds, corpus, termIdf(merged, corpus))
   }

@@ -32,12 +32,15 @@ object BooleanQuery {
     */
   def query(p: DataFrame, must: Seq[String], should: Seq[String],
       mustNot: Seq[String]): DataFrame = {
+    // dedupe the ALL clause: postings are per distinct (doc, term), so a
+    // repeated must term would make countDistinct unreachable
+    val mustD = must.distinct
     var docs: DataFrame =
-      if (must.nonEmpty)
-        p.filter(col("term").isin(must: _*))
+      if (mustD.nonEmpty)
+        p.filter(col("term").isin(mustD: _*))
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("term")).as("_nt"))
-          .filter(col("_nt") === must.size)
+          .filter(col("_nt") === mustD.size)
           .select("doc_id")
       else p.select("doc_id").distinct()
     if (should.nonEmpty)

@@ -22,9 +22,9 @@ object Phrase {
 
   /** Positional postings (id, term, pos) — pos is 0-based token index. */
   def positionalPostings(docs: DataFrame, idCol: String,
-      tokens: Column => Column): DataFrame =
+      tokens: Column => Column, textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
 
   /** Docs containing the exact token sequence, with occurrence counts,

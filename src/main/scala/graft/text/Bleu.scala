@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Bleu {
 
-  /** Bigram array of a token array (positional, NOT distinct). */
+  /** Bigram array of a token array (positional, NOT distinct); empty
+    * for arrays of fewer than 2 tokens (an unguarded sequence(2, size)
+    * would descend and index out of bounds under ANSI mode).
+    */
   def bigrams(toks: Column): Column =
-    transform(sequence(lit(2), size(toks)),
-      i => concat_ws(" ", element_at(toks, i - 1), element_at(toks, i)))
+    when(size(toks) >= 2,
+      transform(sequence(lit(2), size(toks)),
+        i => concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))))
+      .otherwise(typedlit(Seq.empty[String]))
 
   /** Clipped matched count and total for one n-gram order. */
   private def precision(pairs: DataFrame, gramCol: String): DataFrame = {

@@ -28,6 +28,7 @@ object Bpe {
   /** (word, freq) types from a documents relation. */
   def wordTypes(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "") // empty-text docs tokenize to [""]
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Initial symbol sequences: one character per symbol. */

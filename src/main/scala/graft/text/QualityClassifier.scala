@@ -75,8 +75,14 @@ object QualityClassifier {
         sum(col("n") * col("w_micro")).cast("long").as("w_sum_micro"))
     val logit = (lit(biasMicro) + col("w_sum_micro") / col("n_features"))
       .cast("double") / 1000000.0
+    // fast-sigmoid squashing 1/2 + z/(2(1+|z|)) — monotone, symmetric,
+    // 0.5 at zero logit, and PURE IEEE arithmetic: exp's last-ulp
+    // behavior is not an engine-portable contract (the LogisticTrain
+    // rule applied to inference), so the oracle mirrors bit-for-bit
+    val score =
+      lit(0.5) + logit / (lit(2.0) * (lit(1.0) + abs(logit)))
     scored
-      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-logit)), 6))
+      .withColumn("score", round(score, 6))
       .withColumn("keep", col("score") >= threshold)
       .select(col("doc_id"), col("n_features"), col("w_sum_micro"),
         col("score"), col("keep"))

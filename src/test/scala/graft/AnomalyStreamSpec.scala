@@ -17,7 +17,7 @@ class AnomalyStreamSpec extends SparkSpec {
       ("b", 1L, 5L), ("b", 2L, 5L), ("b", 3L, 5L))
     val batch = graft.analyze.RollingStats
       .rollingZ(rows.toDF("key", "period", "value"), "key", "period",
-        "value", 3)
+        "value", 3, tieCol = "value")
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         ((r.getLong(3), r.getDouble(4), r.getDouble(5))))

@@ -76,4 +76,22 @@ class BatchSearchSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(mIdf == fIdf)
   }
+
+  test("mergeIndex upserts re-ingested docs instead of double-counting") {
+    // doc 2 re-ingested with new content: its old postings must vanish
+    val batch = Seq((2L, Seq("fresh", "content", "here")))
+      .toDF("id", "toks")
+    val merged = Bm25.mergeIndex(idx,
+      Bm25.postings(batch, "id", col("toks")))
+    val rebuilt = Bm25.buildIndex(Bm25.postings(
+      docs.filter(col("id") =!= 2L).unionByName(batch), "id", col("toks")))
+    assert(merged.docStats.filter(col("id") === 2L)
+      .head().getLong(1) == 3L) // new dl, not old+new
+    assert(merged.corpus.collect().toSeq == rebuilt.corpus.collect().toSeq)
+    val mIdf2 = merged.idf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rIdf2 = rebuilt.idf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mIdf2 == rIdf2)
+  }
 }

@@ -49,6 +49,13 @@ class BleuSpec extends SparkSpec {
     assert(Bleu.bleu2(df).count() == 0)
   }
 
+  test("bigrams of a short array is empty, not an ANSI index error") {
+    val out = Seq(Tuple1(Seq("solo")))
+      .toDF("t").select(Bleu.bigrams(col("t")).as("b"))
+      .collect()(0).getSeq[String](0)
+    assert(out.isEmpty)
+  }
+
   test("bigrams helper is positional, not distinct") {
     val out = Seq(Tuple1(Seq("x", "y", "x", "y")))
       .toDF("t").select(Bleu.bigrams(col("t")).as("b"))

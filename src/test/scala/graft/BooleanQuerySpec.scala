@@ -37,6 +37,10 @@ class BooleanQuerySpec extends SparkSpec {
     assert(ids(Nil) == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("duplicated must terms collapse instead of becoming unsatisfiable") {
+    assert(ids(Seq("spark", "spark", "join")) == Set(1L, 2L))
+  }
+
   test("term repetition within a doc does not double-count the ALL check") {
     val rep = Seq((9L, "spark spark spark")).toDF("doc_id", "text")
     val pr = BooleanQuery.postings(rep, "doc_id", "text")

@@ -6,7 +6,7 @@ class RollingStatsSpec extends SparkSpec {
   import spark.implicits._
 
   private def roll(rows: Seq[(String, Int, Long)], window: Int) =
-    RollingStats.rollingZ(rows.toDF("k", "t", "n"), "k", "t", "n", window)
+    RollingStats.rollingZ(rows.toDF("k", "t", "n"), "k", "t", "n", window, tieCol = "n")
       .collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
         ((r.getLong(3), r.getDouble(4), r.getDouble(5))))
