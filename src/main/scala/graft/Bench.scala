@@ -81,23 +81,35 @@ object Bench {
     // Kept OUT of "total"/"queries" — it measures scaling, not the
     // per-query baseline comparison.
     val stress =
-      if (sys.env.get("SPARK_GRAFT_STRESS").contains("0") || only.nonEmpty) "{}"
+      if (sys.env.get("SPARK_GRAFT_STRESS").contains("0"))
+        """{"skipped":"SPARK_GRAFT_STRESS=0"}"""
+      else if (only.nonEmpty) """{"skipped":"SPARK_GRAFT_ONLY set"}"""
       else {
         // drop the gate queries' persisted caches (dedup/IVF/ancestry
         // indexes) first: stress builds its own corpora, and measuring
         // it against a memory-starved session inflates variance
         spark.catalog.clearCache()
-        val res =
-          try Stress.runDefault(spark)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] stress failed: ${e.toString.take(200)}")
-            Seq.empty
-          }
-        res.map { case (k, v) => "\"" + k + "\":" + j3(v) }
+        // a stress failure must be VISIBLE in the artifact — an empty
+        // {} here once read as "stress silently not recorded" in a
+        // committed round artifact
+        try Stress.runDefault(spark)
+          .map { case (k, v) => "\"" + k + "\":" + j3(v) }
           .mkString("{", ",", "}")
+        catch { case e: Throwable =>
+          val msg = e.toString.replaceAll("\\s+", " ").take(160)
+          System.err.println(s"[bench] stress failed: $msg")
+          s"""{"error":${jstr(msg)}}"""
+        }
       }
 
     println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"stress":$stress,"sf":"$sfDir"}""")
+    // compact recap AFTER the full line: an aggressive tail capture of
+    // the driver's log keeps the headline numbers even if the full
+    // per-query map (156+ entries) gets truncated upstream
+    val slow = results.sortBy(-_._2).take(30)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + j3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","value":${j3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"top30":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,14 @@ object Stress {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
+  /** Min-of-2 for a single-shot stress measurement: one execution is a
+    * coin-flip against GC pauses / host contention (a recorded round
+    * once showed a 3× corpus "7× slower" than the 30× corpus — pure
+    * measurement inversion), while the min of two runs bounds the
+    * contamination the same way the main bench's median-of-3 does.
+    */
+  private def min2(f: => Double): Double = math.min(f, f)
+
   /** Synthetic corpus: n docs × 30 tokens drawn from a 10n-token vocab
     * via portable hashing; doc i ≡ 0 (mod 97) copies doc i-1's first 27
     * tokens (a near-dup).
@@ -388,10 +396,10 @@ object Stress {
     Seq(3, 30).flatMap { f =>
       val n = 5000L * f
       Seq(
-        s"x${f}_d3_dedup" -> dedupStress(spark, n)._1,
-        s"x${f}_bg1_bigram" -> bigramStress(spark, n)._1,
-        s"x${f}_pd1_paradedup" -> paraDedupStress(spark, n)._1,
-        s"x${f}_sa1_spans" -> spanStress(spark, n)._1)
+        s"x${f}_d3_dedup" -> min2(dedupStress(spark, n)._1),
+        s"x${f}_bg1_bigram" -> min2(bigramStress(spark, n)._1),
+        s"x${f}_pd1_paradedup" -> min2(paraDedupStress(spark, n)._1),
+        s"x${f}_sa1_spans" -> min2(spanStress(spark, n)._1))
     } ++ run(spark, Seq(10, 100), includeHeavyText = false)
 
   def run(spark: SparkSession, factors: Seq[Int],
@@ -400,21 +408,25 @@ object Stress {
       val docsN = 5000L * f
       val dedup =
         if (includeHeavyText)
-          Seq(s"x${f}_d3_dedup" -> dedupStress(spark, docsN)._1,
-            s"x${f}_bg1_bigram" -> bigramStress(spark, docsN)._1,
-            s"x${f}_pd1_paradedup" -> paraDedupStress(spark, docsN)._1,
-            s"x${f}_sa1_spans" -> spanStress(spark, docsN)._1)
+          Seq(s"x${f}_d3_dedup" -> min2(dedupStress(spark, docsN)._1),
+            s"x${f}_bg1_bigram" -> min2(bigramStress(spark, docsN)._1),
+            s"x${f}_pd1_paradedup" -> min2(paraDedupStress(spark, docsN)._1),
+            s"x${f}_sa1_spans" -> min2(spanStress(spark, docsN)._1))
         else Seq.empty
-      val (searchT, _) = batchSearchStress(spark, docsN)
-      val (linksT, _) = docLinksStress(spark, docsN)
-      val (walkT, _) = walkStress(spark, 10000L * f)
-      val (fullT, diffT) = diffKgStress(spark, 2000L * f)
-      val (lmT, _) = lmScoreStress(spark, docsN)
-      val (poolT, _) = poolStress(spark, docsN)
-      val (triT, _) = triangleStress(spark, 20000L * f)
-      val (phT, _) = phraseStress(spark, docsN)
-      val (fzT, _) = fuzzyStress(spark, 2000L * f)
-      val (kcT, _) = kcoreStress(spark, 10000L * f)
+      val searchT = min2(batchSearchStress(spark, docsN)._1)
+      val linksT = min2(docLinksStress(spark, docsN)._1)
+      val walkT = min2(walkStress(spark, 10000L * f)._1)
+      // component-wise min-of-2 (the full/diff pair shares one fixture
+      // build per call, so re-running the pair keeps them comparable)
+      val (fullA, diffA) = diffKgStress(spark, 2000L * f)
+      val (fullB, diffB) = diffKgStress(spark, 2000L * f)
+      val (fullT, diffT) = (math.min(fullA, fullB), math.min(diffA, diffB))
+      val lmT = min2(lmScoreStress(spark, docsN)._1)
+      val poolT = min2(poolStress(spark, docsN)._1)
+      val triT = min2(triangleStress(spark, 20000L * f)._1)
+      val phT = min2(phraseStress(spark, docsN)._1)
+      val fzT = min2(fuzzyStress(spark, 2000L * f)._1)
+      val kcT = min2(kcoreStress(spark, 10000L * f)._1)
       dedup ++ Seq(
         s"x${f}_hb1_batch" -> searchT,
         s"x${f}_j11_doclinks" -> linksT,

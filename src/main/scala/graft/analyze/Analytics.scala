@@ -54,12 +54,32 @@ object Analytics {
     * O(files·avg imports), metadata-scale even for huge repos; the
     * distributed part is the aggregation producing it.
     */
-  def importCycles(chunks: DataFrame, maxEdges: Int = 200000): Seq[Seq[String]] = {
-    val edges = chunks
+  def importCycles(chunks: DataFrame, maxEdges: Int = 200000): Seq[Seq[String]] =
+    importCyclesTruncated(chunks, maxEdges)._1
+
+  /** [[importCycles]] plus a `truncated` flag: true when the import
+    * graph exceeded `maxEdges` and the enumeration is therefore PARTIAL
+    * (also logged as a warning). The cap is a driver-memory guard; a
+    * bound result with no signal would silently under-report cycles on
+    * a huge monorepo — callers needing completeness at that scale use
+    * the distributed [[cyclicFiles]].
+    */
+  def importCyclesTruncated(chunks: DataFrame,
+      maxEdges: Int = 200000): (Seq[Seq[String]], Boolean) = {
+    // over-fetch by one so the cap binding is detectable without a
+    // separate count job
+    val fetched = chunks
       .select(col("file_path"), explode(col("imports")).as("module"))
       .distinct()
-      .limit(maxEdges)
+      .limit(maxEdges + 1)
       .collect()
+    val truncated = fetched.length > maxEdges
+    if (truncated)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"importCycles: import graph exceeds maxEdges=$maxEdges — " +
+          "cycle enumeration is PARTIAL; raise maxEdges or use the " +
+          "distributed cyclicFiles variant")
+    val edges = fetched.take(maxEdges)
       .map(r => (r.getString(0), r.getString(1)))
     val byModule = edges.groupBy(_._1.replaceAll(""".*/""", "")
       .replaceAll("""\.[a-z]+$""", ""))
@@ -80,7 +100,7 @@ object Analytics {
       color(file) = 2
     }
     adj.keys.toSeq.sorted.foreach(f => if (color.getOrElse(f, 0) == 0) dfs(f, List(f)))
-    cycles.toSeq
+    (cycles.toSeq, truncated)
   }
 
   /** A11 (distributed companion to `importCycles`): files participating
@@ -319,14 +339,29 @@ object Analytics {
         min(col("ts")).as("first_commit"),
         max(col("ts")).as("last_commit"))
 
-  /** A18 story phases: commits bucketed into fixed time windows with
-    * per-phase stats (`story/analyzer.py:417-594` semantics).
+  /** A18 story phases: commits bucketed into `nPhases` equal-count
+    * phases of the (ts, commit_hash) history order with per-phase stats
+    * (`story/analyzer.py:417-594` semantics).
+    *
+    * The 1-based global position comes from the distributed two-pass
+    * prefix sum over unit weights ([[graft.text.Sampling.globalRunningSum]]
+    * — the nt1 pattern), NOT from a `Window.orderBy` ntile: an
+    * unpartitioned window single-partitions the whole history through
+    * one task, which a 100× monorepo history (tens of millions of
+    * commits) cannot afford. The phase is then pure arithmetic on
+    * (pos, N): `((pos-1)·nPhases) div N + 1` — equal-count buckets
+    * differing by ≤1 commit (boundary placement can differ from SQL
+    * ntile's front-loading by one row; the oracle mirrors this formula).
     */
   def storyPhases(commits: DataFrame, nPhases: Int = 5): DataFrame = {
     // unique tiebreak: same-second commits must tile deterministically
-    val w = Window.orderBy(col("ts"), col("commit_hash"))
-    commits
-      .withColumn("phase", ntile(nPhases).over(w))
+    val pos = graft.text.Sampling.globalRunningSum(
+      commits.withColumn("one", lit(1)),
+      Seq(col("ts").asc, col("commit_hash").asc), "one")
+    val n = commits.agg(count(lit(1)).as("nn"))
+    pos.crossJoin(broadcast(n))
+      .withColumn("phase",
+        expr(s"cast(((cum - 1) * $nPhases) div nn as int) + 1"))
       .groupBy("phase")
       .agg(
         min("ts").as("phase_start"),

@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   * and the z-score is formed from those integers in double in one
   * expression: z = (n·x − Σx) / sqrt((n·Σx² − (Σx)²) · n/(n−1)),
   * rounded to 4. No engine-side stddev aggregate (whose accumulation
-  * order is not a portable contract) is involved.
+  * order is not a portable contract) is involved. The variance
+  * numerator×n product stays in the LONG domain until the final cast
+  * (mirrored byte-for-byte by `streaming.AnomalyStream.score`), so the
+  * exactness bound is varNum·n < 2^63 — |value| up to ~2^15 with
+  * window ≤ 64 stays exact; larger magnitudes overflow identically on
+  * both paths rather than drifting by an ulp between them.
   *
   * Scale shape: one window PARTITIONED BY KEY with a bounded ROWS
   * frame; no global state. Compose with [[graft.util.GapFill]] first

@@ -33,12 +33,27 @@ object Ivf {
     math.max(1, math.min(math.min(math.max(byRoot, 16), 512), math.max(byMin, 1)))
   }
 
+  /** Max rows the KMeans fit ever sees: centroid QUALITY saturates at a
+    * few hundred samples per centroid (k ≤ 512 ⇒ ≥256/centroid at the
+    * cap), while fitting on the full corpus would be maxIter complete
+    * passes over 100 TB — the reference's Lance backend likewise trains
+    * IVF on a sample and assigns the full set.
+    */
+  val FitSampleCap: Long = 131072L
+
   /** Build the index: assign every row to its nearest centroid.
     * Output `assigned` = corpus + cluster_id; `centroids` = (cluster_id,
     * centroid array<float>). Deterministic via fixed seed.
+    *
+    * The KMeans FIT runs over a deterministic hash-based sample of at
+    * most ~[[FitSampleCap]] rows (`hash60(id) % s == 0` — stable across
+    * partitionings and re-runs, unlike `df.sample`); the ASSIGNMENT
+    * below is always the full corpus through the portable argmin, so
+    * index contents are exact regardless of the sample.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      seed: Long = 42L, kOverride: Option[Int] = None): IvfIndex = {
+      seed: Long = 42L, kOverride: Option[Int] = None,
+      fitSampleCap: Long = FitSampleCap): IvfIndex = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val n = base.count()
     if (n < 4096 && kOverride.isEmpty) {
@@ -49,7 +64,8 @@ object Ivf {
       return IvfIndex(assigned, centroids, 1)
     }
     val k = kOverride.getOrElse(clusterCount(n))
-    val withFeatures = base.withColumn("features",
+    val fitInput = fitSample(base, n, fitSampleCap)
+    val withFeatures = fitInput.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("vec")))
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
@@ -73,6 +89,20 @@ object Ivf {
         col("m.cluster_id").as("cluster_id"))
     IvfIndex(assigned, centroids, k)
   }
+
+  /** The deterministic fit sample: every row whose portable id-hash
+    * lands in residue 0 of `mod = ceil(n / cap)` — ~cap rows, chosen by
+    * content (id), not by partition layout, so the fitted centroids are
+    * reproducible for a given corpus however it is stored or split.
+    */
+  private[graft] def fitSample(base: DataFrame, n: Long, cap: Long): DataFrame =
+    if (n <= cap) base
+    else {
+      val mod = (n + cap - 1) / cap
+      base.filter(
+        pmod(graft.functions.PortableHash.hash60(lit("ivf-fit"),
+          col("id").cast("string")), lit(mod)) === 0)
+    }
 
   /** Incremental index maintenance: assign a NEW batch to the EXISTING
     * centroid table (no refit — the ANN parallel of ic1's incremental

@@ -26,6 +26,13 @@ object FuzzyJoin {
     * lowest-distance left match (ties broken by lid), plus how many
     * candidates survived the threshold (an ER ambiguity signal).
     *
+    * Dirty rows whose block was DROPPED by the `maxBlock` skew guard
+    * get no output row here — indistinguishable from "no match within
+    * maxDist". Callers that must tell the two apart use
+    * [[blockedBestMatchFlagged]], which emits every dirty row with an
+    * explicit `blocked` verdict; this shape keeps the match-only
+    * output lean for the common pipeline case.
+    *
     * Blocking key = first `blockLen` chars, plus the last `suffixLen`
     * chars when `suffixLen` > 0. Prefix-only blocking is right for
     * end-truncated dirt; prefix+suffix blocking — the standard
@@ -66,5 +73,36 @@ object FuzzyJoin {
       .filter(col("rk") === 1)
       .select(col("rid"), col("lid"), col("dist"),
         col("n_cands").cast("long").as("n_cands"))
+  }
+
+  /** [[blockedBestMatch]] with one row per DIRTY input row, so dropped
+    * blocks are visible instead of silent: matched rows carry their
+    * best match and `blocked = false`; rows whose block exceeded
+    * `maxBlock` carry null lid/dist and `blocked = true`; rows whose
+    * block survived but had no candidate within `maxDist` carry null
+    * lid/dist and `blocked = false` (a genuine no-match). One extra
+    * left join against the (already computed) block verdict + the
+    * match result — both keyed joins, no new shuffles of the catalog.
+    */
+  def blockedBestMatchFlagged(left: DataFrame, right: DataFrame,
+      blockLen: Int = 2, maxDist: Int = 2,
+      maxBlock: Int = 100000, suffixLen: Int = 0): DataFrame = {
+    def bk(name: org.apache.spark.sql.Column) =
+      if (suffixLen > 0)
+        concat(substring(name, 1, blockLen),
+          substring(name, -suffixLen, suffixLen))
+      else substring(name, 1, blockLen)
+    val matches = blockedBestMatch(left, right, blockLen, maxDist,
+      maxBlock, suffixLen)
+    val oversize = left.select(bk(col("name")).as("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBlock)
+      .select(col("bk"), lit(true).as("blocked"))
+    right.select(col("rid"), bk(col("name")).as("bk"))
+      .join(oversize, Seq("bk"), "left")
+      .withColumn("blocked", coalesce(col("blocked"), lit(false)))
+      .join(matches, Seq("rid"), "left")
+      .select(col("rid"), col("lid"), col("dist"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"), col("blocked"))
   }
 }

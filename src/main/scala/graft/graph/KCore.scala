@@ -35,15 +35,18 @@ object KCore {
       .filter(col("a") =!= col("b"))
       .distinct()
 
-  /** The k-core subgraph's nodes: every returned node has degree ≥ k
-    * within the returned set. Output: (node, deg) with deg = degree
-    * inside the k-core.
-    *
-    * @param maxRounds safety bound on peel rounds (early exit fires
-    *                  first on any real graph).
+  /** Peel `e0` to the k-core fixpoint: repeatedly drop nodes whose
+    * degree in the surviving edge set is < k. Throws
+    * [[IllegalStateException]] if `maxRounds` is exhausted before the
+    * fixpoint — a silent bail would return nodes that violate the
+    * degree ≥ k invariant (the same refuse-to-emit contract as
+    * `Dedup.resolveClustersStar`). Peel depth is bounded by the graph's
+    * degeneracy-cascade length: chain/tree shapes cascade ~diameter/2
+    * rounds, so deep sparse graphs need a larger `maxRounds` (the
+    * throw tells the caller that, instead of handing back a wrong set).
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
-    var e = canonical(edges).localCheckpoint(eager = true)
+  private def peel(e0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var e = e0
     var round = 0
     var shrinking = true
     while (shrinking && round < maxRounds) {
@@ -61,6 +64,23 @@ object KCore {
       e = e2
       round += 1
     }
+    if (shrinking)
+      throw new IllegalStateException(
+        s"k-core peel (k=$k) did not reach its fixpoint in $maxRounds " +
+          "rounds — raise maxRounds for deep (chain/tree-shaped) cascades")
+    e
+  }
+
+  /** The k-core subgraph's nodes: every returned node has degree ≥ k
+    * within the returned set. Output: (node, deg) with deg = degree
+    * inside the k-core.
+    *
+    * @param maxRounds bound on peel rounds; exhausting it THROWS rather
+    *                  than returning a non-fixpoint (invariant-violating)
+    *                  node set.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    val e = peel(canonical(edges).localCheckpoint(eager = true), k, maxRounds)
     e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
@@ -72,8 +92,13 @@ object KCore {
     * (k+1)-core is peeled from the k-core's edges, so total work is the
     * sum of the (shrinking) core sizes — not kMax full passes over the
     * input.
+    *
+    * @param maxRounds per-level bound on the inner peel loop (shared
+    *                  [[peel]] semantics: exhausting it throws instead
+    *                  of emitting a wrong decomposition).
     */
-  def coreness(edges: DataFrame, kMax: Int = 64): DataFrame = {
+  def coreness(edges: DataFrame, kMax: Int = 64,
+      maxRounds: Int = 100): DataFrame = {
     var e = canonical(edges).localCheckpoint(eager = true)
     var acc = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
@@ -84,19 +109,7 @@ object KCore {
     var nonEmpty = e.limit(1).count() > 0
     while (nonEmpty && k <= kMax) {
       // peel the k-core out of the (k-1)-core's surviving edges
-      var shrinking = true
-      while (shrinking) {
-        val deg = e.select(col("a").as("node"))
-          .unionByName(e.select(col("b").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        val survivors = deg.filter(col("deg") >= k).select(col("node"))
-        val e2 = e
-          .join(survivors.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-          .join(survivors.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .localCheckpoint(eager = true)
-        shrinking = e2.count() < e.count()
-        e = e2
-      }
+      e = peel(e, k, maxRounds)
       nonEmpty = e.limit(1).count() > 0
       if (nonEmpty) {
         val inCore = e.select(col("a").as("node"))

@@ -25,6 +25,13 @@ object ShortestPath {
   /** Min cost from `source` to every reachable node. edges: (src, dst,
     * w) with non-negative integer weights; parallel edges collapse to
     * their min. Output: (node, cost).
+    *
+    * Throws [[IllegalStateException]] if `maxRounds` relaxation rounds
+    * pass without reaching the fixpoint: Bellman-Ford needs up to the
+    * shortest-path tree's hop depth (≤ |V|−1) rounds, so a deep graph
+    * that exhausts the budget would otherwise silently return
+    * overestimated or missing distances. Raise `maxRounds` (2^64-deep
+    * trees don't exist; 64 covers any graph whose SP-tree depth ≤ 64).
     */
   def fromSource(edges: DataFrame, source: Long,
       maxRounds: Int = 64): DataFrame = {
@@ -60,6 +67,15 @@ object ShortestPath {
       dist = relaxed
       round += 1
     }
+    // refuse to emit non-converged distances: the fingerprint is
+    // monotone (node count grows, cost sum only changes while any cost
+    // improves), so improving==true here means the last round still
+    // changed something — costs may be overestimates and deep nodes
+    // may be missing entirely
+    if (improving)
+      throw new IllegalStateException(
+        s"shortest-path relaxation did not converge in $maxRounds " +
+          "rounds — the SP-tree is deeper than the budget; raise maxRounds")
     dist.select(col("node"), col("cost").cast("long").as("cost"))
   }
 }

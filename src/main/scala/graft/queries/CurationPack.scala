@@ -379,13 +379,14 @@ object CurationPack {
         |    p_name || ' #' || (p_partkey % 50) AS name FROM part),
         |l AS (SELECT p_partkey AS lid, name AS lname,
         |    substr(name, 1, 2) || right(name, 2) AS bk FROM base),
+        |bs AS (SELECT bk FROM l GROUP BY bk HAVING count(*) <= 100000),
         |r AS (SELECT p_partkey + 100000 AS rid,
         |    substr(name, 1, 2) || substr(name, 4) AS rname,
         |    substr(name, 1, 2) || right(name, 2) AS bk
         |  FROM base WHERE p_partkey % 4 = 0),
         |cand AS (SELECT r.rid, l.lid,
         |    levenshtein(l.lname, r.rname) AS dist
-        |  FROM r JOIN l USING (bk)
+        |  FROM r JOIN bs USING (bk) JOIN l USING (bk)
         |  WHERE levenshtein(l.lname, r.rname) <= 2),
         |rk AS (SELECT rid, lid, dist,
         |    row_number() OVER (PARTITION BY rid ORDER BY dist, lid) AS rk,

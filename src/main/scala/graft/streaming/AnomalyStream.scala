@@ -32,6 +32,15 @@ object AnomalyStream {
 
   /** The shared batch/stream z formula over the trailing frame
     * (INCLUDING x itself, matching the batch ROWS frame).
+    *
+    * The denominator replicates the batch expression ORDER exactly —
+    * `(varNum * c)` as an exact long product, THEN the double cast —
+    * because `varNum.toDouble * c` can differ by an ulp at the round-4
+    * boundary once varNum·c exceeds 2^53, breaking the documented
+    * byte-equal stream≡batch contract. Consequence of the long product:
+    * both paths overflow (identically) once varNum·c exceeds 2^63 —
+    * values |x| up to ~2^15 with window ≤ 64 stay exact; the contract
+    * is byte-equality with `RollingStats.rollingZ`, not wider range.
     */
   def score(key: String, period: Long, x: Long, frame: Seq[Long]): Scored = {
     val c = frame.length.toLong
@@ -43,7 +52,7 @@ object AnomalyStream {
     val z =
       if (c >= 2 && varNum > 0)
         BigDecimal((x * c - s1).toDouble /
-            math.sqrt(varNum.toDouble * c / (c - 1)))
+            math.sqrt((varNum * c).toDouble / (c - 1)))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       else 0.0
     Scored(key, period, x, c, mean, z)

@@ -51,6 +51,14 @@ object QualityClassifier {
   /** Score docs against a weight relation: (doc_id, n_features,
     * logit_micro, score, keep). logit = bias + mean(feature weights);
     * keep = score ≥ threshold.
+    *
+    * CALIBRATION: `score` is FAST-SIGMOID-squashed — 1/2 + z/(2(1+|z|))
+    * — not a logistic probability. The two agree in ordering and at the
+    * 0.5 decision point exactly, but differ elsewhere (logit 1 scores
+    * 0.75 here vs 0.731 logistic), so a `threshold` other than 0.5 is
+    * NOT comparable to a logistic-calibrated cutoff (or to any score
+    * produced before this squashing was adopted) — recalibrate
+    * thresholds against this scale.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int, biasMicro: Long = 0L,

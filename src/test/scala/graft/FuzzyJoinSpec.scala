@@ -54,4 +54,26 @@ class FuzzyJoinSpec extends SparkSpec {
     val kept = matchUp(clean, Seq(10L -> "aa item 1"), maxBlock = 10)
     assert(kept(10L)._1 == 1L && kept(10L)._2 == 0)
   }
+
+  test("flagged variant separates dropped-block rows from genuine no-matches") {
+    // block "aa" has 5 members (> maxBlock=3) → dropped; block "zz" has
+    // 1 member but the dirty row is 4 edits away → genuine no-match;
+    // block "bb" matches normally
+    val clean = (1L to 5L).map(i => i -> s"aa item $i") ++
+      Seq(20L -> "zz gadget", 30L -> "bb widget")
+    val dirty = Seq(
+      10L -> "aa item 1",   // in the dropped block
+      11L -> "zz aaaaaa",   // block survives, no candidate within dist 2
+      12L -> "bb widgex")   // matches 30 at dist 1
+    val out = FuzzyJoin.blockedBestMatchFlagged(
+        clean.toDF("lid", "name"), dirty.toDF("rid", "name"),
+        blockLen = 2, maxDist = 2, maxBlock = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size == 3)
+    assert(out(10L) == ((None, 0L, true)))   // blocked, visibly
+    assert(out(11L) == ((None, 0L, false)))  // real no-match
+    assert(out(12L) == ((Some(30L), 1L, false)))
+  }
 }

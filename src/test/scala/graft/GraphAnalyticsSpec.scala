@@ -185,5 +185,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(edges.length == 3)
     val phases = Analytics.storyPhases(commits.toDF(), nPhases = 2).collect()
     assert(phases.map(_.getAs[Long]("n_commits")).sum == 3)
+    // equal-count tiling in (ts, hash) order: 2 phases of 3 commits
+    // split 2/1, earliest phase first
+    val byPhase = phases.map(r =>
+      r.getAs[Int]("phase") -> r.getAs[Long]("n_commits")).toMap
+    assert(byPhase == Map(1 -> 2L, 2 -> 1L))
+  }
+
+  test("importCycles surfaces edge-cap truncation instead of silently " +
+      "reporting partial cycles") {
+    val ch = Seq(
+      ("src/a.py", Seq("b")), ("src/b.py", Seq("c")),
+      ("src/c.py", Seq("a")), ("src/d.py", Seq("a")),
+      ("src/e.py", Seq("numpy"))
+    ).toDF("file_path", "imports")
+    val (_, truncated) = Analytics.importCyclesTruncated(ch, maxEdges = 3)
+    assert(truncated)
+    val (cycles, full) = Analytics.importCyclesTruncated(ch, maxEdges = 100)
+    assert(!full)
+    assert(cycles.nonEmpty) // the a→b→c→a ring is found when unclipped
   }
 }

@@ -103,6 +103,36 @@ class IvfSpec extends SparkSpec {
     assert(combined == fresh)
   }
 
+  test("KMeans fit reads a capped deterministic sample, never the full corpus") {
+    val corpus = clusteredCorpus(600).cache() // 4800 rows
+    val base = corpus.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = base.count()
+    // cap binds: ~n/mod rows with mod = ceil(n/cap), chosen by id hash
+    val s = Ivf.fitSample(base, n, 1000L)
+    val sn = s.count()
+    assert(sn < n && sn > 300, s"sample $sn of $n")
+    // content-addressed, not layout-addressed: identical row set under a
+    // different partitioning
+    val reparted = Ivf.fitSample(base.repartition(17), n, 1000L)
+      .select("id").as[Long].collect().toSet
+    assert(reparted == s.select("id").as[Long].collect().toSet)
+    // cap above n is the identity
+    assert(Ivf.fitSample(base, n, n + 1).count() == n)
+    // and a sampled fit still recovers the separated clusters: recall
+    // vs brute force stays exact-search-grade
+    val queries = corpus.filter(col("vec_id").isin(5L, 1200L, 3000L))
+    val idx = Ivf.build(corpus, "vec_id", "embedding",
+      kOverride = Some(8), fitSampleCap = 1000L)
+    val brute = Knn.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.topK(idx, queries, "vec_id", "embedding", 10, nprobes = 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(idx.assigned.count() == n) // assignment is ALWAYS full-corpus
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall with sampled fit")
+  }
+
   test("sign-LSH multi-probe recall beats single-probe") {
     val corpus = clusteredCorpus(200).cache()
     val queries = corpus.filter(col("vec_id").isin(5L, 400L, 900L))

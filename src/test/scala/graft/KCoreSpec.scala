@@ -38,6 +38,30 @@ class KCoreSpec extends SparkSpec {
     assert(core(noisy, 3).keySet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("a 1000-node chain trips the round cap LOUDLY, not with a wrong core") {
+    // peel depth on a chain is ~n/2 (each round removes only the two
+    // current endpoints), so a small budget cannot reach the fixpoint;
+    // the contract is to throw — a silent bail would return interior
+    // nodes that violate the degree>=2 invariant
+    val chain = (0L until 999L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      KCore.kCore(chain.toDF("a", "b"), 2, maxRounds = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+  }
+
+  test("coreness inner peel is capped and throws on deep cascades") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      KCore.coreness(chain.toDF("a", "b"), kMax = 4, maxRounds = 3).collect()
+    }
+    // with budget ≥ the cascade depth the same graph resolves: a chain
+    // is pure 1-core
+    val ok = KCore.coreness(chain.toDF("a", "b"), kMax = 4, maxRounds = 30)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ok.values.forall(_ == 1) && ok.size == 41)
+  }
+
   test("coreness: K4 + pendant + separate cycle") {
     val g = k4 ++ Seq((3L, 10L)) ++ Seq((20L, 21L), (21L, 22L), (22L, 20L))
     val out = KCore.coreness(g.toDF("a", "b"), kMax = 8)

@@ -31,6 +31,19 @@ class ShortestPathSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
 
+  test("a tree deeper than the round budget throws instead of returning " +
+      "overestimated or missing distances") {
+    val chain = (0L until 10L).map(i => (i, i + 1, 1L))
+    val ex = intercept[IllegalStateException] {
+      ShortestPath.fromSource(chain.toDF("src", "dst", "w"), 0L, maxRounds = 3)
+        .collect()
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+    // the same graph under a sufficient budget converges exactly
+    val ok = sp(chain, 0L)
+    assert(ok(10L) == 10L && ok.size == 11)
+  }
+
   test("gate fixture fixpoints within the oracle's 12 rounds") {
     val raw = (0L until 500L).flatMap { d =>
       val r = d % 60
