@@ -96,6 +96,13 @@ object Audit {
   def routeClaims(claims: DataFrame): DataFrame = {
     val spark = claims.sparkSession
     import spark.implicits._
+    // The claim relation feeds three legs (strategy join, keyword
+    // interpolation, fallback anti-join) without CSE — deliberately NOT
+    // materialized here: claims are metadata-scale and the legs run
+    // concurrently inside one job, so an eager checkpoint's scheduling
+    // barrier costs more than the duplicated derivation (bench-measured
+    // +0.3 s at sf0.1). Callers with an EXPENSIVE claim derivation
+    // should checkpoint before calling.
     val strat = broadcast(Strategies.toDF())
     val tmpl = broadcast(KeywordTemplates.toDF("category", "template"))
     val known = claims.join(strat, Seq("category"))

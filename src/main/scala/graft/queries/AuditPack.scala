@@ -42,16 +42,22 @@ object AuditPack {
   private def tokenizeSql(e: String): String =
     s"list_filter(${TextFunctions.tokensSql(e)}, t -> NOT regexp_matches(t, '^[0-9]+$$'))"
 
-  /** Claims fixture: 7 claims cycling through all categories. */
+  /** Claims fixture: 7 claims cycling through all categories. The
+    * distinct runs on the narrow int key BEFORE the string/array
+    * columns are derived — a distinct over derived array columns would
+    * hash the arrays corpus-wide for the same 7 rows.
+    */
   private def claims(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cid = (col("doc_id") % 7).cast("int")
-    Tables.documents(s, d).select(
-      concat(lit("c"), cid).as("claim_id"),
-      element_at(typedlit(Categories), cid + 1).as("category"),
-      concat(lit("table merge policy data "), cid).as("normalized"),
-      when(cid % 2 === 0, typedlit(KwEven)).otherwise(typedlit(KwOdd))
-        .as("keywords")).distinct()
+    val cid = col("cid")
+    Tables.documents(s, d)
+      .select((col("doc_id") % 7).cast("int").as("cid")).distinct()
+      .select(
+        concat(lit("c"), cid).as("claim_id"),
+        element_at(typedlit(Categories), cid + 1).as("category"),
+        concat(lit("table merge policy data "), cid).as("normalized"),
+        when(cid % 2 === 0, typedlit(KwEven)).otherwise(typedlit(KwOdd))
+          .as("keywords"))
   }
 
   private val claimsSql = {

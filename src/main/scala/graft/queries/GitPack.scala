@@ -159,6 +159,24 @@ object GitPack {
         .orderBy(col("quality_score").desc, col("author"))
     }),
 
+    // A18 story phases: the commit log (one row per commit derived from
+    // the change log) tiled into 5 equal-count phases of history order
+    // by the two-pass prefix-sum rank — no unpartitioned ntile window —
+    // with per-phase span/commit/author/file stats.
+    "a18_story_phases" -> ((s, d) => {
+      val commits = changesTable(s, d).groupBy(col("commit_hash"))
+        .agg(min(col("author")).as("author"), min(col("ts")).as("ts"),
+          countDistinct(col("file_path")).cast("int").as("files_changed"))
+      graft.analyze.Analytics.storyPhases(commits, nPhases = 5)
+        .select(col("phase"),
+          unix_timestamp(col("phase_start")).as("phase_start"),
+          unix_timestamp(col("phase_end")).as("phase_end"),
+          col("n_commits").cast("long").as("n_commits"),
+          col("n_authors").cast("long").as("n_authors"),
+          col("files_changed").cast("long").as("files_changed"))
+        .orderBy(col("phase"))
+    }),
+
     // Issues story source (story/extractor.py:452-530): gh-CLI-shaped
     // JSON payloads parsed through the explicit schema, rolled into
     // per-state stats. The oracle computes the same stats from the
@@ -339,6 +357,25 @@ object GitPack {
          |FROM base b LEFT JOIN owned o USING (author)
          |  LEFT JOIN fx f USING (author)
          |ORDER BY quality_score DESC, author""".stripMargin,
+
+    "a18_story_phases" ->
+      s"""WITH $changesCte,
+         |commits AS (SELECT commit_hash, min(author) AS author,
+         |    min(ts) AS ts, count(DISTINCT file_path) AS files_changed
+         |  FROM changes GROUP BY commit_hash),
+         |r AS (SELECT commit_hash, author, ts, files_changed,
+         |    row_number() OVER (ORDER BY ts, commit_hash) AS rn,
+         |    (SELECT count(*) FROM commits) AS nn
+         |  FROM commits),
+         |p AS (SELECT CAST(((rn - 1) * 5) // nn AS INTEGER) + 1 AS phase,
+         |    author, ts, files_changed FROM r)
+         |SELECT phase,
+         |  CAST(floor(epoch(min(ts))) AS BIGINT) AS phase_start,
+         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS phase_end,
+         |  CAST(count(*) AS BIGINT) AS n_commits,
+         |  CAST(count(DISTINCT author) AS BIGINT) AS n_authors,
+         |  CAST(sum(files_changed) AS BIGINT) AS files_changed
+         |FROM p GROUP BY phase ORDER BY phase""".stripMargin,
 
     "gh1_issue_stats" ->
       """WITH ks AS (SELECT DISTINCT CAST(doc_id % 40 AS INTEGER) AS k
