@@ -22,8 +22,25 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** orders/lineitem drift pins: the driver has regenerated testdata
+    * with changed physical types twice (events.ts nanos→micros,
+    * documents int32 ids); the remaining drift-prone columns here are
+    * the dates (shipped timestamp[us] today — a pandas/arrow change
+    * could ship date32) and the money columns (shipped double — could
+    * ship decimal). Normalize to the types every gate and oracle was
+    * written against so a third regeneration is a no-op: dates →
+    * TIMESTAMP_NTZ (today's read type; date32 casts to midnight, =
+    * DuckDB CAST(DATE AS TIMESTAMP)), money → DoubleType (exact for
+    * 2-dp decimals in range), keys → long, linenumber → int.
+    */
+  def orders(s: SparkSession, d: String): DataFrame =
+    pinTimestamp(pinDouble(pinLong(apply(s, d, "orders"),
+      "o_orderkey", "o_custkey"), "o_totalprice"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    pinTimestamp(pinInt(pinDouble(pinLong(apply(s, d, "lineitem"),
+      "l_orderkey", "l_partkey", "l_suppkey"),
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      "l_linenumber"), "l_shipdate")
   /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
     * Spark's vectorized reader only surfaces as a nanos-since-epoch long
     * under `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS)
@@ -64,6 +81,50 @@ object Tables {
       if (acc.schema.fieldNames.contains(c) &&
           acc.schema(c).dataType != LongType)
         acc.withColumn(c, col(c).cast(LongType))
+      else acc
+    }
+  }
+
+  /** Pin a date-ish column to TIMESTAMP_NTZ — the type these columns
+    * read as TODAY (parquet timestamp[us] with isAdjustedToUTC=false)
+    * and hence the type every relational gate and oracle was written
+    * against, so the pin is a pass-through on current testdata. A
+    * regenerated date32 or UTC-adjusted timestamp casts back
+    * value-preservingly under the UTC session. (events.ts is the one
+    * deliberate exception: it normalizes to session-TZ TimestampType,
+    * the type ITS gates were written against.)
+    */
+  private def pinTimestamp(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    cols.foldLeft(df) { (acc, c) =>
+      if (acc.schema.fieldNames.contains(c) &&
+          acc.schema(c).dataType != TimestampNTZType)
+        acc.withColumn(c, col(c).cast(TimestampNTZType))
+      else acc
+    }
+  }
+
+  /** Pin a money/measure column to DoubleType (decimal drift guard). */
+  private def pinDouble(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    cols.foldLeft(df) { (acc, c) =>
+      if (acc.schema.fieldNames.contains(c) &&
+          acc.schema(c).dataType != DoubleType)
+        acc.withColumn(c, col(c).cast(DoubleType))
+      else acc
+    }
+  }
+
+  /** Pin a narrow ordinal column to IntegerType. */
+  private def pinInt(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    cols.foldLeft(df) { (acc, c) =>
+      if (acc.schema.fieldNames.contains(c) &&
+          acc.schema(c).dataType != IntegerType)
+        acc.withColumn(c, col(c).cast(IntegerType))
       else acc
     }
   }

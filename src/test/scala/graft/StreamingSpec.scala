@@ -261,6 +261,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Tables.orders pins date32 dates and decimal money back to " +
+      "timestamp/double") {
+    withTempDir { dir =>
+      val p = dir.resolve("ord").toString
+      Seq((1, "O", 1234.56, "2024-01-05"), (2, "F", 99.99, "2024-02-01"))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+        .withColumn("o_totalprice",
+          col("o_totalprice").cast("decimal(12,2)"))
+        .write.parquet(s"$p/orders.parquet")
+      val df = graft.tables.Tables.orders(spark, p)
+      import org.apache.spark.sql.types._
+      assert(df.schema("o_orderkey").dataType == LongType)
+      assert(df.schema("o_orderdate").dataType == TimestampNTZType)
+      assert(df.schema("o_totalprice").dataType == DoubleType)
+      val r = df.orderBy("o_orderkey").collect()
+      assert(r.map(_.getDouble(2)).toSeq == Seq(1234.56, 99.99))
+      // midnight, same as DuckDB CAST(DATE AS TIMESTAMP)
+      assert(r.head.getAs[java.time.LocalDateTime]("o_orderdate") ==
+        java.time.LocalDateTime.of(2024, 1, 5, 0, 0))
+    }
+  }
+
+  test("Tables.lineitem pins drifted physical types back to the gate schema") {
+    withTempDir { dir =>
+      val p = dir.resolve("li").toString
+      Seq((7L, 3L, 12.0, 1001.50, "2024-03-01"))
+        .toDF("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_shipdate")
+        .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+        .withColumn("l_quantity", col("l_quantity").cast("decimal(12,2)"))
+        .write.parquet(s"$p/lineitem.parquet")
+      val df = graft.tables.Tables.lineitem(spark, p)
+      import org.apache.spark.sql.types._
+      assert(df.schema("l_linenumber").dataType == IntegerType)
+      assert(df.schema("l_quantity").dataType == DoubleType)
+      assert(df.schema("l_extendedprice").dataType == DoubleType)
+      assert(df.schema("l_shipdate").dataType == TimestampNTZType)
+      val r = df.head()
+      assert(r.getAs[Double]("l_quantity") == 12.0)
+      assert(r.getAs[Int]("l_linenumber") == 3)
+    }
+  }
+
   test("Tables.documents pins int32 ids back to long") {
     withTempDir { dir =>
       val p = dir.resolve("docs").toString
