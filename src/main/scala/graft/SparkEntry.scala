@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsPack, AuditPack, CurationPack, GitPack, GraphPack, IndexPack, MultimodalPack, RelationalPack, SearchPack, TextDedupPack}
+import graft.queries.{AnalyticsPack, AuditPack, ChunkPack, CurationPack, GitPack, GraphPack, IndexPack, MultimodalPack, RelationalPack, SearchPack, TextDedupPack}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,11 +21,11 @@ object SparkEntry {
     RelationalPack.queries ++ TextDedupPack.queries ++ SearchPack.queries ++
       GraphPack.queries ++ GitPack.queries ++ AnalyticsPack.queries ++
       AuditPack.queries ++ MultimodalPack.queries ++ IndexPack.queries ++
-      CurationPack.queries
+      CurationPack.queries ++ ChunkPack.queries
 
   def oracleSql: Map[String, String] =
     RelationalPack.oracles ++ TextDedupPack.oracles ++ SearchPack.oracles ++
       GraphPack.oracles ++ GitPack.oracles ++ AnalyticsPack.oracles ++
       AuditPack.oracles ++ MultimodalPack.oracles ++ IndexPack.oracles ++
-      CurationPack.oracles
+      CurationPack.oracles ++ ChunkPack.oracles
 }

@@ -35,7 +35,8 @@ object Chunker {
     "match", "catch", "except", "try", "finally", "with", "def", "class",
     "function", "lambda", "yield", "await", "async", "new", "print",
     "super", "this", "self", "import", "from", "in", "not", "and", "or",
-    "assert", "raise", "throw", "when", "do", "val", "var", "let", "const")
+    "assert", "raise", "throw", "when", "do", "val", "var", "let", "const",
+    "func", "fn", "defer")
 
   def sha256Hex(s: String): String =
     MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
