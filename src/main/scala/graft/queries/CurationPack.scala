@@ -152,6 +152,24 @@ object CurationPack {
         .orderBy(col("k"), col("day"))
     }),
 
+    // Repo-level source concatenation (StarCoder/The-Stack-style code
+    // corpus assembly): every repo's files joined into one training
+    // document in deterministic (path, id) order with path headers;
+    // byte-losslessness proven via sha256 of the concatenation. One
+    // repo-keyed hash aggregate, per-group state bounded by repo size.
+    "rl1_repo_concat" -> ((s, d) => {
+      val files = Tables.documents(s, d).select(
+        concat(lit("r"), col("doc_id") % 25).as("repo"),
+        concat(lit("p"), lpad(col("doc_id").cast("string"), 6, "0"))
+          .as("path"),
+        col("doc_id").as("id"), col("text").as("body"))
+      graft.text.RepoAssembly.concatRepos(files, "repo", "path", "id",
+          "body")
+        .select(col("repo"), col("n_files"), col("n_chars"),
+          col("doc_sha"))
+        .orderBy(col("repo"))
+    }),
+
     // Blocked fuzzy entity resolution: a dirty feed (3rd char deleted
     // from every 4th part's display name) matched to the clean catalog
     // by levenshtein within two-sided (2-char prefix + 2-char suffix)
@@ -373,6 +391,20 @@ object CurationPack {
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM bkt GROUP BY zbucket ORDER BY zbucket""".stripMargin
     },
+
+    "rl1_repo_concat" ->
+      """WITH f AS (SELECT 'r' || (doc_id % 25) AS repo,
+        |    'p' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS path,
+        |    doc_id AS id, text AS body
+        |  FROM documents),
+        |c AS (SELECT repo, count(*) AS n_files,
+        |    string_agg('<file: ' || path || '>' || chr(10) || body,
+        |      chr(10) || chr(10) ORDER BY path, id) AS doc
+        |  FROM f GROUP BY repo)
+        |SELECT repo, CAST(n_files AS INTEGER) AS n_files,
+        |  CAST(length(doc) AS INTEGER) AS n_chars,
+        |  sha256(doc) AS doc_sha
+        |FROM c ORDER BY repo""".stripMargin,
 
     "er1_fuzzy_match" ->
       """WITH base AS (SELECT p_partkey,

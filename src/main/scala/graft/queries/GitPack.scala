@@ -159,6 +159,48 @@ object GitPack {
         .orderBy(col("quality_score").desc, col("author"))
     }),
 
+    // S10 git-log source: `git log --pretty=format:@%H|%P|%an|%at
+    // --numstat` raw text synthesized per repo residue (variable commit
+    // counts, root commits with empty %P, merge commits with two
+    // parents, multi-file numstat blocks), parsed by GitLog.parse and
+    // rolled up per repo. The oracle recomputes every stat from the
+    // generator arithmetic — the parser (block split, numstat filter,
+    // parent-list split) is what's under test, end to end (the gh1
+    // pattern applied to the git source).
+    "s10_git_log" -> ((s, d) => {
+      import s.implicits._
+      val ks = Tables.documents(s, d)
+        .select((col("doc_id") % 30).cast("int").as("k")).distinct().as[Int]
+      val commits = ks.flatMap { k =>
+        val n = (k % 5) + 2
+        val raw = (0 until n).map { i =>
+          val parents =
+            if (i == 0) ""
+            else s"c${k}_${i - 1}" +
+              (if (i % 3 == 0 && i > 1) s" c${k}_${i - 2}" else "")
+          val stats = (0 to i % 3).map(j => s"${j + k}\t$j\tf$j.py")
+            .mkString("\n")
+          s"@c${k}_$i|$parents|u${i % 3}|${1700000000L + k * 1000 + i * 10}\n$stats\n"
+        }.mkString
+        graft.ingest.GitLog.parse(raw).map(c => (k, c.commit_hash,
+          c.ts.getTime / 1000, c.files_changed, c.insertions,
+          c.deletions, c.parents.length))
+      }.toDF("k", "commit_hash", "epoch", "files_changed", "insertions",
+        "deletions", "n_parents")
+      commits.groupBy(col("k")).agg(
+        count(lit(1)).as("n_commits"),
+        sum(col("files_changed")).cast("long").as("files_changed"),
+        sum(col("insertions")).cast("long").as("insertions"),
+        sum(col("deletions")).cast("long").as("deletions"),
+        sum(when(col("n_parents") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_merges"),
+        sum(when(col("n_parents") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_roots"),
+        min(col("epoch")).as("first_ts"),
+        max(col("epoch")).as("last_ts"))
+        .orderBy(col("k"))
+    }),
+
     // A18 story phases: the commit log (one row per commit derived from
     // the change log) tiled into 5 equal-count phases of history order
     // by the two-pass prefix-sum rank — no unpartitioned ntile window —
@@ -357,6 +399,25 @@ object GitPack {
          |FROM base b LEFT JOIN owned o USING (author)
          |  LEFT JOIN fx f USING (author)
          |ORDER BY quality_score DESC, author""".stripMargin,
+
+    "s10_git_log" ->
+      """WITH ks AS (SELECT DISTINCT CAST(doc_id % 30 AS INTEGER) AS k
+        |  FROM documents),
+        |ci AS (SELECT k, unnest(generate_series(0, (k % 5) + 1)) AS i
+        |  FROM ks),
+        |agg AS (SELECT k, i, i % 3 AS m FROM ci)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_commits,
+        |  CAST(sum(m + 1) AS BIGINT) AS files_changed,
+        |  CAST(sum((m + 1) * k + (m * (m + 1)) // 2) AS BIGINT)
+        |    AS insertions,
+        |  CAST(sum((m * (m + 1)) // 2) AS BIGINT) AS deletions,
+        |  CAST(sum(CASE WHEN i % 3 = 0 AND i > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_merges,
+        |  CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_roots,
+        |  CAST(min(1700000000 + k * 1000 + i * 10) AS BIGINT) AS first_ts,
+        |  CAST(max(1700000000 + k * 1000 + i * 10) AS BIGINT) AS last_ts
+        |FROM agg GROUP BY k ORDER BY k""".stripMargin,
 
     "a18_story_phases" ->
       s"""WITH $changesCte,

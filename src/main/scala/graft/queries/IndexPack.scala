@@ -70,6 +70,37 @@ object IndexPack {
     "ks AS (SELECT DISTINCT CAST(doc_id % 60 AS INTEGER) AS k FROM documents)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S12 embedding cache: the content-sha-keyed Parquet KV cache
+    // exercised COLD → WARM in one gate — phase 1 embeds a quarter of
+    // the corpus and persists it; phase 2 requests the full set, so
+    // phase-1 rows MUST be served from the cache (anti-join routes only
+    // misses to the featurizer) and the merged result must be
+    // indistinguishable from embedding everything directly. The oracle
+    // is the full featurizer in SQL (the e2e1 mirror) — cache
+    // transparency is exactly "output equals the uncached pipeline".
+    "s12_embed_cache" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val path = s"target/embcache/${java.lang.Long.toHexString(
+        graft.functions.PortableHash.hash60Local("embc", d))}"
+      // start COLD every invocation: a leftover cache from a previous
+      // run would turn phase 1 into hits and mask a broken write path
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      graft.embed.HashEmbedder.embedWithCache(s,
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", path)
+        .count()
+      val out = graft.embed.HashEmbedder.embedWithCache(s, docs,
+        "doc_id", "text", path)
+      out.select(col("id"), posexplode(col("vector")))
+        .filter(col("col") =!= 0.0f)
+        .select(col("id"), (col("pos") + 1).cast("int").as("i"),
+          round(col("col").cast("double"), 6).as("val"))
+        .orderBy(col("id"), col("i"))
+    }),
+
     // JSONL sink + source round trip — the interchange format LLM
     // corpora actually ship in. Write documents as JSON lines, read
     // them back under the explicit schema, and prove the text is
@@ -202,6 +233,43 @@ object IndexPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // Cache transparency ≡ the uncached featurizer: the e2e1 vector
+    // pipeline in SQL over the same subset, one row per nonzero
+    // vector component.
+    "s12_embed_cache" -> {
+      val bucket =
+        s"(${graft.functions.PortableHash.hash60Sql("7", "gram")} % 64)"
+      s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id < 300),
+         |tok AS (SELECT id,
+         |    string_split(${graft.text.TextFunctions.normalizeSql("text")}, ' ') AS toks
+         |  FROM corpus),
+         |grams AS (SELECT id, unnest(list_concat(toks,
+         |    list_transform(toks[2:], (b, i) -> toks[i] || ' ' || b)))
+         |    AS gram
+         |  FROM tok),
+         |bk AS (SELECT id, $bucket AS bucket, count(*) AS w
+         |  FROM grams GROUP BY id, bucket),
+         |mp AS (SELECT id,
+         |    map_from_entries(list(struct_pack(k := bucket, v := w))) AS m
+         |  FROM bk GROUP BY id),
+         |raw AS (SELECT id, list_transform(range(0, 64),
+         |    i -> CAST(coalesce(m[i][1], 0) AS DOUBLE)) AS r
+         |  FROM mp),
+         |vec AS (SELECT id,
+         |    list_transform(r, x -> CAST(CASE WHEN nrm > 0 THEN x / nrm
+         |      ELSE 0.0 END AS FLOAT)) AS v
+         |  FROM (SELECT id, r,
+         |      sqrt(list_aggregate(list_transform(r, x -> x * x), 'sum'))
+         |        AS nrm
+         |    FROM raw)),
+         |comp AS (SELECT id, unnest(range(1, 65)) AS i,
+         |    unnest(v) AS x FROM vec)
+         |SELECT id, CAST(i AS INTEGER) AS i,
+         |  round(CAST(x AS DOUBLE), 6) AS val
+         |FROM comp WHERE x <> 0 ORDER BY id, i""".stripMargin
+    },
+
     "js1_jsonl_roundtrip" ->
       """SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -75,6 +75,12 @@ object SearchPack {
   /** ev1 cutoff; discount literals derive from it on both sides. */
   val EvalK = 10
 
+  /** qp1's eight query templates, one per heuristic branch. */
+  val QpTemplates: Map[Int, String] = Map(
+    0 -> "db", 1 -> "fast scan", 2 -> "parseFile data",
+    3 -> "a.b.c lookup", 4 -> "http cache index fetch merge sort scan",
+    5 -> "snake_case term", 6 -> "config auth db", 7 -> "obj::method call")
+
   /** ph1 phrase — adjacent-token exact match over the documents corpus. */
   val PhraseTerms = Seq("table", "scan")
 
@@ -105,6 +111,33 @@ object SearchPack {
         .postings(Tables.documents(s, d), "doc_id", "text")
       graft.search.BooleanQuery.completions(p, prefixLen = 2, k = 3)
         .orderBy(col("prefix"), col("rank"))
+    }),
+
+    // Q1-Q4 query preparation pipeline over 8 query templates chosen
+    // to hit every heuristic branch: abbreviation expansion + dedup,
+    // single-word / short / long word-count adjustments, technical
+    // terms, camelCase + snake_case, code punctuation, dotted and
+    // ::-scoped identifier detection, synonym expansion with the
+    // variant cap. Threshold/alpha run on the RAW query, expansion on
+    // the PROCESSED one — the reference's stage order (SURVEY §3.1).
+    "qp1_query_pipeline" -> ((s, d) => {
+      import s.implicits._
+      import graft.search.QueryProcessor
+      val templates = QpTemplates
+      Tables.documents(s, d)
+        .select((col("doc_id") % 8).cast("int").as("k")).distinct().as[Int]
+        .map { k =>
+          val q = templates(k)
+          val processed = QueryProcessor.preprocess(q)
+          (k, q, processed,
+            BigDecimal(QueryProcessor.adaptiveThreshold(q))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            QueryProcessor.hybridAlpha(q),
+            QueryProcessor.expand(processed).length)
+        }
+        .toDF("k", "raw_query", "processed", "threshold", "alpha",
+          "n_variants")
+        .orderBy(col("k"))
     }),
 
     // Q5+J12+P5/P7 end to end: the ENTIRE vector-search data path —
@@ -369,6 +402,35 @@ object SearchPack {
            |SELECT id, CAST(count(*) AS BIGINT) AS n_matches FROM m
            |GROUP BY id ORDER BY n_matches DESC, id LIMIT 30""".stripMargin
       },
+
+      // Golden rows per template (the gh1 pattern): expected values
+      // derived by hand from the documented heuristics — e.g. k=4 is
+      // 7 words (+0.1) with a technical term (−0.29) and synonym
+      // variants capped at 5+original.
+      "qp1_query_pipeline" ->
+        """WITH ks AS (SELECT DISTINCT CAST(doc_id % 8 AS INTEGER) AS k
+          |  FROM documents),
+          |exp(k, raw_query, processed, threshold, alpha, n_variants)
+          |  AS (VALUES
+          |  (0, 'db', 'database', 0.21::DOUBLE, 0.7::DOUBLE, 1),
+          |  (1, 'fast scan', 'fast scan', 0.4::DOUBLE, 0.7::DOUBLE, 3),
+          |  (2, 'parseFile data', 'parseFile data', 0.15::DOUBLE,
+          |    0.2::DOUBLE, 1),
+          |  (3, 'a.b.c lookup', 'a.b.c lookup', 0.3::DOUBLE,
+          |    0.7::DOUBLE, 4),
+          |  (4, 'http cache index fetch merge sort scan',
+          |    'http cache index fetch merge sort scan', 0.31::DOUBLE,
+          |    0.7::DOUBLE, 6),
+          |  (5, 'snake_case term', 'snake_case term', 0.15::DOUBLE,
+          |    0.7::DOUBLE, 1),
+          |  (6, 'config auth db',
+          |    'configuration authentication database', 0.4::DOUBLE,
+          |    0.7::DOUBLE, 1),
+          |  (7, 'obj::method call', 'obj::method call', 0.3::DOUBLE,
+          |    0.2::DOUBLE, 1))
+          |SELECT e.k, e.raw_query, e.processed, e.threshold, e.alpha,
+          |  CAST(e.n_variants AS INTEGER) AS n_variants
+          |FROM ks JOIN exp e USING (k) ORDER BY e.k""".stripMargin,
 
       // The full vector path in SQL: same n-gram multiset (unigrams +
       // index-aligned bigrams), same portable-hash buckets, integer

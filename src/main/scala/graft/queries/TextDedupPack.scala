@@ -481,6 +481,23 @@ object TextDedupPack {
     // k-shingles that occur NOWHERE else in the corpus — high novelty
     // marks original text, low marks template/memorization risk. One
     // shingle-df aggregate keyed on content, joined back.
+    // CCNet-style perplexity partition (Wenzek et al. 2020): per-doc
+    // integer micro-nat LM score → positive per-1000-token perplexity
+    // proxy → exact-percentile head/middle/tail thirds. One vocabulary
+    // join + one two-value percentile aggregate broadcast back; the
+    // integer score and the pf1-proven percentile parity make the
+    // bucket boundaries engine-exact.
+    "ccn1_perplexity_buckets" -> ((s, d) => {
+      val scored = graft.text.PerplexityBuckets.scoreDocs(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.text.PerplexityBuckets.partition(scored)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("qpd")).as("min_qpd"),
+          max(col("qpd")).as("max_qpd"))
+        .orderBy(col("bucket"))
+    }),
+
     "ng1_novelty" -> ((s, d) => {
       // sh feeds the df table and the join back — cache so the
       // tokenize+shingle pass runs once
@@ -1959,6 +1976,30 @@ object TextDedupPack {
          |  round(CAST(sum(qn) AS DOUBLE) / count(*) / 1000000, 6)
          |    AS avg_logprob
          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ccn1_perplexity_buckets" ->
+      s"""WITH $toksCte,
+         |occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM occ GROUP BY t),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+         |q AS (SELECT doc_id,
+         |    CAST(floor(ln(cnt::DOUBLE / total) * 1000000) AS BIGINT) AS qn
+         |  FROM occ JOIN uni USING (t) CROSS JOIN tt),
+         |sc0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(qn) AS BIGINT) AS smn FROM q GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |    CAST((-smn * 1000) // n_tokens AS BIGINT) AS qpd FROM sc0),
+         |th AS (SELECT quantile_cont(qpd, 0.33) AS t_low,
+         |    quantile_cont(qpd, 0.66) AS t_high FROM sc),
+         |b AS (SELECT doc_id, qpd,
+         |    CASE WHEN qpd <= t_low THEN 'head'
+         |      WHEN qpd <= t_high THEN 'middle'
+         |      ELSE 'tail' END AS bucket
+         |  FROM sc CROSS JOIN th)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(qpd) AS min_qpd, max(qpd) AS max_qpd
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "bg1_bigram_lm" ->
       s"""WITH $toksCte,
