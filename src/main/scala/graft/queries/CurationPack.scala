@@ -152,6 +152,41 @@ object CurationPack {
         .orderBy(col("k"), col("day"))
     }),
 
+    // T5/UL2 span corruption: hash-placed sentinel spans (one per
+    // 20-token block, length 3 = the 15% T5 rate), (input, target)
+    // denoising pair per doc, byte-proven via sha256. Deterministic —
+    // no RNG — so reruns and the oracle build identical pairs.
+    "spc1_span_corruption" -> ((s, d) => {
+      graft.text.SpanCorruption.corrupt(Tables.documents(s, d),
+          "doc_id", "text")
+        .select(col("doc_id"), sha2(col("input"), 256).as("input_sha"),
+          sha2(col("target"), 256).as("target_sha"), col("n_spans"),
+          col("n_corrupted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SFT chat-template assembly with loss masking: documents grouped
+    // into conversations (doc_id%40), roles cycling
+    // system/user/assistant by turn index, rendered under the ChatML-
+    // style tags in turn order, assistant token counts = the loss mask.
+    "ct1_chat_template" -> ((s, d) => {
+      val turn = expr("cast(doc_id div 40 as int)")
+      val turns = Tables.documents(s, d).select(
+        (col("doc_id") % 40).cast("int").as("conv_id"),
+        turn.as("i"),
+        when(expr("(doc_id div 40) % 3") === 2, "assistant")
+          .when(expr("(doc_id div 40) % 3") === 1, "user")
+          .otherwise("system").as("role"),
+        col("text").as("content"))
+      graft.text.ChatTemplate.render(turns, "conv_id", "i", "role",
+          "content")
+        .select(col("conv_id"),
+          sha2(col("rendered"), 256).as("rendered_sha"),
+          col("n_turns"), col("n_tokens"), col("n_masked_tokens"),
+          col("mask_permille"))
+        .orderBy(col("conv_id"))
+    }),
+
     // Repo-level source concatenation (StarCoder/The-Stack-style code
     // corpus assembly): every repo's files joined into one training
     // document in deterministic (path, id) order with path headers;
@@ -390,6 +425,62 @@ object CurationPack {
          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM bkt GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
+
+    "spc1_span_corruption" -> {
+      val off = graft.functions.PortableHash
+        .hash60Sql("'sc'", "doc_id || '_' || (i0 // 20)")
+      s"""WITH tok AS (SELECT doc_id,
+         |    string_split(${graft.text.TextFunctions.normalizeSql("text")}, ' ') AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS tok,
+         |    generate_subscripts(toks, 1) - 1 AS i0 FROM tok),
+         |c AS (SELECT doc_id, tok, i0, i0 // 20 AS blk, i0 % 20 AS p,
+         |    $off % 18 AS off FROM tk),
+         |inp AS (SELECT doc_id,
+         |    string_agg(CASE WHEN p = off THEN '<extra_id_' || blk || '>'
+         |      ELSE tok END, ' ' ORDER BY i0) AS input
+         |  FROM c WHERE NOT (p > off AND p <= off + 2) GROUP BY doc_id),
+         |tgt AS (SELECT doc_id,
+         |    string_agg(CASE WHEN p = off
+         |        THEN '<extra_id_' || blk || '> ' || tok
+         |      ELSE tok END, ' ' ORDER BY i0) AS target,
+         |    CAST(sum(CASE WHEN p = off THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_spans,
+         |    CAST(count(*) AS BIGINT) AS n_corrupted
+         |  FROM c WHERE p BETWEEN off AND off + 2 GROUP BY doc_id)
+         |SELECT i.doc_id, sha256(input) AS input_sha,
+         |  sha256(coalesce(target, '')) AS target_sha,
+         |  coalesce(n_spans, 0) AS n_spans,
+         |  coalesce(n_corrupted, 0) AS n_corrupted
+         |FROM inp i LEFT JOIN tgt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "ct1_chat_template" -> {
+      val norm = graft.text.TextFunctions.normalizeSql("text")
+      s"""WITH t0 AS (SELECT CAST(doc_id % 40 AS INTEGER) AS conv_id,
+         |    CAST(doc_id // 40 AS INTEGER) AS i,
+         |    CASE WHEN (doc_id // 40) % 3 = 2 THEN 'assistant'
+         |      WHEN (doc_id // 40) % 3 = 1 THEN 'user'
+         |      ELSE 'system' END AS role,
+         |    text AS content,
+         |    len(string_split($norm, ' ')) AS ntok
+         |  FROM documents),
+         |r AS (SELECT conv_id,
+         |    string_agg('<|' || role || '|>' || chr(10) || content ||
+         |        chr(10) || '<|end|>', chr(10) ORDER BY i, role)
+         |      AS rendered,
+         |    CAST(count(*) AS BIGINT) AS n_turns,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN role = 'assistant' THEN ntok ELSE 0 END)
+         |      AS BIGINT) AS n_masked_tokens
+         |  FROM t0 GROUP BY conv_id)
+         |SELECT conv_id, sha256(rendered) AS rendered_sha, n_turns,
+         |  n_tokens, n_masked_tokens,
+         |  CAST((n_masked_tokens * 1000) // greatest(n_tokens, 1)
+         |    AS BIGINT) AS mask_permille
+         |FROM r ORDER BY conv_id""".stripMargin
     },
 
     "rl1_repo_concat" ->
