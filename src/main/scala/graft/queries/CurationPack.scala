@@ -152,6 +152,25 @@ object CurationPack {
         .orderBy(col("k"), col("day"))
     }),
 
+    // Incremental rollup maintenance: a persisted per-(type, day)
+    // aggregate absorbs a late batch by merging PARTIALS (sums/counts
+    // add, mins/maxes fold) — maintenance cost tracks the delta, never
+    // the fact history. The oracle is the full recompute over ALL
+    // facts: merge ≡ rebuild, bit-exact (the b2 contract, warehouse
+    // flavor).
+    "ru1_incremental_rollup" -> ((s, d) => {
+      val facts = Tables.events(s, d).select(col("event_type"),
+        col("ts").cast("date").as("day"), col("event_id"), col("user_id"))
+      val keys = Seq("event_type", "day")
+      val ms = Seq("event_id", "user_id")
+      val base = graft.util.IncrementalRollup.rollup(
+        facts.filter(col("event_id") % 7 =!= 0), keys, ms)
+      val delta = graft.util.IncrementalRollup.rollup(
+        facts.filter(col("event_id") % 7 === 0), keys, ms)
+      graft.util.IncrementalRollup.merge(base, delta, keys, ms)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // T5/UL2 span corruption: hash-placed sentinel spans (one per
     // 20-token block, length 3 = the 15% T5 rate), (input, target)
     // denoising pair per doc, byte-proven via sha256. Deterministic —
@@ -426,6 +445,17 @@ object CurationPack {
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM bkt GROUP BY zbucket ORDER BY zbucket""".stripMargin
     },
+
+    "ru1_incremental_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(min(event_id) AS BIGINT) AS min_event_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_event_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+        |  CAST(min(user_id) AS BIGINT) AS min_user_id,
+        |  CAST(max(user_id) AS BIGINT) AS max_user_id
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "spc1_span_corruption" -> {
       val off = graft.functions.PortableHash
