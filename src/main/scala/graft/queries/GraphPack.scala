@@ -175,6 +175,20 @@ object GraphPack {
         .orderBy(col("node"))
     }),
 
+    // Multi-source harmonic closeness over the wp1 graph shape: three
+    // literal seeds, ONE multi-source BFS plan (frontier carries the
+    // seed id — S sources never mean S sequential walks), per-pair
+    // 10^6 div d micro-units so the centrality sum is order-free.
+    "cn1_harmonic_closeness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val r = col("doc_id") % 60
+      val e1 = docs.select(r.as("src"), ((col("doc_id") + 1) % 60).as("dst"))
+      val e2 = docs.select(r.as("src"), ((col("doc_id") * 7 + 3) % 60).as("dst"))
+      graft.graph.Closeness.harmonicFromSeeds(
+          e1.unionByName(e2), seeds = Seq(0L, 7L, 23L))
+        .orderBy(col("node"))
+    }),
+
     // A17: counts per relation type + distinct node counts.
     "g1_kg_stats" -> ((s, d) => {
       edges(s, d)
@@ -606,6 +620,27 @@ object GraphPack {
          |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
          |${lpaRoundCtes(3)}
          |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
+
+    "cn1_harmonic_closeness" -> {
+      val bfs = (1 to 12).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT s, node, min(d) AS d FROM (
+           |    SELECT s, node, d FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT p.s, e.dst, p.d + 1 FROM d${i - 1} p
+           |    JOIN e ON e.src = p.node)
+           |  GROUP BY s, node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id % 60 AS src, (doc_id + 1) % 60 AS dst
+         |    FROM documents
+         |    UNION ALL SELECT doc_id % 60, (doc_id * 7 + 3) % 60
+         |    FROM documents)),
+         |d0(s, node, d) AS (VALUES (0, 0, 0), (7, 7, 0), (23, 23, 0)),
+         |$bfs
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+         |FROM d12 WHERE d > 0 GROUP BY node ORDER BY node""".stripMargin
+    },
 
     "wp1_shortest_path" ->
       s"""WITH e AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM (
