@@ -239,6 +239,30 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Quality-based canonical selection over resolved dup clusters: the
+    * member a pipeline KEEPS is the best-quality one (longest text,
+    * highest classifier score — caller's `qCol`), not the min-id label
+    * the closure algorithms emit. Output: (doc_id, cluster_id, rep_id,
+    * keep). One cluster-partitioned window over the cluster relation —
+    * bounded by cluster sizes, which banding already bounds; ties
+    * break on doc_id so selection is total.
+    */
+  def selectRepresentatives(clusters: DataFrame, quality: DataFrame,
+      qCol: String): DataFrame = {
+    val joined = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(quality.select(col("doc_id"), col(qCol)), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(qCol).desc, col("doc_id"))
+    val reps = joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"))
+    joined.join(reps, Seq("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("cluster_id"), col("rep_id"), col("keep"))
+  }
+
   /** Asymmetric containment over shingle sets for the given pairs
     * (Broder 1997, "On the resemblance and containment of documents"):
     * containment_a = |A∩B| / |A| (≈1 ⇒ a is a quote/subset of b) and

@@ -481,6 +481,19 @@ object TextDedupPack {
     // k-shingles that occur NOWHERE else in the corpus — high novelty
     // marks original text, low marks template/memorization risk. One
     // shingle-df aggregate keyed on content, joined back.
+    // Stupid Backoff scoring (Brants 2007): foreground docs scored
+    // under a BACKGROUND corpus LM — bigram leg when the background
+    // saw the pair, alpha-discounted add-one unigram leg otherwise
+    // (the two-corpus split makes unseen bigrams real, ~8% here).
+    // Integer micro-nat sums; count tables join on their own keys.
+    "sb1_stupid_backoff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.StupidBackoff.scoreDocs(
+          docs.filter(col("doc_id") % 11 === 0),
+          docs.filter(col("doc_id") % 11 === 1), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style perplexity partition (Wenzek et al. 2020): per-doc
     // integer micro-nat LM score → positive per-1000-token perplexity
     // proxy → exact-percentile head/middle/tail thirds. One vocabulary
@@ -682,6 +695,24 @@ object TextDedupPack {
           idx.shingles)
         .filter(col("jaccard") >= 0.6)
       Dedup.resolveClustersStar(pairs, Tables.documents(s, d), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Canonical selection by QUALITY over the dd1 clusters: production
+    // dedup keeps the best member of each near-dup cluster (here: the
+    // longest text, a standard policy), not the min-id label the
+    // closure emits — one cluster-partitioned argmax window.
+    "cr1_cluster_reps" -> ((s, d) => {
+      val idx = graft.dedup.DedupCache.persisted(
+        s, d, ShingleK, NumHashes, RowsPerBand)
+      val pairs = Dedup.jaccardOfPairs(Dedup.lshCandidates(idx.bands),
+          idx.shingles)
+        .filter(col("jaccard") >= 0.6)
+      val clusters = Dedup.resolveClusters(pairs, Tables.documents(s, d),
+        "doc_id")
+      Dedup.selectRepresentatives(clusters,
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "n_chars")
         .orderBy(col("doc_id"))
     }),
 
@@ -1227,11 +1258,11 @@ object TextDedupPack {
        |    ON x.seg = y.seg AND x.seg_val = y.seg_val AND x.doc_id < y.doc_id)""".stripMargin
   }
 
-  /** dd1/cc1 shared mirror: LSH pairs -> recursive reachability ->
-    * per-component min. Exact regardless of which distributed closure
-    * algorithm the engine side used.
+  /** dd1/cc1/cr1 shared mirror chain: LSH pairs -> recursive
+    * reachability -> per-component min. Exact regardless of which
+    * distributed closure algorithm the engine side used.
     */
-  private lazy val ddClustersOracle: String =
+  private lazy val ddChainCtes: String =
     s"""WITH RECURSIVE $toksCte, $shCte, $mhCte,
          |bands AS (SELECT doc_id, CAST(h // $RowsPerBand AS INTEGER) AS band,
          |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY h) AS band_val
@@ -1259,11 +1290,30 @@ object TextDedupPack {
          |  UNION
          |  SELECT e.y, reach.r FROM reach JOIN e ON e.x = reach.id),
          |cl AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
-         |  FROM reach GROUP BY id)
-         |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
-         |  (d.doc_id = COALESCE(cl.cluster_id, d.doc_id)) AS is_canonical
-         |FROM documents d LEFT JOIN cl USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |  FROM reach GROUP BY id)""".stripMargin
+
+  private lazy val ddClustersOracle: String = ddChainCtes + "\n" +
+    """SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+      |  (d.doc_id = COALESCE(cl.cluster_id, d.doc_id)) AS is_canonical
+      |FROM documents d LEFT JOIN cl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** cr1 mirror: the dd1 cluster chain + per-cluster argmax on
+    * (n_chars desc, doc_id) — the "keep the longest member" policy.
+    */
+  private lazy val crRepsOracle: String = ddChainCtes + ",\n" +
+    """alldocs AS (SELECT d.doc_id,
+      |    COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      |  FROM documents d LEFT JOIN cl USING (doc_id)),
+      |rep AS (SELECT cluster_id, doc_id AS rep_id FROM (
+      |    SELECT cluster_id, doc_id,
+      |      row_number() OVER (PARTITION BY cluster_id
+      |        ORDER BY n_chars DESC, doc_id) AS rn
+      |    FROM alldocs) WHERE rn = 1)
+      |SELECT f.doc_id, f.cluster_id, r.rep_id,
+      |  f.doc_id = r.rep_id AS keep
+      |FROM alldocs f JOIN rep r USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -1977,6 +2027,42 @@ object TextDedupPack {
          |    AS avg_logprob
          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "sb1_stupid_backoff" ->
+      s"""WITH $toksCte,
+         |bgall AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM (
+         |    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |    FROM tok WHERE len(toks) >= 2)),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2
+         |  FROM bgall WHERE doc_id % 11 = 0 GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1
+         |  FROM c2 GROUP BY w1),
+         |occ AS (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 11 = 0),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cu
+         |  FROM occ GROUP BY t),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS total,
+         |    CAST(count(DISTINCT t) AS BIGINT) AS vocab FROM occ),
+         |fg AS (SELECT doc_id, w1, w2 FROM bgall WHERE doc_id % 11 = 1),
+         |q AS (SELECT f.doc_id,
+         |    CASE WHEN c2.cnt2 IS NOT NULL
+         |      THEN CAST(floor(ln(c2.cnt2::DOUBLE / c1.cnt1) * 1000000)
+         |        AS BIGINT)
+         |      ELSE CAST(floor(ln(0.4::DOUBLE
+         |        * (coalesce(u.cu, 0) + 1)::DOUBLE
+         |        / (tt.total + tt.vocab)) * 1000000) AS BIGINT) END AS qn,
+         |    c2.cnt2 IS NULL AS backed_off
+         |  FROM fg f
+         |  LEFT JOIN c2 ON c2.w1 = f.w1 AND c2.w2 = f.w2
+         |  LEFT JOIN c1 ON c1.w1 = f.w1
+         |  LEFT JOIN uni u ON u.t = f.w2
+         |  CROSS JOIN tt)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+         |  CAST(sum(CASE WHEN backed_off THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_backoffs,
+         |  CAST(sum(qn) AS BIGINT) AS sum_micro_nats,
+         |  round(CAST(sum(qn) AS DOUBLE) / count(*) / 1000000, 6)
+         |    AS avg_logprob
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "ccn1_perplexity_buckets" ->
       s"""WITH $toksCte,
          |occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
@@ -2051,6 +2137,8 @@ object TextDedupPack {
     // contraction gate is checked against the identical oracle the
     // label-propagation gate uses — algorithm-independence is the proof
     "cc1_star_components" -> ddClustersOracle,
+
+    "cr1_cluster_reps" -> crRepsOracle,
 
     "dc1_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks

@@ -133,4 +133,21 @@ class DedupSpec extends SparkSpec {
     // disjoint docs share nothing
     assert(out(3L)._1 == 0L && out(3L)._4 == 0.0)
   }
+
+  test("selectRepresentatives keeps the best-quality member per cluster") {
+    // cluster {1,2,3} labeled by min id 1; singleton 9
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 50L), (3L, 50L), (9L, 5L))
+      .toDF("doc_id", "q")
+    val out = graft.dedup.Dedup
+      .selectRepresentatives(clusters, quality, "q")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // quality tie between 2 and 3 breaks on the smaller id
+    assert(out(1L) == ((2L, false)))
+    assert(out(2L) == ((2L, true)))
+    assert(out(3L) == ((2L, false)))
+    assert(out(9L) == ((9L, true))) // singleton keeps itself
+  }
 }
