@@ -35,4 +35,31 @@ class IncrementalRollupSpec extends SparkSpec {
     val merged = IncrementalRollup.merge(r, r.limit(0), keys, ms)
     assert(asMap(merged) == asMap(r))
   }
+
+  test("streamed foreachBatch maintenance equals the batch rollup") {
+    // the continuous-warehouse flavor: each micro-batch folds into the
+    // accumulated partials; after N batches the state must equal one
+    // batch rollup over everything (same merge ≡ rebuild contract)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(String, Long)]
+    var state = IncrementalRollup.rollup(base.limit(0), keys, ms)
+      .localCheckpoint(true)
+    val q = in.toDF().toDF("k", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = IncrementalRollup.merge(state,
+          IncrementalRollup.rollup(batch, keys, ms), keys, ms)
+          .localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      in.addData(("a", 10L), ("a", 20L), ("b", 5L))
+      q.processAllAvailable()
+      in.addData(("a", 1L), ("c", 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = IncrementalRollup.rollup(base.unionByName(delta), keys, ms)
+    assert(asMap(state) == asMap(full))
+  }
 }
