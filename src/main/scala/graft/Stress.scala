@@ -161,6 +161,19 @@ object Stress {
     }
   }
 
+  /** spc1 family: per-token explode + hash span classification + two
+    * doc-keyed sort_array rebuilds — token-linear by design; the
+    * stress checks the rebuild aggregation stays doc-local as the
+    * corpus grows.
+    */
+  def spanCorruptStress(spark: SparkSession, n: Long): (Double, Long) = {
+    val docs = synthDocs(spark, n)
+    timed {
+      graft.text.SpanCorruption.corrupt(docs, "doc_id", "text")
+        .agg(coalesce(sum(col("n_corrupted")), lit(0L))).head().getLong(0)
+    }
+  }
+
   /** bg1 family: bigram explode (×29 rows/doc), distinct-bigram count
     * table (vocabulary grows with the corpus — the Heaps-law shape),
     * keyed join back, integer micro-nat agg.
@@ -399,7 +412,8 @@ object Stress {
         s"x${f}_d3_dedup" -> min2(dedupStress(spark, n)._1),
         s"x${f}_bg1_bigram" -> min2(bigramStress(spark, n)._1),
         s"x${f}_pd1_paradedup" -> min2(paraDedupStress(spark, n)._1),
-        s"x${f}_sa1_spans" -> min2(spanStress(spark, n)._1))
+        s"x${f}_sa1_spans" -> min2(spanStress(spark, n)._1),
+        s"x${f}_spc1_spancorrupt" -> min2(spanCorruptStress(spark, n)._1))
     } ++ run(spark, Seq(10, 100), includeHeavyText = false)
 
   def run(spark: SparkSession, factors: Seq[Int],

@@ -698,6 +698,45 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup-recall eval — the ar1 symmetry for the dedup family: LSH
+    // candidate recall vs the EXACT Jaccard≥0.6 ground truth on a
+    // capped doc sample (ground truth is all-pairs by nature, so it is
+    // sample-bounded by design — the same trade ar1 makes for ANN).
+    // Integer counts + permille division; candidates come from the
+    // persisted band table restricted to the sample.
+    "dre1_dedup_recall" -> ((s, d) => {
+      val idx = graft.dedup.DedupCache.persisted(
+        s, d, ShingleK, NumHashes, RowsPerBand)
+      val sample = Tables.documents(s, d)
+        .filter(col("doc_id") < 200).select(col("doc_id"))
+      val sh = idx.shingles.join(sample, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true) // feeds sizes AND both sides of the pair join
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("b"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+      val exact = inter
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .filter(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")) >= 0.6)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true) // feeds the count AND the hit semi-join
+      val cands = Dedup.lshCandidates(
+        idx.bands.join(sample, Seq("doc_id"), "left_semi"))
+      val hits = exact.join(cands, Seq("a", "b"), "left_semi")
+      exact.agg(count(lit(1)).as("ne"))
+        .crossJoin(cands.agg(count(lit(1)).as("nc")))
+        .crossJoin(hits.agg(count(lit(1)).as("nh")))
+        .select(col("ne").cast("long").as("n_exact"),
+          col("nc").cast("long").as("n_candidates"),
+          col("nh").cast("long").as("n_hit"),
+          expr("cast((nh * 1000) div greatest(ne, 1) as bigint)")
+            .as("recall_permille"))
+    }),
+
     // Canonical selection by QUALITY over the dd1 clusters: production
     // dedup keeps the best member of each near-dup cluster (here: the
     // longest text, a standard policy), not the min-id label the
@@ -2139,6 +2178,36 @@ object TextDedupPack {
     "cc1_star_components" -> ddClustersOracle,
 
     "cr1_cluster_reps" -> crRepsOracle,
+
+    "dre1_dedup_recall" ->
+      s"""WITH $toksCte, $shCte, $mhCte,
+         |bands AS (SELECT doc_id, CAST(h // $RowsPerBand AS INTEGER) AS band,
+         |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY h) AS band_val
+         |  FROM mh GROUP BY doc_id, band),
+         |sb AS (SELECT * FROM bands WHERE doc_id < 200),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM sb x JOIN sb y
+         |    ON x.band = y.band AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id),
+         |ssh AS (SELECT * FROM sh WHERE doc_id < 200),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+         |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+         |  FROM ssh s1 JOIN ssh s2
+         |    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |  GROUP BY s1.doc_id, s2.doc_id),
+         |exact AS (SELECT i.a, i.b FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.a
+         |  JOIN sizes nb ON nb.doc_id = i.b
+         |  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i)
+         |    >= 0.6::DOUBLE),
+         |hit AS (SELECT e.a FROM exact e
+         |  JOIN cand c ON c.a = e.a AND c.b = e.b)
+         |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |  CAST((SELECT count(*) FROM hit) * 1000
+         |    // greatest((SELECT count(*) FROM exact), 1) AS BIGINT)
+         |    AS recall_permille""".stripMargin,
 
     "dc1_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks
