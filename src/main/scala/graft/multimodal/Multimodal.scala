@@ -169,6 +169,69 @@ object Multimodal {
     }.toDF("media_id", "grid_w", "grid_h", "thumb_checksum", "thumb_mean")
   }
 
+  /** 56-bit perceptual difference hash (dHash) over the header-derived
+    * grid — REAL arithmetic end to end, like [[resizeNearest]]: resize
+    * to (dw+1)×dh by integer-stride nearest neighbor, bit k set iff
+    * pixel(y, x) < pixel(y, x+1) (the standard dHash gradient bits).
+    * 56 bits (8×7) rather than the classic 64 keeps the fingerprint in
+    * the non-negative long range, so segment extraction is pure
+    * division (Spark `div` ≡ DuckDB `//` on non-negative operands) and
+    * no engine's arithmetic right-shift sign-fill can diverge. Media
+    * shorter than one grid row drop out (undecodable-input behavior).
+    */
+  def dhash(media: Dataset[MediaRecord], dw: Int = 8, dh: Int = 7): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val w = 8 + (math.abs(m.media.headOption.getOrElse(0.toByte).toInt) % 8)
+        val h = m.media.length / w
+        if (h < 1) None
+        else {
+          val g = resizeNearest(m.media, w, h, dw + 1, dh)
+          var bits = 0L
+          var k = 0
+          while (k < dw * dh) {
+            val y = k / dw
+            val x = k % dw
+            if ((g(y * (dw + 1) + x) & 0xff) < (g(y * (dw + 1) + x + 1) & 0xff))
+              bits |= 1L << k
+            k += 1
+          }
+          Some((m.media_id, bits))
+        }
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Near-duplicate media pairs within Hamming ≤ `maxDist` of their
+    * dHashes, via pigeonhole banding (the simhash d5 trick at the
+    * media granularity): split the fingerprint into maxDist+1 exact
+    * segments — any pair within maxDist must agree on at least one —
+    * equi-join on (segment, value), then exact `bit_count(xor)`
+    * verification. Never all-pairs.
+    */
+  def dhashNearDups(hashes: DataFrame, maxDist: Int = 3,
+      bits: Int = 56): DataFrame = {
+    val nSeg = maxDist + 1
+    val segBits = bits / nSeg
+    val segs = hashes.select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(nSeg - 1))).as("s"))
+      .withColumn("sv", expr(
+        s"(dhash div shiftleft(cast(1 as bigint), s * $segBits)) " +
+          s"% ${1L << segBits}"))
+    val l = segs.select(col("s"), col("sv"), col("media_id").as("a"),
+      col("dhash").as("da"))
+    val r = segs.select(col("s"), col("sv"), col("media_id").as("b"),
+      col("dhash").as("db"))
+    l.join(r, Seq("s", "sv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("da"), col("db"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(da ^ db) as int)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Audio → fixed-width energy feature vector (as float array, ready
     * for the ANN/dedup operators).
     */

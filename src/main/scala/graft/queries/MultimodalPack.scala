@@ -64,6 +64,28 @@ object MultimodalPack {
         .orderBy(col("media_id"))
     }),
 
+    // mm3: perceptual dHash near-dup detection — REAL arithmetic end
+    // to end (nearest-neighbor resize + gradient bits + pigeonhole
+    // banding + exact Hamming): every planted perturbed twin (one
+    // interior char changed) is recovered, plus organic near-dups.
+    "mm3_dhash_neardups" -> ((s, d) => {
+      import s.implicits._
+      val pert = Tables.documents(s, d)
+        .filter(col("doc_id") % 9 === 0 && length(col("text")) >= 16)
+        .select((col("doc_id") + 10000).as("id"),
+          concat(substring(col("text"), 1, 4), lit("z"),
+            expr("substring(text, 6)")).as("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          require(t.forall(_ < 128), s"mm3 fixture requires ASCII")
+          Multimodal.MediaRecord(id, "image", s"synthetic://p/$id",
+            t.getBytes("UTF-8"), Map.empty)
+        }
+      val m = media(s, d).union(pert)
+      Multimodal.dhashNearDups(Multimodal.dhash(m))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // mm2: REAL nearest-neighbor thumbnail resize (integer-stride
     // sampling over the header-derived byte grid) — the resize stage of
     // the brief, with the sampling arithmetic mirrored index-for-index
@@ -112,6 +134,38 @@ object MultimodalPack {
            |  n_frames, frame_bytes, e0, e1, e2, e3
            |FROM img JOIN en USING (media_id) JOIN fr USING (media_id)
            |ORDER BY media_id""".stripMargin,
+
+      "mm3_dhash_neardups" ->
+        """WITH base AS (
+          |  SELECT doc_id AS media_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000, substr(text, 1, 4) || 'z' || substr(text, 6)
+          |  FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 16),
+          |g AS (SELECT media_id, text, CAST(length(text) AS INTEGER) AS n,
+          |    8 + (unicode(substr(text, 1, 1)) % 8) AS w
+          |  FROM base),
+          |g2 AS (SELECT media_id, text, w, n // w AS h FROM g
+          |  WHERE n // w >= 1),
+          |bits AS (SELECT media_id,
+          |    CAST(sum(CASE WHEN
+          |      unicode(substr(text,
+          |        ((k // 8) * h // 7) * w + ((k % 8) * w // 9) + 1, 1))
+          |      < unicode(substr(text,
+          |        ((k // 8) * h // 7) * w + (((k % 8) + 1) * w // 9) + 1, 1))
+          |      THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS dh
+          |  FROM g2, unnest(range(0, 56)) AS t(k)
+          |  GROUP BY media_id),
+          |segs AS (SELECT media_id, s,
+          |    (dh // (CAST(1 AS BIGINT) << (CAST(s AS INTEGER) * 14)))
+          |      % 16384 AS sv, dh
+          |  FROM bits, unnest(range(0, 4)) AS t(s)),
+          |cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+          |    x.dh AS da, y.dh AS db
+          |  FROM segs x JOIN segs y
+          |    ON x.s = y.s AND x.sv = y.sv AND x.media_id < y.media_id)
+          |SELECT a, b, CAST(bit_count(xor(da, db)) AS INTEGER) AS hamming
+          |FROM cand WHERE bit_count(xor(da, db)) <= 3
+          |ORDER BY a, b""".stripMargin,
 
       "mm2_thumbnail" ->
         s"""WITH d0 AS (SELECT doc_id AS media_id, text,

@@ -77,6 +77,39 @@ class MultimodalSpec extends SparkSpec {
       r.getLong(3) == 16L * 97)
   }
 
+  test("dHash: a one-byte interior perturbation stays within Hamming 3; " +
+      "unrelated media are far") {
+    import Multimodal.MediaRecord
+    val base = Multimodal.synthesize(spark, 20, "image")
+    val twin = base.filter(col("media_id") === 3L)
+      .as[MediaRecord].map { m =>
+        val b = m.media.clone(); b(100) = (b(100) ^ 0x5a).toByte
+        m.copy(media_id = 1003L, media = b)
+      }
+    val all = base.as[MediaRecord].union(twin)
+    val pairs = Multimodal.dhashNearDups(Multimodal.dhash(all))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the planted twin is found with a small distance
+    assert(pairs.exists { case (a, b, h) => a == 3L && b == 1003L && h <= 3 })
+    // random media do not collide wholesale: pair count stays tiny
+    assert(pairs.length < 5)
+  }
+
+  test("dHash banding finds exactly the pairs exact Hamming would") {
+    import Multimodal.MediaRecord
+    val media = Multimodal.synthesize(spark, 40, "image")
+    val hashes = Multimodal.dhash(media)
+    val banded = Multimodal.dhashNearDups(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val exact = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    // pigeonhole guarantee: banding can never MISS a within-distance pair
+    assert(banded == exact)
+  }
+
   test("audio features feed the standard ANN operator") {
     val media = Multimodal.synthesize(spark, 30, "audio")
     val feats = Multimodal.audioFeatures(media, windows = 16)
