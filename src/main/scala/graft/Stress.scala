@@ -439,7 +439,10 @@ object Stress {
       val poolT = min2(poolStress(spark, docsN)._1)
       val triT = min2(triangleStress(spark, 20000L * f)._1)
       val phT = min2(phraseStress(spark, docsN)._1)
-      val fzT = min2(fuzzyStress(spark, 2000L * f)._1)
+      // 10k/f: at 2k/f both points sat under the ~1 s job floor, where
+      // run jitter can invert the pair — size the family so the x100
+      // point does visibly more levenshtein work than x10
+      val fzT = min2(fuzzyStress(spark, 10000L * f)._1)
       val kcT = min2(kcoreStress(spark, 10000L * f)._1)
       dedup ++ Seq(
         s"x${f}_hb1_batch" -> searchT,
