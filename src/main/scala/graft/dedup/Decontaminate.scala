@@ -43,6 +43,30 @@ object Decontaminate {
       .filter(col("shared") >= minShared)
   }
 
+  /** Exact-substring contamination — the other standard flavor beside
+    * the n-gram collision test: a corpus doc is flagged when any eval
+    * probe string appears in it VERBATIM (raw characters, not
+    * normalized tokens — catches formatting-preserving copies the
+    * token n-grams also catch plus sub-token-boundary matches).
+    * Output: (doc_id, n_hits, first_bench_id) per contaminated doc.
+    *
+    * Scale shape: probes are eval-set-sized by construction, so the
+    * probe relation broadcasts and the corpus streams through one
+    * nested-loop contains filter — a deliberate broadcast
+    * nested-loop, NOT a corpus cartesian (the probe side is the small
+    * fixed one; `contains` has no join key to hash on).
+    */
+  def substringContaminated(corpus: DataFrame, cTextCol: String,
+      cIdCol: String, probes: DataFrame, pTextCol: String,
+      pIdCol: String): DataFrame =
+    corpus.select(col(cIdCol).as("doc_id"), col(cTextCol).as("text"))
+      .crossJoin(broadcast(probes.select(col(pIdCol).as("bench_id"),
+        col(pTextCol).as("probe"))))
+      .filter(col("text").contains(col("probe")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        min(col("bench_id")).as("first_bench_id"))
+
   /** The corpus minus every document contaminated against `bench` —
     * one anti-join on the flagged ids.
     */

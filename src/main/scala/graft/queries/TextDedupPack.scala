@@ -698,6 +698,23 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-substring decontamination — the verbatim-copy flavor
+    // beside dc1's n-gram collisions: eval probe strings (50-char
+    // windows of every 13th doc) broadcast against the streaming
+    // corpus, one contains() nested-loop — the probe side is eval-set-
+    // sized by construction, so this is a broadcast loop, never a
+    // corpus cartesian.
+    "dc2_substring_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = docs
+        .filter(col("doc_id") % 13 === 0 && length(col("text")) >= 60)
+        .select((col("doc_id") + 200000).as("bench_id"),
+          substring(col("text"), 10, 50).as("probe"))
+      graft.dedup.Decontaminate.substringContaminated(
+          docs, "text", "doc_id", probes, "probe", "bench_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup-recall eval — the ar1 symmetry for the dedup family: LSH
     // candidate recall vs the EXACT Jaccard≥0.6 ground truth on a
     // capped doc sample (ground truth is all-pairs by nature, so it is
@@ -2178,6 +2195,17 @@ object TextDedupPack {
     "cc1_star_components" -> ddClustersOracle,
 
     "cr1_cluster_reps" -> crRepsOracle,
+
+    "dc2_substring_decontaminate" ->
+      """WITH probes AS (SELECT doc_id + 200000 AS bench_id,
+        |    substr(text, 10, 50) AS probe
+        |  FROM documents WHERE doc_id % 13 = 0 AND length(text) >= 60),
+        |hits AS (SELECT d.doc_id, p.bench_id
+        |  FROM documents d CROSS JOIN probes p
+        |  WHERE contains(d.text, p.probe))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(bench_id) AS BIGINT) AS first_bench_id
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dre1_dedup_recall" ->
       s"""WITH $toksCte, $shCte, $mhCte,
