@@ -102,14 +102,24 @@ object Bench {
         }
       }
 
-    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"stress":$stress,"sf":"$sfDir"}""")
-    // compact recap AFTER the full line: an aggressive tail capture of
-    // the driver's log keeps the headline numbers even if the full
-    // per-query map (156+ entries) gets truncated upstream
+    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"stress":$stress,"sf":"$sfDir"}"""
+    // compact recap BEFORE the full line: the driver tail-captures the
+    // bench log, so the LAST line is the one that reliably survives —
+    // round 6 printed full-then-compact and the full per-query map was
+    // truncated upstream ("parsed": null). The full line also lands in
+    // BENCH_LOCAL.json so it is never at the mercy of log capture.
     val slow = results.sortBy(-_._2).take(30)
       .map { case (k, v, _, _) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total_compact","value":${j3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"top30":$slow,"sf":"$sfDir"}""")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+    }
+    println(fullLine)
     spark.stop()
   }
 }

@@ -40,7 +40,14 @@ object Stress {
     * measurement inversion), while the min of two runs bounds the
     * contamination the same way the main bench's median-of-3 does.
     */
-  private def min2(f: => Double): Double = math.min(f, f)
+  private def min2(f: => Double): Double = {
+    // two EXPLICIT evaluations — `math.min(f, f)` relies on by-name
+    // double evaluation and a routine refactor would silently turn
+    // min-of-2 into a single run
+    val a = f
+    val b = f
+    math.min(a, b)
+  }
 
   /** Synthetic corpus: n docs × 30 tokens drawn from a 10n-token vocab
     * via portable hashing; doc i ≡ 0 (mod 97) copies doc i-1's first 27
@@ -405,7 +412,8 @@ object Stress {
     * the per-round bench budget — the growth RATIO is the metric, not
     * the absolute size.
     */
-  def runDefault(spark: SparkSession): Seq[(String, Double)] =
+  def runDefault(spark: SparkSession): Seq[(String, Double)] = {
+    warmup(spark)
     Seq(3, 30).flatMap { f =>
       val n = 5000L * f
       Seq(
@@ -415,6 +423,32 @@ object Stress {
         s"x${f}_sa1_spans" -> min2(spanStress(spark, n)._1),
         s"x${f}_spc1_spancorrupt" -> min2(spanCorruptStress(spark, n)._1))
     } ++ run(spark, Seq(10, 100), includeHeavyText = false)
+  }
+
+  /** One DISCARDED pass of every stress family at a tiny size, so the
+    * first recorded (smallest) point does not absorb JIT/codegen warmup
+    * — round 6 recorded x3_sa1 7.6 s > x30_sa1 4.8 s purely because the
+    * x3 point paid first-compilation cost even under min-of-2.
+    */
+  def warmup(spark: SparkSession): Unit = {
+    val n = 2000L
+    dedupStress(spark, n)
+    bigramStress(spark, n)
+    paraDedupStress(spark, n)
+    spanStress(spark, n)
+    spanCorruptStress(spark, n)
+    batchSearchStress(spark, n)
+    docLinksStress(spark, n)
+    walkStress(spark, n)
+    diffKgStress(spark, n)
+    lmScoreStress(spark, n)
+    poolStress(spark, n)
+    triangleStress(spark, n)
+    phraseStress(spark, n)
+    fuzzyStress(spark, n)
+    kcoreStress(spark, n)
+    ()
+  }
 
   def run(spark: SparkSession, factors: Seq[Int],
       includeHeavyText: Boolean = true): Seq[(String, Double)] =

@@ -95,10 +95,17 @@ object KCore {
     *
     * @param maxRounds per-level bound on the inner peel loop (shared
     *                  [[peel]] semantics: exhausting it throws instead
-    *                  of emitting a wrong decomposition).
+    *                  of emitting a wrong decomposition). The default is
+    *                  deliberately much larger than [[kCore]]'s: a full
+    *                  decomposition must survive deep sparse cascades
+    *                  (a path of L nodes at k=2 peels ~2 nodes/round →
+    *                  ~L/2 rounds), and the peel loop ALWAYS terminates
+    *                  on its own (the surviving edge count strictly
+    *                  decreases every continuing round), so the bound is
+    *                  a wall-clock guard, not a termination requirement.
     */
   def coreness(edges: DataFrame, kMax: Int = 64,
-      maxRounds: Int = 100): DataFrame = {
+      maxRounds: Int = 10000): DataFrame = {
     var e = canonical(edges).localCheckpoint(eager = true)
     var acc = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))

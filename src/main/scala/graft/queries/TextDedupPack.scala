@@ -477,10 +477,6 @@ object TextDedupPack {
         .orderBy(col("decile"))
     }),
 
-    // Per-doc n-gram novelty: the fraction of a doc's distinct
-    // k-shingles that occur NOWHERE else in the corpus — high novelty
-    // marks original text, low marks template/memorization risk. One
-    // shingle-df aggregate keyed on content, joined back.
     // Stupid Backoff scoring (Brants 2007): foreground docs scored
     // under a BACKGROUND corpus LM — bigram leg when the background
     // saw the pair, alpha-discounted add-one unigram leg otherwise
@@ -511,6 +507,10 @@ object TextDedupPack {
         .orderBy(col("bucket"))
     }),
 
+    // Per-doc n-gram novelty: the fraction of a doc's distinct
+    // k-shingles that occur NOWHERE else in the corpus — high novelty
+    // marks original text, low marks template/memorization risk. One
+    // shingle-df aggregate keyed on content, joined back.
     "ng1_novelty" -> ((s, d) => {
       // sh feeds the df table and the join back — cache so the
       // tokenize+shingle pass runs once

@@ -21,9 +21,24 @@ object IncrementalRollup {
 
   /** Aggregate a fact batch to the rollup shape: keys + n_rows +
     * sum/min/max per measure column.
+    *
+    * Fails fast on non-integral measure columns: the merge ≡ rebuild
+    * contract is only exact for integer measures (a silent long cast of
+    * a double measure would truncate per-partial and quietly void the
+    * bit-exact guarantee the scaladoc promises).
     */
   def rollup(facts: DataFrame, keys: Seq[String],
       measures: Seq[String]): DataFrame = {
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    val bad = measures.filterNot(m => integral.contains(facts.schema(m).dataType))
+    require(bad.isEmpty,
+      s"IncrementalRollup measures must be integral (byte/short/int/long); " +
+        s"non-integral: ${bad.map(m => s"$m:${facts.schema(m).dataType.simpleString}").mkString(", ")}. " +
+        "Scale doubles to integer units (micro-money, micro-nats) upstream.")
     val aggs = count(lit(1)).cast("long").as("n_rows") +:
       measures.flatMap(m => Seq(
         sum(col(m)).cast("long").as(s"sum_$m"),

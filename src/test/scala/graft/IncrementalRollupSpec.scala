@@ -30,6 +30,14 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(asMap(merged)("c") == ((1L, 99L, 99L, 99L)))
   }
 
+  test("non-integral measure columns fail fast (no silent truncating cast)") {
+    val doubles = Seq(("a", 1.5), ("b", 2.25)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalRollup.rollup(doubles, keys, ms)
+    }
+    assert(ex.getMessage.contains("v:double"))
+  }
+
   test("merging an empty delta is the identity") {
     val r = IncrementalRollup.rollup(base, keys, ms)
     val merged = IncrementalRollup.merge(r, r.limit(0), keys, ms)
