@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * vocabulary). Everything is joins + aggregations over three derived
   * tables — postings(id, term, tf), doc_stats(id, dl), term idf — so
   * Catalyst plans it, partial aggregation applies, and the index tables
-  * can be persisted as Parquet (bucketed by term hash at scale) instead
-  * of a pickled in-memory object (reference `bm25_backend.py:202-267`).
+  * can be persisted as Parquet — bucketed by doc id via
+  * [[writeIndexBucketed]], so the recurring postings ⋈ doc_stats probe
+  * join runs Exchange-free — instead of a pickled in-memory object
+  * (reference `bm25_backend.py:202-267`).
   *
   * The corpus-level scalars (N, avgdl, average_idf) stay as 1-row
   * DataFrames cross-joined in (broadcast), keeping the whole plan lazy:
@@ -109,6 +111,42 @@ object Bm25 {
     Bm25Index(
       spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/doc_stats"),
+      spark.read.parquet(s"$path/corpus"),
+      spark.read.parquet(s"$path/idf"))
+
+  /** Persist the index with the cluster-scale probe layout: postings and
+    * doc_stats are BUCKETED by doc id — the one corpus-sized join every
+    * query pays (`scoreIndexed`'s postings ⋈ doc_stats) then reads both
+    * sides pre-partitioned, zero Exchange. The term-side joins never
+    * need bucketing: query terms / idf / corpus stats are bounded
+    * relations and broadcast by construction. Within each bucket rows
+    * sort by term, so the per-term pushdown filters prune at the parquet
+    * row-group level. Registered as external bucketed tables (`name`
+    * prefix) over `path`; re-running overwrites, so a stale index is
+    * never served.
+    */
+  def writeIndexBucketed(idx: Bm25Index, name: String, path: String,
+      buckets: Int = 8): Unit = {
+    // absolute path: a relative `path` option resolves against the
+    // session warehouse dir, not the working dir
+    val abs = new java.io.File(path).getAbsolutePath
+    idx.postings.repartition(buckets, col("id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("term")
+      .option("path", s"$abs/postings").saveAsTable(s"${name}_postings")
+    idx.docStats.repartition(buckets, col("id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("id")
+      .option("path", s"$abs/doc_stats").saveAsTable(s"${name}_doc_stats")
+    idx.corpus.write.mode("overwrite").parquet(s"$path/corpus")
+    idx.idf.write.mode("overwrite").parquet(s"$path/idf")
+  }
+
+  def readIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      name: String, path: String): Bm25Index =
+    Bm25Index(
+      spark.table(s"${name}_postings"),
+      spark.table(s"${name}_doc_stats"),
       spark.read.parquet(s"$path/corpus"),
       spark.read.parquet(s"$path/idf"))
 

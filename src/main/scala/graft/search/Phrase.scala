@@ -27,22 +27,44 @@ object Phrase {
         posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
 
+  /** Persist positional postings as the write-once index a deployment
+    * probes (the `Bm25.writeIndexBucketed` pattern — round 6 rebuilt the
+    * index per query and phrase stress grew superlinearly): BUCKETED by
+    * id, the join key of every per-term (id, start) equi-join, so the
+    * phrase joins read all sides pre-partitioned with zero Exchange;
+    * SORTED by term within buckets, so each per-term pushdown filter
+    * prunes at the parquet row-group level instead of scanning the full
+    * postings. Registered as an external bucketed table `name` over
+    * `path`; re-running overwrites, so a stale index is never served.
+    */
+  def writeIndex(postings: DataFrame, name: String, path: String,
+      buckets: Int = 8): Unit =
+    postings.repartition(buckets, col("id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("term")
+      // absolute path: a relative `path` option resolves against the
+      // session warehouse dir, not the working dir
+      .option("path", new java.io.File(path).getAbsolutePath)
+      .saveAsTable(name)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = spark.table(name)
+
   /** Docs containing the exact token sequence, with occurrence counts,
     * top-k by (count desc, id). Joins are ordered rarest-term-first;
     * each joined side is re-anchored to the phrase START position so
     * join order cannot change semantics.
+    *
+    * `postings` should be the persisted index ([[writeIndex]] +
+    * [[readIndex]]): each per-term leg is then a term-pushdown scan of
+    * the bucketed table and the (id, start) joins run Exchange-free. A
+    * derived relation also works (specs use one) but re-runs its
+    * derivation once per distinct term plus once for the df probe.
     */
   def phraseSearch(postings: DataFrame, phrase: Seq[String],
       k: Int = 20): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    // ONE pass over the postings derivation: materialize just the
-    // phrase terms' postings (the persisted-index access pattern — a
-    // deployment reads these partitions off the inverted index; a
-    // derived relation would otherwise re-run its explode once per
-    // term plus once for the df probe)
-    val relevant = postings
-      .filter(col("term").isin(phrase.distinct: _*))
-      .localCheckpoint(true)
+    val relevant = postings.filter(col("term").isin(phrase.distinct: _*))
     // document frequencies of just the phrase terms: bounded collect
     // (≤ phrase.length rows), used ONLY to pick a join order
     val dfs = relevant
@@ -50,13 +72,23 @@ object Phrase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val order = phrase.zipWithIndex
       .sortBy { case (t, i) => (dfs.getOrElse(t, 0L), i) }
-    def anchored(t: String, i: Int): DataFrame =
+    // one per-doc row per term leg: the set of phrase-START positions
+    // this term is consistent with. Joining legs on id ALONE (the
+    // bucket key — a compound (id, start) key makes the planner give up
+    // on the bucketed layout) keeps every join Exchange-free off the
+    // persisted index; the adjacency check is then a bounded in-row
+    // set intersection (position sets are capped by document length).
+    def leg(t: String, i: Int, n: Int): DataFrame =
       relevant.filter(col("term") === t)
-        .select(col("id"), (col("pos") - i).as("start"))
-    val matched = order.tail.foldLeft(anchored(order.head._1, order.head._2)) {
-      case (acc, (t, i)) => acc.join(anchored(t, i), Seq("id", "start"))
+        .groupBy(col("id"))
+        .agg(collect_set(col("pos") - i).as(s"starts_$n"))
+    val legs = order.zipWithIndex.map { case ((t, i), n) => leg(t, i, n) }
+    val joined = legs.reduce((a, b) => a.join(b, Seq("id")))
+    val inter = order.indices.tail.foldLeft(col("starts_0")) {
+      (acc, n) => array_intersect(acc, col(s"starts_$n"))
     }
-    matched.groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
+    joined.select(col("id"), size(inter).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
       .orderBy(col("n_matches").desc, col("id")).limit(k)
   }
 }

@@ -55,6 +55,38 @@ object WatchStream {
         max_by(col("dest_path"), col("ts")).as("dest_path"))
   }
 
+  /** Distributed read of a micro-batch's touched files: one `binaryFile`
+    * scan over the (metadata-scale) path list instead of a serial
+    * driver-side `Files.readAllBytes` loop — a large backfill replayed
+    * through the stream path then reads files on the executors with
+    * normal scan parallelism. Paths are mapped back to their ORIGINAL
+    * event strings (the scan returns absolutized file: URIs) so the
+    * downstream joins on file_path still match the stored tables.
+    */
+  private def fileRecords(spark: SparkSession,
+      paths: Seq[String]): org.apache.spark.sql.Dataset[FileRecord] = {
+    import spark.implicits._
+    if (paths.isEmpty) spark.emptyDataset[FileRecord]
+    else {
+      val byAbs = paths.map(p =>
+        new java.io.File(p).getAbsolutePath -> p).toMap
+      spark.read.format("binaryFile").load(paths: _*)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (uri, bytes) =>
+          val abs = new java.net.URI(uri).getPath
+          val p = byAbs.getOrElse(abs, abs)
+          val content = new String(bytes, "UTF-8")
+          val ext = p.replaceAll(""".*\.""", "").toLowerCase
+          FileRecord(p,
+            FileDiscovery.LanguageByExtension.getOrElse(ext, "text"),
+            Chunker.sha256Hex(content),
+            new Timestamp(System.currentTimeMillis()),
+            content.length.toLong, content)
+        }
+    }
+  }
+
   /** ST3: apply one debounced micro-batch to the chunks/vectors tables —
     * and, when `kgPath` is given, to the knowledge-graph tables via the
     * differential rebuild (issue #108): only the batch's files are
@@ -80,16 +112,8 @@ object WatchStream {
           new java.io.File(p).isFile)
 
       import spark.implicits._
-      val records: Seq[FileRecord] = touched.toSeq.map { p =>
-        val content = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-        val ext = p.replaceAll(""".*\.""", "").toLowerCase
-        FileRecord(p,
-          FileDiscovery.LanguageByExtension.getOrElse(ext, "text"),
-          Chunker.sha256Hex(content), new Timestamp(System.currentTimeMillis()),
-          content.length.toLong, content)
-      }
-      val newChunks = records.toDS().flatMap(Chunker.chunkFile _).toDF()
+      val newChunks = fileRecords(spark, touched.toSeq)
+        .flatMap(Chunker.chunkFile _).toDF()
       val enriched = newChunks.withColumn("ctx", HashEmbedder.contextText(
         col("file_path"), col("language"), col("name"), col("content")))
       val newVectors = HashEmbedder.embed(enriched, "chunk_id", "ctx")
@@ -132,17 +156,9 @@ object WatchStream {
           IndexStore.read(spark, s"$kp/edges"))
         val movedDests = moves.select(col("new_path").as("file_path"))
           .collect().map(_.getString(0)).filter(p => new java.io.File(p).isFile)
-        val movedRecords: Seq[FileRecord] = movedDests.toSeq.map { p =>
-          val content = new String(
-            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-          val ext = p.replaceAll(""".*\.""", "").toLowerCase
-          FileRecord(p,
-            FileDiscovery.LanguageByExtension.getOrElse(ext, "text"),
-            Chunker.sha256Hex(content), new Timestamp(System.currentTimeMillis()),
-            content.length.toLong, content)
-        }
         val rechunked = newChunks.unionByName(
-          movedRecords.toDS().flatMap(Chunker.chunkFile _).toDF())
+          fileRecords(spark, movedDests.toSeq)
+            .flatMap(Chunker.chunkFile _).toDF())
         val deletedForKg = deleted.unionByName(
           moves.select(col("old_path").as("file_path")))
         val updated = graft.graph.Kg.differentialUpdate(kg, rechunked, deletedForKg)
