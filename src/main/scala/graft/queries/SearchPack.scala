@@ -76,6 +76,15 @@ object SearchPack {
   /** ev1 cutoff; discount literals derive from it on both sides. */
   val EvalK = 10
 
+  /** e2e2's raw query — chosen to hit the technical-term threshold branch
+    * ("index") AND two synonym groups (fast→quick/rapid, index→catalog),
+    * so the Q1-Q4 stage outputs that parameterize the pipeline are all
+    * non-trivial. The gate derives processed/threshold/alpha/variants by
+    * CALLING QueryProcessor; the oracle inlines the expected values — a
+    * heuristic change upstream breaks the hash.
+    */
+  val E2e2Query = "fast index scan"
+
   /** qp1's eight query templates, one per heuristic branch. */
   val QpTemplates: Map[Int, String] = Map(
     0 -> "db", 1 -> "fast scan", 2 -> "parseFile data",
@@ -179,6 +188,80 @@ object SearchPack {
         .orderBy(col("sim").desc, col("id").asc)
         .limit(20)
         .select(col("id").as("doc_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // The FLAGSHIP §3.1 search lifecycle (search.py:215-432) end to end
+    // in ONE plan: Q1 preprocess → Q2 adaptive threshold → Q3
+    // identifier-aware alpha → Q4 synonym expansion → vector leg
+    // (per-variant embed, per-doc best-variant cosine = A5 vector
+    // flavor, P5 threshold filter, W1 rank) ∥ keyword leg
+    // (variant-merged BM25 off the persisted index = A5/Q7, W1 rank) →
+    // Q8 RRF fusion with W3 max-normalize → Q15 heuristic rerank +
+    // boilerplate penalty over branch-spanning chunk-shaped metadata →
+    // top-k. Q10/Q11 stay out by design: the cross-encoder is the
+    // declared model seam (PairScorer) and MMR is the driver-side
+    // greedy finisher — both spec-verified separately.
+    "e2e2_search_pipeline" -> ((s, d) => {
+      import s.implicits._
+      import graft.search.QueryProcessor
+      val raw = E2e2Query
+      val processed = QueryProcessor.preprocess(raw)
+      val threshold = QueryProcessor.adaptiveThreshold(raw)
+      val alpha = QueryProcessor.hybridAlpha(raw)
+      val variants = QueryProcessor.expand(processed)
+      val docs = Tables.documents(s, d)
+      // vector leg: corpus embedded once, all variant queries embedded
+      // through the SAME featurizer, per-doc best variant similarity
+      val corpus = graft.embed.HashEmbedder.embed(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      val qvecs = graft.embed.HashEmbedder.embed(
+        variants.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("qid", "qtext"), "qid", "qtext")
+        .select(col("vector").as("qvec"))
+      val sims = corpus.crossJoin(broadcast(qvecs))
+        .select(col("id"),
+          VectorFunctions.cosine(col("vector"), col("qvec")).as("sim"))
+        .groupBy(col("id")).agg(max(col("sim")).as("sim"))
+        .filter(col("sim") >= threshold)
+      val vRanks = Fusion.ranked(sims, "id", "sim", 50).select("id", "rank")
+      // keyword leg: variant-merged BM25 off the persisted bucketed index
+      val kScores = Bm25.scoreVariantsIndexed(s, bm25Index(s, d),
+          variants.map(_.split(" ").toSeq))
+        .select(col("id"), round(col("score"), 6).as("score"))
+      val kRanks = Fusion.ranked(kScores, "id", "score", 50)
+        .select("id", "rank")
+      val fused = Fusion.rrf(vRanks, kRanks, alpha)
+        .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"))
+      // chunk-shaped metadata fixture spanning every boost/penalty
+      // branch (boilerplate hit per language set, language-miss case,
+      // exact-identifier name, tests path, migrations path)
+      val meta = docs.select(col("doc_id").as("id"),
+        col("text").as("content"),
+        when(col("doc_id") % 10 === 0, "__init__")
+          .when(col("doc_id") % 10 === 1, "main")
+          .when(col("doc_id") % 10 === 2, "constructor")
+          .when(col("doc_id") % 10 === 3, "initialize")
+          .when(col("doc_id") % 10 === 4, "setUp")
+          .when(col("doc_id") % 10 === 5, raw)
+          .otherwise(concat(lit("fn_"), col("doc_id"))).as("name"),
+        when(col("doc_id") % 4 === 0, "python")
+          .when(col("doc_id") % 4 === 1, "javascript")
+          .when(col("doc_id") % 4 === 2, "ruby")
+          .otherwise("go").as("language"),
+        concat(lit("src/m"), col("doc_id") % 5,
+          when(col("doc_id") % 6 === 0, "/tests")
+            .when(col("doc_id") % 9 === 0, "/migrations")
+            .otherwise(""),
+          lit("/f"), col("doc_id"), lit(".py")).as("file_path"),
+        when(col("doc_id") % 3 === 0, "function")
+          .when(col("doc_id") % 3 === 1, "class")
+          .otherwise("code").as("chunk_type"))
+      val boosted = new graft.search.SearchEngine(s)
+        .boost(fused.join(meta, Seq("id")), raw, "rrf_score")
+      boosted.select(col("id").as("doc_id"), col("rrf_score"),
+          round(col("boosted"), 6).as("final_score"))
+        .orderBy(col("final_score").desc, col("doc_id"))
+        .limit(20)
     }),
 
     // Ranking-quality eval (NDCG@10 / MRR / P@10 / R@10) over a
@@ -312,6 +395,45 @@ object SearchPack {
         .orderBy(col("final_score").desc, col("doc_id"))
         .limit(20)
     }))
+
+  /** The full hash-featurizer pipeline in DuckDB — corpus docs plus the
+    * given (negative-id, text) query rows embedded identically — ending
+    * in CTE evec(id, v). Same n-gram multiset (unigrams + index-aligned
+    * bigrams), same portable-hash buckets, integer counts (the
+    * squared-norm sum is EXACT in any order), same double divide + float
+    * round. CTE names are e-prefixed so the chain composes with the BM25
+    * score CTEs (which own `corpus`/`raw`) in one WITH clause.
+    */
+  private def embedCtes(extra: Seq[(Long, String)]): String = {
+    val bucket =
+      s"(${graft.functions.PortableHash.hash60Sql("7", "gram")} % 64)"
+    val extraRows = extra
+      .map { case (id, t) => s"UNION ALL SELECT $id, '$t'" }.mkString(" ")
+    s"""ecorpus AS (SELECT doc_id AS id, text FROM documents
+       |  $extraRows),
+       |etok AS (SELECT id,
+       |    string_split(${TextFunctions.normalizeSql("text")}, ' ') AS toks
+       |  FROM ecorpus),
+       |egrams AS (SELECT id, unnest(list_concat(toks,
+       |    list_transform(toks[2:], (b, i) -> toks[i] || ' ' || b)))
+       |    AS gram
+       |  FROM etok),
+       |ebk AS (SELECT id, $bucket AS bucket, count(*) AS w
+       |  FROM egrams GROUP BY id, bucket),
+       |emp AS (SELECT id,
+       |    map_from_entries(list(struct_pack(k := bucket, v := w))) AS m
+       |  FROM ebk GROUP BY id),
+       |eraw AS (SELECT id, list_transform(range(0, 64),
+       |    i -> CAST(coalesce(m[i][1], 0) AS DOUBLE)) AS r
+       |  FROM emp),
+       |evec AS (SELECT id,
+       |    list_transform(r, x -> CAST(CASE WHEN nrm > 0 THEN x / nrm
+       |      ELSE 0.0 END AS FLOAT)) AS v
+       |  FROM (SELECT id, r,
+       |      sqrt(list_aggregate(list_transform(r, x -> x * x), 'sum'))
+       |        AS nrm
+       |    FROM eraw))""".stripMargin
+  }
 
   def oracles: Map[String, String] = {
     val bm25Ctes = Bm25.scoreSqlCtes("documents", "doc_id", docTokensSql, Query)
@@ -452,46 +574,84 @@ object SearchPack {
           |  CAST(e.n_variants AS INTEGER) AS n_variants
           |FROM ks JOIN exp e USING (k) ORDER BY e.k""".stripMargin,
 
-      // The full vector path in SQL: same n-gram multiset (unigrams +
-      // index-aligned bigrams), same portable-hash buckets, integer
-      // counts (so the squared-norm sum is EXACT in any order — counts²
-      // are integer-valued doubles), same double divide + float round,
-      // then the float-fold cosine parity. The query embeds as row -1
-      // of the same pipeline.
-      "e2e1_vector_search" -> {
-        val bucket =
-          s"(${graft.functions.PortableHash.hash60Sql("7", "gram")} % 64)"
-        s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents
-           |  UNION ALL SELECT -1, '$E2eQuery'),
-           |tok AS (SELECT id,
-           |    string_split(${TextFunctions.normalizeSql("text")}, ' ') AS toks
-           |  FROM corpus),
-           |grams AS (SELECT id, unnest(list_concat(toks,
-           |    list_transform(toks[2:], (b, i) -> toks[i] || ' ' || b)))
-           |    AS gram
-           |  FROM tok),
-           |bk AS (SELECT id, $bucket AS bucket, count(*) AS w
-           |  FROM grams GROUP BY id, bucket),
-           |mp AS (SELECT id,
-           |    map_from_entries(list(struct_pack(k := bucket, v := w))) AS m
-           |  FROM bk GROUP BY id),
-           |raw AS (SELECT id, list_transform(range(0, 64),
-           |    i -> CAST(coalesce(m[i][1], 0) AS DOUBLE)) AS r
-           |  FROM mp),
-           |vec AS (SELECT id,
-           |    list_transform(r, x -> CAST(CASE WHEN nrm > 0 THEN x / nrm
-           |      ELSE 0.0 END AS FLOAT)) AS v
-           |  FROM (SELECT id, r,
-           |      sqrt(list_aggregate(list_transform(r, x -> x * x), 'sum'))
-           |        AS nrm
-           |    FROM raw)),
+      // The full vector path in SQL (embedCtes), then the float-fold
+      // cosine parity. The query embeds as row -1 of the same pipeline.
+      "e2e1_vector_search" ->
+        s"""WITH ${embedCtes(Seq(-1L -> E2eQuery))},
            |scored AS (SELECT c.id AS doc_id,
            |    ${VectorFunctions.cosineSql("c.v", "q.v")} AS sim
-           |  FROM vec c CROSS JOIN (SELECT v FROM vec WHERE id = -1) q
+           |  FROM evec c CROSS JOIN (SELECT v FROM evec WHERE id = -1) q
            |  WHERE c.id >= 0)
            |SELECT doc_id, round(sim, 6) AS sim FROM scored
            |WHERE sim > 0
-           |ORDER BY sim DESC, doc_id LIMIT 20""".stripMargin
+           |ORDER BY sim DESC, doc_id LIMIT 20""".stripMargin,
+
+      // e2e2: every stage mirrored — the variant-merged BM25 CTEs own
+      // corpus/raw, the e-prefixed featurizer CTEs embed all four
+      // variants as negative ids, the rrf/boost arithmetic replays the
+      // engine's addition order term by term, and the Q1-Q4 outputs
+      // (threshold, alpha, variant list) are inlined as the values the
+      // heuristics MUST produce for this query.
+      "e2e2_search_pipeline" -> {
+        import graft.search.{Boilerplate, QueryProcessor}
+        val raw = E2e2Query
+        val processed = QueryProcessor.preprocess(raw)
+        val threshold = QueryProcessor.adaptiveThreshold(raw)
+        val alpha = QueryProcessor.hybridAlpha(raw)
+        val variants = QueryProcessor.expand(processed)
+        val kwCtes = Bm25.multiScoreSqlCtes("documents", "doc_id",
+          docTokensSql, variants.map(_.split(" ").toSeq))
+        val embCtesStr = embedCtes(
+          variants.zipWithIndex.map { case (v, i) => (-(i + 1).toLong, v) })
+        val q = raw.toLowerCase
+        s"""WITH $kwCtes,
+           |$embCtesStr,
+           |vsims AS (SELECT c.id,
+           |    ${VectorFunctions.cosineSql("c.v", "q.v")} AS sim
+           |  FROM evec c CROSS JOIN (SELECT v FROM evec WHERE id < 0) q
+           |  WHERE c.id >= 0),
+           |vmax AS (SELECT id, MAX(sim) AS sim FROM vsims GROUP BY id
+           |  HAVING MAX(sim) >= ${threshold}::DOUBLE),
+           |vr AS (SELECT id, rank FROM (SELECT id,
+           |    CAST(row_number() OVER (ORDER BY sim DESC, id) AS INTEGER) AS rank
+           |  FROM vmax) WHERE rank <= 50),
+           |ks AS (SELECT id, round(score, 6) AS score FROM merged),
+           |kr AS (SELECT id, rank FROM (SELECT id,
+           |    CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rank
+           |  FROM ks) WHERE rank <= 50),
+           |${Fusion.rrfSql(alpha)},
+           |rq AS (SELECT id, round(rrf_score, 6) AS rrf_score FROM rrf),
+           |meta AS (SELECT doc_id AS id, text AS content,
+           |    CASE WHEN doc_id % 10 = 0 THEN '__init__'
+           |      WHEN doc_id % 10 = 1 THEN 'main'
+           |      WHEN doc_id % 10 = 2 THEN 'constructor'
+           |      WHEN doc_id % 10 = 3 THEN 'initialize'
+           |      WHEN doc_id % 10 = 4 THEN 'setUp'
+           |      WHEN doc_id % 10 = 5 THEN '$raw'
+           |      ELSE 'fn_' || doc_id END AS name,
+           |    CASE WHEN doc_id % 4 = 0 THEN 'python'
+           |      WHEN doc_id % 4 = 1 THEN 'javascript'
+           |      WHEN doc_id % 4 = 2 THEN 'ruby' ELSE 'go' END AS language,
+           |    'src/m' || (doc_id % 5) ||
+           |      CASE WHEN doc_id % 6 = 0 THEN '/tests'
+           |        WHEN doc_id % 9 = 0 THEN '/migrations' ELSE '' END ||
+           |      '/f' || doc_id || '.py' AS file_path,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'function'
+           |      WHEN doc_id % 3 = 1 THEN 'class' ELSE 'code' END AS chunk_type
+           |  FROM documents),
+           |b AS (SELECT m.id, r.rrf_score,
+           |    least(1.0::DOUBLE, r.rrf_score +
+           |      CASE WHEN lower(m.name) = '$q' THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END +
+           |      CASE WHEN contains(lower(m.file_path), '$q') THEN 0.08::DOUBLE ELSE 0.0::DOUBLE END +
+           |      CASE WHEN m.chunk_type = 'function' THEN 0.05::DOUBLE ELSE 0.0::DOUBLE END +
+           |      CASE WHEN m.chunk_type = 'class' THEN 0.03::DOUBLE ELSE 0.0::DOUBLE END -
+           |      CASE WHEN regexp_matches(m.file_path, '(^|/)tests?/') THEN 0.02::DOUBLE ELSE 0.0::DOUBLE END -
+           |      CASE WHEN regexp_matches(m.content, '(?i)(licensed under|auto-generated|do not edit|generated by)')
+           |        OR regexp_matches(m.file_path, '(?i)(_pb2\\.|\\.generated\\.|/migrations/)') THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END +
+           |      ${Boilerplate.penaltySql("m.name", "m.language", raw)}) AS final_raw
+           |  FROM rq r JOIN meta m ON m.id = r.id)
+           |SELECT id AS doc_id, rrf_score, round(final_raw, 6) AS final_score
+           |FROM b ORDER BY final_score DESC, doc_id LIMIT 20""".stripMargin
       },
 
       "b1_bm25_topk" ->

@@ -52,4 +52,23 @@ object Boilerplate {
   def penalty(name: Column, language: Column, query: String,
       amount: Double = DefaultPenalty): Column =
     when(isBoilerplate(name, language, query), amount).otherwise(0.0)
+
+  /** DuckDB mirror of [[penalty]], generated from the SAME per-language
+    * sets so the oracle cannot drift from the engine (the rrfSql /
+    * cosineSql pattern). `name`/`language` are SQL expressions.
+    */
+  def penaltySql(name: String, language: String, query: String,
+      amount: Double = DefaultPenalty): String = {
+    val inQuery =
+      if (query.isEmpty) "FALSE"
+      else s"contains('${query.toLowerCase}', lower($name))"
+    val inSet = LanguageBoilerplate.toSeq.sortBy(_._1)
+      .map { case (lang, names) =>
+        s"(lower($language) = '$lang' AND $name IN (${
+          names.toSeq.sorted.map(n => s"'$n'").mkString(", ")}))"
+      }
+      .mkString(" OR ")
+    s"CASE WHEN $name IS NOT NULL AND NOT ($inQuery) AND ($inSet) " +
+      s"THEN ${amount}::DOUBLE ELSE 0.0::DOUBLE END"
+  }
 }
