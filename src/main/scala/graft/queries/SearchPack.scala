@@ -291,6 +291,70 @@ object SearchPack {
       graft.search.Phrase.phraseSearch(phrasePostings(s, d), PhraseTerms, 30)
     }),
 
+    // Q12 KG boost (search.py:885-936): +0.02 per 1-hop related entity
+    // whose name contains a query term, re-ranked. Fixture: result
+    // chunks with doc_id-residue entity ids, a 7-node neighbor universe
+    // (4 names hit "scan"/"merge", 3 miss), edges in BOTH directions so
+    // the undirected union is exercised; boost counts are exact residue
+    // arithmetic on both sides.
+    "kb1_kg_boost" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val results = docs.filter(col("doc_id") % 5 === 0)
+        .select(concat(lit("c"), col("doc_id")).as("chunk_id"),
+          concat(lit("src/f"), col("doc_id") % 10, lit(".py")).as("file_path"),
+          concat(lit("fn_"), col("doc_id")).as("hierarchy_path"),
+          (((col("doc_id") * 7) % 100).cast("double") / 100.0).as("score"))
+      val entity = concat(lit("src/f"), col("doc_id") % 10,
+        lit(".py::fn_"), col("doc_id"))
+      val e1 = docs.filter(col("doc_id") % 5 === 0)
+        .select(entity.as("src"), concat(lit("n"), col("doc_id") % 7).as("dst"))
+      val e2 = docs.filter(col("doc_id") % 10 === 0)
+        .select(concat(lit("n"), (col("doc_id") + 1) % 7).as("src"),
+          entity.as("dst"))
+      val vertices = docs.filter(col("doc_id") < 7)
+        .select(concat(lit("n"), col("doc_id")).as("id"),
+          when(col("doc_id") === 0, "scan_runner")
+            .when(col("doc_id") === 1, "merge_helper")
+            .when(col("doc_id") === 2, "scan_merge_core")
+            .when(col("doc_id") === 3, "parser")
+            .when(col("doc_id") === 4, "writer")
+            .when(col("doc_id") === 5, "index_scan")
+            .otherwise("noop").as("name"))
+      val kg = graft.graph.Kg.KgTables(vertices,
+        e1.unionByName(e2).withColumn("rel_type", lit("CALLS")))
+      new graft.search.SearchEngine(s)
+        .kgBoost(results, kg, "scan merge", "score")
+        .select(col("chunk_id"),
+          round(col("kg_boosted"), 6).as("kg_boosted"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
+    // Q14 result enhancement + P6 stale flag (result_enhancer.py:14-197):
+    // context lines sliced from the current file content, vanished files
+    // flagged. Fixture: 20 ten-line files; results point at lines 1-10
+    // (empty-before and past-end-after branches both hit) and 1 in 5
+    // result files does not exist (file_missing + null after-context).
+    // Context arrays emitted as ';'-joined strings.
+    "re1_result_enhance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val files = docs.filter(col("doc_id") < 20)
+        .select(concat(lit("f"), col("doc_id")).as("file_path"),
+          array_join(transform(sequence(lit(1), lit(10)),
+            i => concat(lit("line"), col("doc_id"), lit("_"), i)), "\n")
+            .as("content"))
+      val results = docs.filter(col("doc_id") % 15 === 0)
+        .select(concat(lit("c"), col("doc_id")).as("chunk_id"),
+          concat(lit("f"), col("doc_id") % 25).as("file_path"),
+          (col("doc_id") % 10 + 1).cast("int").as("start_line"),
+          (col("doc_id") % 10 + 2).cast("int").as("end_line"))
+      new graft.search.SearchEngine(s).enhance(results, files, 3)
+        .select(col("chunk_id"), col("file_path"), col("start_line"),
+          col("end_line"), col("file_missing"),
+          array_join(col("context_before"), ";").as("ctx_before"),
+          array_join(col("context_after"), ";").as("ctx_after"))
+        .orderBy(col("chunk_id"))
+    }),
+
     // Q7/A3: BM25 top-k for a fixed query.
     "b1_bm25_topk" -> ((s, d) => {
       bm25Scores(s, d)
@@ -653,6 +717,72 @@ object SearchPack {
            |SELECT id AS doc_id, rrf_score, round(final_raw, 6) AS final_score
            |FROM b ORDER BY final_score DESC, doc_id LIMIT 20""".stripMargin
       },
+
+      "kb1_kg_boost" ->
+        """WITH results AS (SELECT 'c' || doc_id AS chunk_id,
+          |    'src/f' || (doc_id % 10) || '.py' AS file_path,
+          |    'fn_' || doc_id AS hierarchy_path,
+          |    CAST((doc_id * 7) % 100 AS DOUBLE) / 100.0 AS score
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |e AS (SELECT 'src/f' || (doc_id % 10) || '.py::fn_' || doc_id AS src,
+          |    'n' || (doc_id % 7) AS dst
+          |  FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT 'n' || ((doc_id + 1) % 7),
+          |    'src/f' || (doc_id % 10) || '.py::fn_' || doc_id
+          |  FROM documents WHERE doc_id % 10 = 0),
+          |v AS (SELECT 'n' || doc_id AS id,
+          |    CASE WHEN doc_id = 0 THEN 'scan_runner'
+          |      WHEN doc_id = 1 THEN 'merge_helper'
+          |      WHEN doc_id = 2 THEN 'scan_merge_core'
+          |      WHEN doc_id = 3 THEN 'parser'
+          |      WHEN doc_id = 4 THEN 'writer'
+          |      WHEN doc_id = 5 THEN 'index_scan'
+          |      ELSE 'noop' END AS name
+          |  FROM documents WHERE doc_id < 7),
+          |rel AS (SELECT src AS eid, dst AS nbr FROM e
+          |  UNION ALL SELECT dst, src FROM e),
+          |hits AS (SELECT r.eid, CAST(count(*) AS BIGINT) AS nh
+          |  FROM rel r JOIN v ON v.id = r.nbr
+          |  WHERE contains(lower(v.name), 'scan')
+          |    OR contains(lower(v.name), 'merge')
+          |  GROUP BY r.eid),
+          |b AS (SELECT res.chunk_id,
+          |    res.score + coalesce(h.nh * 0.02::DOUBLE, 0.0::DOUBLE)
+          |      AS kg_boosted
+          |  FROM results res LEFT JOIN hits h
+          |    ON h.eid = res.file_path || '::' || res.hierarchy_path)
+          |SELECT chunk_id, round(kg_boosted, 6) AS kg_boosted,
+          |  CAST(row_number() OVER (ORDER BY kg_boosted DESC, chunk_id)
+          |    AS INTEGER) AS rank
+          |FROM b ORDER BY rank""".stripMargin,
+
+      "re1_result_enhance" ->
+        """WITH files AS (SELECT 'f' || doc_id AS file_path,
+          |    array_to_string(list_transform(range(1, 11),
+          |      i -> 'line' || doc_id || '_' || i), chr(10)) AS content
+          |  FROM documents WHERE doc_id < 20),
+          |results AS (SELECT 'c' || doc_id AS chunk_id,
+          |    'f' || (doc_id % 25) AS file_path,
+          |    CAST(doc_id % 10 + 1 AS INTEGER) AS start_line,
+          |    CAST(doc_id % 10 + 2 AS INTEGER) AS end_line
+          |  FROM documents WHERE doc_id % 15 = 0),
+          |j AS (SELECT r.chunk_id, r.file_path, r.start_line, r.end_line,
+          |    string_split(f.content, chr(10)) AS all_lines
+          |  FROM results r LEFT JOIN files f USING (file_path))
+          |SELECT chunk_id, file_path, start_line, end_line,
+          |  all_lines IS NULL AS file_missing,
+          |  CASE WHEN all_lines IS NOT NULL AND start_line > 1
+          |    THEN array_to_string(list_slice(all_lines,
+          |      greatest(start_line - 3, 1),
+          |      greatest(start_line - 3, 1) + least(3, start_line - 1) - 1),
+          |      ';')
+          |    ELSE '' END AS ctx_before,
+          |  CASE WHEN all_lines IS NOT NULL
+          |    THEN array_to_string(list_slice(all_lines,
+          |      end_line + 1, end_line + 3), ';')
+          |    ELSE NULL END AS ctx_after
+          |FROM j ORDER BY chunk_id""".stripMargin,
 
       "b1_bm25_topk" ->
         s"""WITH $bm25Ctes
