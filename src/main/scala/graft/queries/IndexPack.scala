@@ -101,6 +101,38 @@ object IndexPack {
         .orderBy(col("id"), col("i"))
     }),
 
+    // S4 compaction (chunks_backend.py:553-605): a deliberately
+    // FRAGMENTED table (one file per doc_id%64 partition via
+    // partitionBy) compacted by the size-aware repartition rewrite into
+    // a single file (targetBytes >> table size → parts = 1). Measured
+    // evidence: distinct input_file_name() before/after, plus row count
+    // and id checksum proving the rewrite lost nothing. The oracle pins
+    // the file counts (before = #distinct residues, after = 1) and
+    // recomputes the content stats from the source table.
+    "s4_compaction" -> ((s, d) => {
+      import s.implicits._
+      val path = s"target/s4/${java.lang.Long.toHexString(
+        graft.functions.PortableHash.hash60Local("s4", d))}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), (col("doc_id") % 64).as("g"))
+        .repartition(col("g"))
+        .write.partitionBy("g").parquet(path)
+      val before = s.read.parquet(path)
+        .select(input_file_name()).distinct().count()
+      IndexStore.compact(s, path, targetBytes = 1024L * 1024 * 1024)
+      val after = s.read.parquet(path)
+      val afterFiles = after.select(input_file_name()).distinct().count()
+      val st = after
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids")).head()
+      Seq((before, afterFiles, st.getLong(0), st.getLong(1)))
+        .toDF("files_before", "files_after", "n_rows", "id_sum")
+    }),
+
     // JSONL sink + source round trip — the interchange format LLM
     // corpora actually ship in. Write documents as JSON lines, read
     // them back under the explicit schema, and prove the text is
@@ -269,6 +301,13 @@ object IndexPack {
          |  round(CAST(x AS DOUBLE), 6) AS val
          |FROM comp WHERE x <> 0 ORDER BY id, i""".stripMargin
     },
+
+    "s4_compaction" ->
+      """SELECT CAST(count(DISTINCT doc_id % 64) AS BIGINT) AS files_before,
+        |  1::BIGINT AS files_after,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents""".stripMargin,
 
     "js1_jsonl_roundtrip" ->
       """SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
