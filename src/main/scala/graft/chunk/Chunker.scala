@@ -30,10 +30,13 @@ object Chunker {
     """^(\s*)(?:export\s+)?(?:abstract\s+|final\s+|case\s+)*(?:class|object|trait|interface|struct|enum)\s+(\w+)""".r
   private val MdHeader = """^(#{1,6})\s+(.+?)\s*$""".r
 
+  // "print" is deliberately NOT a keyword: it is a real callable in
+  // python3/dart and the reference's parser tests expect it in calls
+  // (tests/unit/parsers/test_parser_calls.py test_dart_parser_calls)
   private val Keywords = Set(
     "if", "elif", "else", "for", "while", "return", "switch", "case",
     "match", "catch", "except", "try", "finally", "with", "def", "class",
-    "function", "lambda", "yield", "await", "async", "new", "print",
+    "function", "lambda", "yield", "await", "async", "new",
     "super", "this", "self", "import", "from", "in", "not", "and", "or",
     "assert", "raise", "throw", "when", "do", "val", "var", "let", "const",
     "func", "fn", "defer")
@@ -109,9 +112,42 @@ object Chunker {
 
   def tokenCount(content: String): Int = """\w+""".r.findAllIn(content).length
 
+  /** Declaration heads stripped before the call scan: `def name(`,
+    * `class Name(Base)`, go receiver methods `func (r *T) Name(` — a
+    * declared name is NOT a call (the reference's tree-sitter call
+    * extractors only visit call-expression nodes, so `def greet(x)`
+    * never reports `greet`; the old regex did).
+    */
+  private val DeclHeadRe =
+    ("""(?:(?:async\s+)?(?:def|function|fn|func)|class)\s+[A-Za-z_]\w*\s*\(?""" +
+      """|func\s*\([^)]*\)\s*[A-Za-z_]\w*\s*\(?""").r
+
   def callNames(content: String, self: String): Seq[String] =
-    """([A-Za-z_]\w*)\s*\(""".r.findAllMatchIn(content).map(_.group(1))
+    """([A-Za-z_]\w*)\s*\(""".r
+      .findAllMatchIn(DeclHeadRe.replaceAllIn(content, " "))
+      .map(_.group(1))
       .filterNot(Keywords.contains).filterNot(_ == self)
+      .foldLeft(Vector.empty[String])((acc, c) => if (acc.contains(c)) acc else acc :+ c)
+
+  /** Ruby paren-less command calls (`puts "x"`, `include Foo`): an
+    * identifier at statement start followed by an argument token — the
+    * shape tree-sitter-ruby parses as a call node and the reference's
+    * ruby test expects (`test_parser_calls.py` `puts` assertion); the
+    * generic `name(` scan cannot see it.
+    */
+  private val RubyCommandRe =
+    """(?m)^[ \t]*([a-z_]\w*[!?]?)[ \t]+(?=["':\[@$\w])""".r
+  private val RubyKeywords = Set(
+    "def", "end", "if", "elsif", "else", "unless", "case", "when",
+    "while", "until", "for", "in", "do", "then", "return", "yield",
+    "begin", "rescue", "ensure", "module", "class", "self", "nil",
+    "true", "false", "and", "or", "not", "super", "break", "next",
+    "redo", "retry", "alias", "undef")
+
+  def rubyCommandCalls(content: String, self: String): Seq[String] =
+    RubyCommandRe.findAllMatchIn(content).map(_.group(1))
+      .filterNot(RubyKeywords.contains).filterNot(Keywords.contains)
+      .filterNot(_ == self)
       .foldLeft(Vector.empty[String])((acc, c) => if (acc.contains(c)) acc else acc :+ c)
 
   def importNames(content: String): Seq[String] = {
@@ -132,7 +168,7 @@ object Chunker {
   def chunkFile(f: FileRecord): Seq[CodeChunk] = {
     val lines = f.content.split("\n", -1)
     val decls: Seq[Decl] = f.language match {
-      case "python" => pythonDecls(lines)
+      case "python" => pythonTopDecls(pythonDecls(lines))
       case "markdown" => return markdownChunks(f, lines)
       case "go" => goDecls(lines)
       case "java" => javaDecls(lines)
@@ -532,6 +568,23 @@ object Chunker {
     }.toSeq
   }
 
+  /** `@name` / `@mod.name(args...)` lines immediately above a decl —
+    * tree-sitter's decorated_definition children; parameterized
+    * decorators keep only the dotted callee name, as the reference's
+    * skeleton generator renders them (`class_skeleton_generator.py:185`).
+    */
+  private val PyDecorator = """^\s*@([\w.]+)""".r
+
+  private def pyDecoratorsAbove(lines: Array[String], line: Int): Seq[String] = {
+    var i = line - 1
+    var acc = List.empty[String]
+    while (i >= 0 && PyDecorator.findFirstMatchIn(lines(i)).isDefined) {
+      acc = PyDecorator.findFirstMatchIn(lines(i)).get.group(1) :: acc
+      i -= 1
+    }
+    acc
+  }
+
   private def pythonDecls(lines: Array[String]): Seq[Decl] =
     lines.zipWithIndex.flatMap {
       case (l, i) =>
@@ -541,15 +594,30 @@ object Chunker {
               .map(p => splitParams(p.group(1)).filterNot(Set("self", "cls")))
               .getOrElse(Nil)
             Some(Decl(i, m.group(1).length, "function", m.group(2), Nil,
-              params = params))
+              params = params, decorators = pyDecoratorsAbove(lines, i)))
           case (_, Some(m)) =>
             val inh = """class\s+\w+\s*\(([^)]*)\)""".r.findFirstMatchIn(l)
               .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .getOrElse(Nil)
-            Some(Decl(i, m.group(1).length, "class", m.group(2), inh))
+            Some(Decl(i, m.group(1).length, "class", m.group(2), inh,
+              decorators = pyDecoratorsAbove(lines, i)))
           case _ => None
         }
     }.toSeq
+
+  /** Drop python defs NESTED INSIDE A FUNCTION: the reference's
+    * traversal stops at `function_definition` nodes
+    * (`parsers/python.py:188-192` extracts and does not recurse), so a
+    * nested def stays part of its enclosing function's chunk — only
+    * module-level and class-level defs become chunks. Class-level
+    * methods keep their class parent (classes DO recurse).
+    */
+  private def pythonTopDecls(decls: Seq[Decl]): Seq[Decl] =
+    decls.zipWithIndex.filterNot { case (d, di) =>
+      decls.take(di)
+        .filter(p => p.indent < d.indent && p.line < d.line)
+        .lastOption.exists(_.kind == "function")
+    }.map(_._1)
 
   private def braceDecls(lines: Array[String]): Seq[Decl] =
     lines.zipWithIndex.flatMap {
@@ -608,7 +676,13 @@ object Chunker {
         hierarchy_path = hierarchy, docstring = docstring,
         signature = lines(d.line).trim, complexity = complexity(content),
         token_count = tokenCount(content),
-        calls = callNames(content, d.name), imports = importNames(content),
+        calls =
+          (if (f.language == "ruby")
+            (callNames(content, d.name) ++ rubyCommandCalls(content, d.name))
+              .foldLeft(Vector.empty[String])((acc, c) =>
+                if (acc.contains(c)) acc else acc :+ c)
+          else callNames(content, d.name)),
+        imports = importNames(content),
         inherits_from = d.inherits,
         parameters = d.params, return_type = d.returnType,
         decorators = d.decorators,

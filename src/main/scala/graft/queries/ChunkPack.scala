@@ -172,7 +172,7 @@ object ChunkPack {
          |    'Class ' || v || ' docs.',
          |    CASE WHEN ev THEN 3 ELSE 2 END,
          |    CASE WHEN ev THEN 3 ELSE 2 END, 1,
-         |    CASE WHEN ev THEN 25 ELSE 23 END, 2, 0, 0, '', 'Base' || b
+         |    CASE WHEN ev THEN 25 ELSE 23 END, 0, 0, 0, '', 'Base' || b
          |  FROM py
          |  UNION ALL
          |  SELECT 'src/m' || v || '.py', 6, 8, 'method', 'ma' || v,

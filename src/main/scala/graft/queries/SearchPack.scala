@@ -355,6 +355,53 @@ object SearchPack {
         .orderBy(col("chunk_id"))
     }),
 
+    // Q11 MMR diversity VALUE eval (the dre1/ev1 pattern): the real
+    // greedy finisher (Mmr.rerank, driver-side on a bounded candidate
+    // set — its documented deployment shape) runs over a
+    // clique-structured fixture: 60 candidates in 6 orthogonal one-hot
+    // clusters (within-sim exactly 1, cross-sim exactly 0) with
+    // relevance ∈ [0.5, 0.99] and lambda = 0.5, so the cluster penalty
+    // (0.5·1) provably dominates any relevance gap (≤ 0.245) and the
+    // greedy MUST pick each cluster's top-relevance candidate, in
+    // descending cluster-max order — which IS SQL-derivable. The gate
+    // emits the measured selection AND the measured intra-list
+    // similarity of MMR-vs-plain-top-k — diversity gained at bounded
+    // relevance cost, quantified.
+    "mv1_mmr_eval" -> ((s, d) => {
+      import s.implicits._
+      val cands = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id").as("id"),
+          (col("doc_id") % 6).cast("int").as("cluster"),
+          (lit(0.5) + ((col("doc_id") * 37) % 50).cast("double") / 100.0)
+            .as("rel"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val byId = cands.map(c => c._1 -> c).toMap
+      val sel = graft.search.Mmr.rerank(
+        cands.toSeq.map { case (id, cl, rel) =>
+          val v = Array.fill(6)(0.0f); v(cl) = 1.0f
+          graft.search.Mmr.Candidate(id, rel, v)
+        }, lambda = 0.5, k = 6)
+      def meanPairSim(ids: Seq[Long]): Double = {
+        val cls = ids.map(byId(_)._2)
+        val pairs = for {
+          i <- cls.indices; j <- i + 1 until cls.length
+        } yield if (cls(i) == cls(j)) 1.0 else 0.0
+        pairs.sum / pairs.length
+      }
+      val topk = cands.sortBy { case (id, _, rel) => (-rel, id) }.take(6)
+      val simMmr = meanPairSim(sel.map(_.id))
+      val simTop = meanPairSim(topk.map(_._1).toSeq)
+      sel.zipWithIndex.map { case (c, i) =>
+        (i + 1, c.id, byId(c.id)._2, c.relevance, simMmr, simTop)
+      }.toDF("sel_rank", "id", "cluster", "rel",
+          "mmr_intra_sim", "topk_intra_sim")
+        .select(col("sel_rank").cast("int").as("sel_rank"), col("id"),
+          col("cluster"), round(col("rel"), 6).as("rel"),
+          round(col("mmr_intra_sim"), 6).as("mmr_intra_sim"),
+          round(col("topk_intra_sim"), 6).as("topk_intra_sim"))
+        .orderBy(col("sel_rank"))
+    }),
+
     // Q7/A3: BM25 top-k for a fixed query.
     "b1_bm25_topk" -> ((s, d) => {
       bm25Scores(s, d)
@@ -717,6 +764,28 @@ object SearchPack {
            |SELECT id AS doc_id, rrf_score, round(final_raw, 6) AS final_score
            |FROM b ORDER BY final_score DESC, doc_id LIMIT 20""".stripMargin
       },
+
+      // mv1: the provable greedy outcome — per-cluster argmax by
+      // (rel desc, id), selection ordered by rel desc; intra-list sim 0
+      // for the one-per-cluster set, same-cluster-pairs/15 for plain
+      // top-6.
+      "mv1_mmr_eval" ->
+        """WITH c AS (SELECT doc_id AS id,
+          |    CAST(doc_id % 6 AS INTEGER) AS cluster,
+          |    0.5 + CAST((doc_id * 37) % 50 AS DOUBLE) / 100.0 AS rel
+          |  FROM documents WHERE doc_id < 60),
+          |best AS (SELECT id, cluster, rel, row_number() OVER (
+          |    PARTITION BY cluster ORDER BY rel DESC, id) AS rn FROM c),
+          |sel AS (SELECT id, cluster, rel, CAST(row_number() OVER (
+          |    ORDER BY rel DESC, id) AS INTEGER) AS sel_rank
+          |  FROM best WHERE rn = 1),
+          |topk AS (SELECT cluster FROM c ORDER BY rel DESC, id LIMIT 6),
+          |tp AS (SELECT coalesce(SUM(n * (n - 1) / 2), 0) AS sp
+          |  FROM (SELECT count(*) AS n FROM topk GROUP BY cluster))
+          |SELECT s.sel_rank, s.id, s.cluster, round(s.rel, 6) AS rel,
+          |  0.0::DOUBLE AS mmr_intra_sim,
+          |  round(tp.sp / 15.0, 6) AS topk_intra_sim
+          |FROM sel s CROSS JOIN tp ORDER BY s.sel_rank""".stripMargin,
 
       "kb1_kg_boost" ->
         """WITH results AS (SELECT 'c' || doc_id AS chunk_id,

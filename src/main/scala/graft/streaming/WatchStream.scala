@@ -112,8 +112,13 @@ object WatchStream {
           new java.io.File(p).isFile)
 
       import spark.implicits._
+      // eager checkpoint: materialize the (micro-batch-sized) chunk rows
+      // so the object-typed flatMap segment never reaches the downstream
+      // union/join optimizer — Catalyst can push a Project into the
+      // object pipeline there and fail serialization (seen as
+      // INTERNAL_ERROR 'object' writer on the KG union path)
       val newChunks = fileRecords(spark, touched.toSeq)
-        .flatMap(Chunker.chunkFile _).toDF()
+        .flatMap(Chunker.chunkFile _).toDF().localCheckpoint(true)
       val enriched = newChunks.withColumn("ctx", HashEmbedder.contextText(
         col("file_path"), col("language"), col("name"), col("content")))
       val newVectors = HashEmbedder.embed(enriched, "chunk_id", "ctx")
@@ -158,7 +163,7 @@ object WatchStream {
           .collect().map(_.getString(0)).filter(p => new java.io.File(p).isFile)
         val rechunked = newChunks.unionByName(
           fileRecords(spark, movedDests.toSeq)
-            .flatMap(Chunker.chunkFile _).toDF())
+            .flatMap(Chunker.chunkFile _).toDF().localCheckpoint(true))
         val deletedForKg = deleted.unionByName(
           moves.select(col("old_path").as("file_path")))
         val updated = graft.graph.Kg.differentialUpdate(kg, rechunked, deletedForKg)
