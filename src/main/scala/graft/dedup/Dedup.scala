@@ -333,8 +333,9 @@ object Dedup {
     * verified with exact Jaccard. The corpus pays nothing at batch time
     * beyond the band equi-join probe and the candidate-routed shingle
     * intersection — its shingle/band tables are the write-once index
-    * `DedupCache` persists (on a cluster, bucketed by (band, band_val) /
-    * doc_id so both probes co-locate without a shuffle). Batch-side
+    * `DedupCache` persists — BUCKETED by (band, band_val) / doc_id, so
+    * both probes read the corpus side pre-partitioned with zero
+    * Exchange (BucketedLayoutSpec). Batch-side
     * shingles and bands are recomputed fresh, but the batch is the small
     * side by construction.
     *

@@ -37,7 +37,7 @@ object DedupCache {
       // absolute path: a relative `path` option resolves against the
       // session warehouse dir, not the working dir
       val path = new java.io.File(s"target/dedup/$h").getAbsolutePath
-      val buckets = 8
+      val buckets = 32
       val sh = Dedup.docShingles(
         Tables.documents(spark, sfDir), "text", "doc_id", shingleK)
       sh.repartition(buckets, col("doc_id"))

@@ -126,7 +126,7 @@ object Bm25 {
     * never served.
     */
   def writeIndexBucketed(idx: Bm25Index, name: String, path: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 32): Unit = {
     // absolute path: a relative `path` option resolves against the
     // session warehouse dir, not the working dir
     val abs = new java.io.File(path).getAbsolutePath

@@ -38,7 +38,7 @@ object Phrase {
     * `path`; re-running overwrites, so a stale index is never served.
     */
   def writeIndex(postings: DataFrame, name: String, path: String,
-      buckets: Int = 8): Unit =
+      buckets: Int = 32): Unit =
     postings.repartition(buckets, col("id"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "id").sortBy("term")
