@@ -190,6 +190,26 @@ object SearchPack {
         .select(col("id").as("doc_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    // Q16 search_similar, batch flavor (search.py:434-483): every seed
+    // document's CONTENT is run through query preprocessing
+    // (abbreviation expansion + order-preserving dedup — so the query
+    // vector genuinely differs from the seed's stored corpus vector)
+    // and re-embedded through the same featurizer IN-PLAN, then one
+    // broadcast KNN join ranks the corpus per seed, self excluded.
+    // Both embedding chains AND the preprocess are mirrored in the
+    // oracle.
+    "ss1_search_similar" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val vecs = graft.embed.HashEmbedder.embed(docs, "doc_id", "text")
+        .select(col("id").as("chunk_id"), col("vector"))
+      val seeds = docs.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("chunk_id"), col("text").as("content"))
+      new graft.search.SearchEngine(s).searchSimilarBatch(vecs, seeds, 10)
+        .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"),
+          col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The FLAGSHIP §3.1 search lifecycle (search.py:215-432) end to end
     // in ONE plan: Q1 preprocess → Q2 adaptive threshold → Q3
     // identifier-aware alpha → Q4 synonym expansion → vector leg
@@ -515,35 +535,67 @@ object SearchPack {
     * round. CTE names are e-prefixed so the chain composes with the BM25
     * score CTEs (which own `corpus`/`raw`) in one WITH clause.
     */
-  private def embedCtes(extra: Seq[(Long, String)]): String = {
+  /** The hash-n-gram featurizer pipeline (HashEmbedder mirror) as
+    * DuckDB CTEs over an arbitrary (id, text) source CTE, names
+    * prefixed so two chains (e.g. corpus + preprocessed seeds) can
+    * coexist in one query. Final CTE `<p>vec` has (id, v).
+    */
+  private def embedPipelineCtes(p: String, srcCte: String): String = {
     val bucket =
       s"(${graft.functions.PortableHash.hash60Sql("7", "gram")} % 64)"
-    val extraRows = extra
-      .map { case (id, t) => s"UNION ALL SELECT $id, '$t'" }.mkString(" ")
-    s"""ecorpus AS (SELECT doc_id AS id, text FROM documents
-       |  $extraRows),
-       |etok AS (SELECT id,
+    s"""${p}tok AS (SELECT id,
        |    string_split(${TextFunctions.normalizeSql("text")}, ' ') AS toks
-       |  FROM ecorpus),
-       |egrams AS (SELECT id, unnest(list_concat(toks,
+       |  FROM $srcCte),
+       |${p}grams AS (SELECT id, unnest(list_concat(toks,
        |    list_transform(toks[2:], (b, i) -> toks[i] || ' ' || b)))
        |    AS gram
-       |  FROM etok),
-       |ebk AS (SELECT id, $bucket AS bucket, count(*) AS w
-       |  FROM egrams GROUP BY id, bucket),
-       |emp AS (SELECT id,
+       |  FROM ${p}tok),
+       |${p}bk AS (SELECT id, $bucket AS bucket, count(*) AS w
+       |  FROM ${p}grams GROUP BY id, bucket),
+       |${p}mp AS (SELECT id,
        |    map_from_entries(list(struct_pack(k := bucket, v := w))) AS m
-       |  FROM ebk GROUP BY id),
-       |eraw AS (SELECT id, list_transform(range(0, 64),
+       |  FROM ${p}bk GROUP BY id),
+       |${p}raw AS (SELECT id, list_transform(range(0, 64),
        |    i -> CAST(coalesce(m[i][1], 0) AS DOUBLE)) AS r
-       |  FROM emp),
-       |evec AS (SELECT id,
+       |  FROM ${p}mp),
+       |${p}vec AS (SELECT id,
        |    list_transform(r, x -> CAST(CASE WHEN nrm > 0 THEN x / nrm
        |      ELSE 0.0 END AS FLOAT)) AS v
        |  FROM (SELECT id, r,
        |      sqrt(list_aggregate(list_transform(r, x -> x * x), 'sum'))
        |        AS nrm
-       |    FROM eraw))""".stripMargin
+       |    FROM ${p}raw))""".stripMargin
+  }
+
+  private def embedCtes(extra: Seq[(Long, String)]): String = {
+    val extraRows = extra
+      .map { case (id, t) => s"UNION ALL SELECT $id, '$t'" }.mkString(" ")
+    s"""ecorpus AS (SELECT doc_id AS id, text FROM documents
+       |  $extraRows),
+       |${embedPipelineCtes("e", "ecorpus")}""".stripMargin
+  }
+
+  /** QueryProcessor.preprocess mirror over an (id, text) source CTE:
+    * whitespace split, lowercase abbreviation expansion keeping the
+    * original token on a miss, first-occurrence case-sensitive dedup.
+    * Final CTE `${p}q` has (id, text).
+    */
+  private def preprocessCtes(p: String, srcCte: String): String = {
+    val abbrevCase = graft.search.QueryProcessor.Abbreviations
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }
+      .mkString(" ")
+    s"""${p}tk AS (SELECT id, u.t AS tok, u.i AS i
+       |  FROM (SELECT id, unnest(list_transform(
+       |      list_filter(regexp_split_to_array(text, '\\s+'),
+       |        x -> x <> ''),
+       |      (t, i) -> {'t': t, 'i': i})) AS u FROM $srcCte)),
+       |${p}ex AS (SELECT id, i,
+       |    CASE lower(tok) $abbrevCase ELSE tok END AS tok FROM ${p}tk),
+       |${p}dd AS (SELECT id, tok, min(i) AS fi FROM ${p}ex
+       |  GROUP BY id, tok),
+       |${p}q AS (SELECT id, string_agg(tok, ' ' ORDER BY fi) AS text
+       |  FROM ${p}dd GROUP BY id)""".stripMargin
   }
 
   def oracles: Map[String, String] = {
@@ -696,6 +748,28 @@ object SearchPack {
            |SELECT doc_id, round(sim, 6) AS sim FROM scored
            |WHERE sim > 0
            |ORDER BY sim DESC, doc_id LIMIT 20""".stripMargin,
+
+      // ss1: corpus featurizer chain (evec) + seed preprocess chain
+      // (pq) + seed featurizer chain (qvec), then per-seed cosine
+      // ranking with self excluded — rank assigned before the
+      // threshold filter, like the engine.
+      "ss1_search_similar" -> {
+        s"""WITH ${embedCtes(Seq.empty)},
+           |sraw AS (SELECT doc_id AS id, text FROM documents
+           |  WHERE doc_id % 101 = 0),
+           |${preprocessCtes("p", "sraw")},
+           |${embedPipelineCtes("q", "pq")},
+           |sscored AS (SELECT q.id AS qid, c.id AS id,
+           |    ${VectorFunctions.cosineSql("c.v", "q.v")} AS sim
+           |  FROM evec c CROSS JOIN qvec q WHERE c.id <> q.id),
+           |sranked AS (SELECT qid, id, sim,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, id) AS INTEGER) AS rank
+           |  FROM sscored)
+           |SELECT qid, id, round(sim, 6) AS sim, rank FROM sranked
+           |WHERE rank <= 10 AND sim >= 0.0
+           |ORDER BY qid, rank""".stripMargin
+      },
 
       // e2e2: every stage mirrored — the variant-merged BM25 CTEs own
       // corpus/raw, the e-prefixed featurizer CTEs embed all four

@@ -46,6 +46,24 @@ object QueryProcessor {
     seen.mkString(" ")
   }
 
+  /** Column-level [[preprocess]] for content-as-query flows (Q16
+    * search_similar runs every SEED DOCUMENT's text through query
+    * preprocessing before re-embedding): same whitespace split,
+    * lowercase abbreviation lookup keeping the original token on a
+    * miss, and first-occurrence case-sensitive dedup (Spark's
+    * `array_distinct` preserves first-occurrence order). Pure builtin
+    * functions — stays inside codegen, no UDF.
+    */
+  def preprocessCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    val expanded = transform(toks, t =>
+      Abbreviations.foldLeft(t) { case (acc, (k, v)) =>
+        when(lower(t) === k, v).otherwise(acc)
+      })
+    array_join(array_distinct(expanded), " ")
+  }
+
   /** Adaptive similarity threshold. Heuristics (mirroring the reference's
     * direction and magnitudes): single word −0.29; technical term −0.29;
     * ≤3 words −0.1; >6 words +0.1; camelCase/snake_case −0.25; code

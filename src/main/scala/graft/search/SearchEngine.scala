@@ -236,6 +236,29 @@ class SearchEngine(spark: SparkSession) {
     vectorSearch(vectors, query, limit, threshold = Some(0.0))
   }
 
+  /** Q16 batch flavor, fully distributed: every seed chunk's CONTENT is
+    * run through query preprocessing (the reference's content-as-query
+    * path, `search.py:434-483`) and re-embedded IN-PLAN — no driver
+    * collect of content, no per-seed job — then one broadcast KNN join
+    * scores all seeds against the corpus at once (self-matches
+    * excluded, P5 threshold applied in rank order like [[vectorSearch]]).
+    * At cluster scale the corpus side streams; the seed side is the
+    * broadcast (bounded by the caller's seed set).
+    *
+    * @param vectors corpus (chunk_id, vector)
+    * @param seeds   (chunk_id, content) rows to use as queries
+    */
+  def searchSimilarBatch(vectors: DataFrame, seeds: DataFrame, k: Int,
+      threshold: Double = 0.0): DataFrame = {
+    val prepped = seeds.select(col("chunk_id").as("qid"),
+      QueryProcessor.preprocessCol(col("content")).as("qtext"))
+    val qvecs = HashEmbedder.embed(prepped, "qid", "qtext")
+      .select(col("id").as("qid"), col("vector").as("qvec"))
+    graft.ann.Knn.bruteForceTopK(vectors, "chunk_id", "vector",
+        qvecs, "qid", "qvec", k)
+      .filter(col("sim") >= threshold)
+  }
+
   /** Regex function extraction (reference `search.py:714-746`): the
     * def/function block from its declaration to the next same-indent
     * declaration.

@@ -108,4 +108,33 @@ class EngineSpec extends SparkSpec {
     assert(hits.nonEmpty)
     assert(!hits.map(_.getAs[String]("chunk_id")).contains(anyId))
   }
+
+  test("preprocessCol matches the driver-side preprocess exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val queries = Seq(
+      "db config lookup", "  fast   scan\nmerge  ", "Auth AUTH auth",
+      "table scan table scan", "impl of the impl", "one", "CamelCase x_y")
+    val got = queries.toDF("q")
+      .select(graft.search.QueryProcessor.preprocessCol(col("q")))
+      .as[String].collect().toSeq
+    assert(got == queries.map(graft.search.QueryProcessor.preprocess))
+  }
+
+  test("searchSimilarBatch: per-seed ranked results, self excluded") {
+    val (_, vectors) = engine.buildIndex(sampleRepo)
+    import org.apache.spark.sql.functions.col
+    val seeds = vectors.select(col("chunk_id"), col("content")).limit(2)
+    val seedIds = seeds.collect().map(_.getString(0)).toSet
+    val hits = engine.searchSimilarBatch(
+      vectors.select(col("chunk_id"), col("vector")), seeds, 3).collect()
+    assert(hits.nonEmpty)
+    val byQ = hits.groupBy(_.getAs[String]("qid"))
+    assert(byQ.keySet == seedIds)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      assert(!rows.map(_.getAs[String]("id")).contains(q))
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+    }
+  }
 }
