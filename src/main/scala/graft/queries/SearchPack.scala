@@ -91,6 +91,9 @@ object SearchPack {
     3 -> "a.b.c lookup", 4 -> "http cache index fetch merge sort scan",
     5 -> "snake_case term", 6 -> "config auth db", 7 -> "obj::method call")
 
+  /** cv1's query — hits the code space via a colliding fixture name. */
+  val CvQuery = "table scan fn_7"
+
   /** ph1 phrase — adjacent-token exact match over the documents corpus. */
   val PhraseTerms = Seq("table", "scan")
 
@@ -208,6 +211,36 @@ object SearchPack {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"),
           col("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Q13 code-vector enrichment (search.py:1069-1228): a SECOND,
+    // code-shaped embedding space (name + hierarchy + signature +
+    // calls only) built with the same featurizer over chunk metadata
+    // derived from the documents table (names collide across chunks,
+    // signatures carry real text tokens); the query embeds into that
+    // space, its top-20 code matches get +0.15, and the prior-stage
+    // result list re-ranks. Membership in the boost set depends on
+    // exact cosine ordering — both embedding chains mirrored.
+    "cv1_code_vectors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val meta = docs.select(col("doc_id").as("chunk_id"),
+        concat(lit("fn_"), col("doc_id") % 40).as("name"),
+        concat(lit("Mod"), col("doc_id") % 7, lit(".fn_"),
+          col("doc_id") % 40).as("hierarchy_path"),
+        concat_ws(" ",
+          slice(TextFunctions.tokens(col("text")), 1, 5)).as("signature"),
+        array(concat(lit("call_"), col("doc_id") % 11),
+          concat(lit("helper_"), col("doc_id") % 5)).as("calls"))
+      val codeVecs = new graft.search.SearchEngine(s).buildCodeVectors(meta)
+      val results = docs
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 300)
+        .select(col("doc_id").as("chunk_id"),
+          (((col("doc_id") * 7) % 100).cast("double") / 100.0).as("score"))
+      new graft.search.SearchEngine(s)
+        .codeVectorEnrich(results, codeVecs, CvQuery, "score", 20)
+        .select(col("chunk_id"),
+          round(col("enriched_score"), 6).as("enriched_score"), col("rank"))
+        .orderBy(col("rank"))
     }),
 
     // The FLAGSHIP §3.1 search lifecycle (search.py:215-432) end to end
@@ -769,6 +802,44 @@ object SearchPack {
            |SELECT qid, id, round(sim, 6) AS sim, rank FROM sranked
            |WHERE rank <= 10 AND sim >= 0.0
            |ORDER BY qid, rank""".stripMargin
+      },
+
+      // cv1: code-text view → featurizer chain → query top-20 → +0.15
+      // → re-rank; the query embeds as id -1 of the same chain.
+      "cv1_code_vectors" -> {
+        val pq = graft.search.QueryProcessor.preprocess(CvQuery)
+        s"""WITH cmeta AS (SELECT doc_id AS id,
+           |    'fn_' || (doc_id % 40) AS name,
+           |    'Mod' || (doc_id % 7) || '.fn_' || (doc_id % 40) AS hier,
+           |    array_to_string(list_slice(
+           |      string_split(${TextFunctions.normalizeSql("text")}, ' '),
+           |      1, 5), ' ') AS sig,
+           |    'call_' || (doc_id % 11) || ' ' || 'helper_' || (doc_id % 5)
+           |      AS calls
+           |  FROM documents),
+           |ctext AS (SELECT id,
+           |    name || ' ' || hier || ' ' || sig || ' ' || calls AS text
+           |  FROM cmeta
+           |  UNION ALL SELECT -1, '$pq'),
+           |${embedPipelineCtes("c", "ctext")},
+           |csims AS (SELECT c.id,
+           |    ${VectorFunctions.cosineSql("c.v", "q.v")} AS csim
+           |  FROM cvec c CROSS JOIN (SELECT v FROM cvec WHERE id = -1) q
+           |  WHERE c.id >= 0),
+           |ctop AS (SELECT id FROM (SELECT id,
+           |    row_number() OVER (ORDER BY csim DESC, id) AS rn FROM csims)
+           |  WHERE rn <= 20),
+           |res AS (SELECT doc_id AS id,
+           |    CAST((doc_id * 7) % 100 AS DOUBLE) / 100.0 AS score
+           |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300),
+           |enr AS (SELECT r.id, r.score +
+           |    CASE WHEN t.id IS NOT NULL THEN 0.15::DOUBLE
+           |      ELSE 0.0::DOUBLE END AS es
+           |  FROM res r LEFT JOIN ctop t USING (id))
+           |SELECT id AS chunk_id, round(es, 6) AS enriched_score,
+           |  CAST(row_number() OVER (ORDER BY es DESC, id) AS INTEGER)
+           |    AS rank
+           |FROM enr ORDER BY rank""".stripMargin
       },
 
       // e2e2: every stage mirrored — the variant-merged BM25 CTEs own
