@@ -206,6 +206,51 @@ object CurationPack {
         .orderBy(col("conv_id"))
     }),
 
+    // DPO preference-pair assembly: per prompt, highest-reward
+    // candidate → chosen, lowest → rejected (lowest-id tiebreaks via
+    // struct-ordered aggregates), margin floor drops near-ties, and
+    // the response texts re-attach through compound-key joins (proven
+    // via sha256). Candidate pool is residue-filtered so group sizes
+    // vary: single-candidate prompts and sub-margin prompts both
+    // exercise the drop branches.
+    "pp1_preference_pairs" -> ((s, d) => {
+      val cands = Tables.documents(s, d)
+        .filter((col("doc_id") * 13) % 97 < 40)
+        .select((col("doc_id") % 150).as("prompt_id"),
+          col("doc_id").as("resp_id"),
+          (((col("doc_id") * 13) % 97).cast("double") / 100.0).as("reward"),
+          col("text"))
+      val p = graft.text.PreferencePairs.pairs(
+        cands, "prompt_id", "resp_id", "reward", minMargin = 0.15)
+      graft.text.PreferencePairs.withTexts(p, cands, "prompt_id",
+          "resp_id", "text")
+        .select(col("prompt_id"), col("chosen_id"),
+          round(col("chosen_reward"), 6).as("chosen_reward"),
+          col("rejected_id"),
+          round(col("rejected_reward"), 6).as("rejected_reward"),
+          round(col("margin"), 6).as("margin"), col("n_candidates"),
+          sha2(col("chosen_text"), 256).as("chosen_sha"),
+          sha2(col("rejected_text"), 256).as("rejected_sha"))
+        .orderBy(col("prompt_id"))
+    }),
+
+    // Reward-based rejection sampling (best-of-N): per prompt keep the
+    // best candidate clearing the reward floor; prompts with zero
+    // acceptees drop entirely; acceptance stats ride the same single
+    // hash aggregate.
+    "rj1_rejection_sampling" -> ((s, d) => {
+      val cands = Tables.documents(s, d)
+        .select((col("doc_id") % 40).as("prompt_id"),
+          col("doc_id").as("resp_id"),
+          (((col("doc_id") * 29) % 101).cast("double") / 100.0).as("reward"))
+      graft.text.RejectionSampling.bestOfN(
+          cands, "prompt_id", "resp_id", "reward", minReward = 0.75)
+        .select(col("prompt_id"), col("best_id"),
+          round(col("best_reward"), 6).as("best_reward"),
+          col("n_candidates"), col("n_accepted"), col("accept_permille"))
+        .orderBy(col("prompt_id"))
+    }),
+
     // Repo-level source concatenation (StarCoder/The-Stack-style code
     // corpus assembly): every repo's files joined into one training
     // document in deterministic (path, id) order with path headers;
@@ -512,6 +557,54 @@ object CurationPack {
          |    AS BIGINT) AS mask_permille
          |FROM r ORDER BY conv_id""".stripMargin
     },
+
+    // pp1: both extremes via tie-deterministic windows (reward ±, id),
+    // margin/near-tie/singleton drops in the WHERE, texts re-attached
+    // and sha'd.
+    "pp1_preference_pairs" ->
+      """WITH cands AS (SELECT doc_id % 150 AS prompt_id, doc_id AS id,
+        |    CAST((doc_id * 13) % 97 AS DOUBLE) / 100.0 AS r, text
+        |  FROM documents WHERE (doc_id * 13) % 97 < 40),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY r DESC, id) AS rb,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY r ASC, id) AS rw
+        |  FROM cands),
+        |c AS (SELECT prompt_id, id AS chosen_id, r AS cr, text AS ct
+        |  FROM rk WHERE rb = 1),
+        |w AS (SELECT prompt_id, id AS rejected_id, r AS wr, text AS wt
+        |  FROM rk WHERE rw = 1),
+        |n AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM cands GROUP BY prompt_id)
+        |SELECT c.prompt_id, c.chosen_id, round(c.cr, 6) AS chosen_reward,
+        |  w.rejected_id, round(w.wr, 6) AS rejected_reward,
+        |  round(c.cr - w.wr, 6) AS margin, n.n_candidates,
+        |  sha256(c.ct) AS chosen_sha, sha256(w.wt) AS rejected_sha
+        |FROM c JOIN w USING (prompt_id) JOIN n USING (prompt_id)
+        |WHERE c.chosen_id <> w.rejected_id
+        |  AND c.cr - w.wr >= 0.15::DOUBLE
+        |ORDER BY c.prompt_id""".stripMargin,
+
+    // rj1: accepted-only window for the survivor, counts from the full
+    // pool, permille via integer division.
+    "rj1_rejection_sampling" ->
+      """WITH cands AS (SELECT doc_id % 40 AS prompt_id, doc_id AS id,
+        |    CAST((doc_id * 29) % 101 AS DOUBLE) / 100.0 AS r
+        |  FROM documents),
+        |acc AS (SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |    ORDER BY r DESC, id) AS rn
+        |  FROM cands WHERE r >= 0.75::DOUBLE),
+        |n AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM cands GROUP BY prompt_id),
+        |na AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_accepted
+        |  FROM acc GROUP BY prompt_id)
+        |SELECT a.prompt_id, a.id AS best_id, round(a.r, 6) AS best_reward,
+        |  n.n_candidates, na.n_accepted,
+        |  CAST((na.n_accepted * 1000) // n.n_candidates AS BIGINT)
+        |    AS accept_permille
+        |FROM acc a JOIN n USING (prompt_id) JOIN na USING (prompt_id)
+        |WHERE a.rn = 1 ORDER BY a.prompt_id""".stripMargin,
 
     "rl1_repo_concat" ->
       """WITH f AS (SELECT 'r' || (doc_id % 25) AS repo,
