@@ -650,6 +650,19 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-annealed curriculum: 4 epochs with rising exact-quantile
+    // score floors (epoch 0 = everything, epoch 3 = top quarter), each
+    // epoch independently shuffled by an epoch-salted portable hash;
+    // positions via ONE two-pass prefix sum over (epoch, key, id) with
+    // metadata-scale epoch offsets — never a per-epoch global window.
+    "cu1_curriculum" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("double").as("score"))
+      graft.text.Curriculum.anneal(docs, "doc_id", "score", epochs = 4)
+        .select(col("epoch"), col("pos"), col("doc_id"))
+        .orderBy(col("epoch"), col("pos"))
+    }),
+
     // Distribution profiling: per-language exact length/token
     // percentiles (R-7 interpolation ≡ DuckDB quantile_cont). The
     // approx-sketch scale path is ProfilingSpec's subject.
@@ -2174,6 +2187,30 @@ object TextDedupPack {
          |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
          |    AS BIGINT) AS shuffle_rank
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    // cu1: quantile_cont floors (R-7 ≡ Spark exact percentile, the pf1
+    // parity), epoch fan-out as a >=-join against the 4 floors,
+    // per-epoch positions via tie-deterministic windows.
+    "cu1_curriculum" ->
+      s"""WITH src AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE)
+         |    AS score FROM documents),
+         |q AS (SELECT quantile_cont(score, [0.0, 0.25, 0.5, 0.75]) AS fs
+         |  FROM src),
+         |es AS (SELECT unnest(range(0, 4)) AS epoch),
+         |fl AS (SELECT e.epoch, q.fs[CAST(e.epoch AS INTEGER) + 1] AS fl
+         |  FROM es e CROSS JOIN q),
+         |kept AS (SELECT f.epoch, s.id FROM src s
+         |  JOIN fl f ON s.score >= f.fl),
+         |keyed AS (SELECT epoch, id,
+         |    ((id + epoch * 7919) * ${graft.text.Mixing.Mult}
+         |      + ${graft.text.Mixing.Add}) % ${graft.text.Mixing.Modulus}
+         |      AS k
+         |  FROM kept)
+         |SELECT CAST(epoch AS INTEGER) AS epoch,
+         |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, id)
+         |    AS BIGINT) AS pos,
+         |  id AS doc_id
+         |FROM keyed ORDER BY epoch, pos""".stripMargin,
 
     "pf1_length_percentiles" ->
       s"""WITH t AS (SELECT lang, n_chars,
