@@ -86,6 +86,43 @@ object MultimodalPack {
         .orderBy(col("a"), col("b"))
     }),
 
+    // mm4: cross-video frame-level near-dup detection (scene dedup):
+    // every-2nd-frame sampling → per-frame dHash (REAL gradient-bit
+    // arithmetic, as mm3) → pigeonhole-banded pairing restricted to
+    // pairs from DIFFERENT videos. Perturbed clip copies guarantee both
+    // kinds of recovery: their frame 0 is a near-twin (one char
+    // changed), frames 1+ are byte-identical (hamming 0).
+    "mm4_frame_dedup" -> ((s, d) => {
+      import s.implicits._
+      val pert = Tables.documents(s, d)
+        .filter(col("doc_id") % 9 === 0 && length(col("text")) >= 16)
+        .select((col("doc_id") + 20000).as("id"),
+          concat(substring(col("text"), 1, 4), lit("z"),
+            expr("substring(text, 6)")).as("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          require(t.forall(_ < 128), s"mm4 fixture requires ASCII")
+          Multimodal.MediaRecord(id, "video", s"synthetic://v/$id",
+            t.getBytes("UTF-8"), Map.empty)
+        }
+      val vids = media(s, d).union(pert)
+      val frames = Multimodal.sampleFrames(vids, everyNth = 2)
+        .as[(Long, Int, Array[Byte])]
+        .map { case (vid, i, f) =>
+          Multimodal.MediaRecord(vid * 100 + i, "frame",
+            s"synthetic://f/$vid/$i", f, Map.empty)
+        }
+      Multimodal.dhashNearDups(Multimodal.dhash(frames))
+        .filter(expr("a div 100") =!= expr("b div 100"))
+        .select(expr("cast(a div 100 as bigint)").as("video_a"),
+          (col("a") % 100).cast("int").as("frame_a"),
+          expr("cast(b div 100 as bigint)").as("video_b"),
+          (col("b") % 100).cast("int").as("frame_b"),
+          col("hamming"))
+        .orderBy(col("video_a"), col("frame_a"), col("video_b"),
+          col("frame_b"))
+    }),
+
     // mm2: REAL nearest-neighbor thumbnail resize (integer-stride
     // sampling over the header-derived byte grid) — the resize stage of
     // the brief, with the sampling arithmetic mirrored index-for-index
@@ -166,6 +203,51 @@ object MultimodalPack {
           |SELECT a, b, CAST(bit_count(xor(da, db)) AS INTEGER) AS hamming
           |FROM cand WHERE bit_count(xor(da, db)) <= 3
           |ORDER BY a, b""".stripMargin,
+
+      "mm4_frame_dedup" ->
+        """WITH basev AS (
+          |  SELECT doc_id AS media_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 20000, substr(text, 1, 4) || 'z' || substr(text, 6)
+          |  FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 16),
+          |b2 AS (SELECT media_id, text, CAST(length(text) AS INTEGER) AS n
+          |  FROM basev),
+          |fr AS (SELECT media_id * 100 + i AS fid,
+          |    substr(text, CAST(i * 256 + 1 AS INTEGER), 256) AS ftext
+          |  FROM b2, unnest(generate_series(0,
+          |    CAST(ceil(n / 256.0) AS INTEGER) - 1)) AS t(i)
+          |  WHERE i % 2 = 0),
+          |g AS (SELECT fid, ftext, CAST(length(ftext) AS INTEGER) AS fn,
+          |    8 + (unicode(substr(ftext, 1, 1)) % 8) AS w
+          |  FROM fr),
+          |g2 AS (SELECT fid, ftext, w, fn // w AS h FROM g
+          |  WHERE fn // w >= 1),
+          |bits AS (SELECT fid,
+          |    CAST(sum(CASE WHEN
+          |      unicode(substr(ftext,
+          |        ((k // 8) * h // 7) * w + ((k % 8) * w // 9) + 1, 1))
+          |      < unicode(substr(ftext,
+          |        ((k // 8) * h // 7) * w + (((k % 8) + 1) * w // 9) + 1, 1))
+          |      THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS dh
+          |  FROM g2, unnest(range(0, 56)) AS t(k)
+          |  GROUP BY fid),
+          |segs AS (SELECT fid, s,
+          |    (dh // (CAST(1 AS BIGINT) << (CAST(s AS INTEGER) * 14)))
+          |      % 16384 AS sv, dh
+          |  FROM bits, unnest(range(0, 4)) AS t(s)),
+          |cand AS (SELECT DISTINCT x.fid AS a, y.fid AS b,
+          |    x.dh AS da, y.dh AS db
+          |  FROM segs x JOIN segs y
+          |    ON x.s = y.s AND x.sv = y.sv AND x.fid < y.fid),
+          |p AS (SELECT a, b, CAST(bit_count(xor(da, db)) AS INTEGER)
+          |      AS hamming
+          |  FROM cand WHERE bit_count(xor(da, db)) <= 3
+          |    AND a // 100 <> b // 100)
+          |SELECT CAST(a // 100 AS BIGINT) AS video_a,
+          |  CAST(a % 100 AS INTEGER) AS frame_a,
+          |  CAST(b // 100 AS BIGINT) AS video_b,
+          |  CAST(b % 100 AS INTEGER) AS frame_b, hamming
+          |FROM p ORDER BY video_a, frame_a, video_b, frame_b""".stripMargin,
 
       "mm2_thumbnail" ->
         s"""WITH d0 AS (SELECT doc_id AS media_id, text,
