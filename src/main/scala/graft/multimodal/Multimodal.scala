@@ -241,4 +241,30 @@ object Multimodal {
       it.map(m => (m.media_id, FakeCodec.audioEnergy(m.media, windows).map(_.toFloat).toSeq))
     }.toDF("media_id", "features")
   }
+
+  /** 56-bit audio fingerprint — the chromaprint-style energy-gradient
+    * hash (the audio analog of [[dhash]], REAL arithmetic end to end):
+    * 57 energy windows, bit w set iff energy(w) < energy(w+1). The
+    * window energies are integer byte sums divided once per window, so
+    * the comparisons are engine-portable; the 56-bit width keeps the
+    * fingerprint non-negative for pure-division segment extraction.
+    * Output (media_id, dhash) feeds [[dhashNearDups]] unchanged — the
+    * banding machinery is modality-agnostic.
+    */
+  def audioFingerprint(media: Dataset[MediaRecord],
+      bits: Int = 56): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val e = FakeCodec.audioEnergy(m.media, bits + 1)
+        var fp = 0L
+        var w = 0
+        while (w < bits) {
+          if (e(w) < e(w + 1)) fp |= 1L << w
+          w += 1
+        }
+        (m.media_id, fp)
+      }
+    }.toDF("media_id", "dhash")
+  }
 }

@@ -123,6 +123,29 @@ object MultimodalPack {
           col("frame_b"))
     }),
 
+    // mm5: audio near-dup detection — the chromaprint-style
+    // energy-gradient fingerprint (audio analog of mm3's dHash: 57
+    // integer-sum energy windows, bit w iff e(w) < e(w+1)) through the
+    // SAME modality-agnostic banding. Every planted one-char perturbed
+    // twin recovers.
+    "mm5_audio_neardups" -> ((s, d) => {
+      import s.implicits._
+      val pert = Tables.documents(s, d)
+        .filter(col("doc_id") % 11 === 0 && length(col("text")) >= 16)
+        .select((col("doc_id") + 30000).as("id"),
+          concat(substring(col("text"), 1, 7), lit("q"),
+            expr("substring(text, 9)")).as("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          require(t.forall(_ < 128), s"mm5 fixture requires ASCII")
+          Multimodal.MediaRecord(id, "audio", s"synthetic://a/$id",
+            t.getBytes("UTF-8"), Map.empty)
+        }
+      val auds = media(s, d).union(pert)
+      Multimodal.dhashNearDups(Multimodal.audioFingerprint(auds))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // mm2: REAL nearest-neighbor thumbnail resize (integer-stride
     // sampling over the header-derived byte grid) — the resize stage of
     // the brief, with the sampling arithmetic mirrored index-for-index
@@ -248,6 +271,46 @@ object MultimodalPack {
           |  CAST(b // 100 AS BIGINT) AS video_b,
           |  CAST(b % 100 AS INTEGER) AS frame_b, hamming
           |FROM p ORDER BY video_a, frame_a, video_b, frame_b""".stripMargin,
+
+      "mm5_audio_neardups" ->
+        s"""WITH basea AS (
+           |  SELECT doc_id AS media_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 30000,
+           |    substr(text, 1, 7) || 'q' || substr(text, 9)
+           |  FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 16),
+           |d0 AS (SELECT media_id, text,
+           |    CAST(length(text) AS INTEGER) AS n,
+           |    GREATEST(1, CAST(length(text) AS INTEGER) // 57) AS sz
+           |  FROM basea),
+           |en AS (SELECT media_id, w,
+           |    CASE WHEN LEAST((w + 1) * sz, n) - w * sz <= 0
+           |      THEN 0.0::DOUBLE
+           |      ELSE CAST(${cpSum(
+                    "substr(text, CAST(w * sz + 1 AS INTEGER), " +
+                      "LEAST((w + 1) * sz, n) - w * sz)")} AS DOUBLE)
+           |        / (LEAST((w + 1) * sz, n) - w * sz) / 255.0::DOUBLE
+           |      END AS e
+           |  FROM d0, unnest(range(0, 57)) AS t(w)),
+           |bits AS (SELECT media_id,
+           |    CAST(sum(CASE WHEN e < nxt
+           |      THEN CAST(1 AS BIGINT) << CAST(w AS INTEGER)
+           |      ELSE 0 END) AS BIGINT) AS dh
+           |  FROM (SELECT media_id, w, e,
+           |      lead(e) OVER (PARTITION BY media_id ORDER BY w) AS nxt
+           |    FROM en)
+           |  WHERE w < 56 GROUP BY media_id),
+           |segs AS (SELECT media_id, s,
+           |    (dh // (CAST(1 AS BIGINT) << (CAST(s AS INTEGER) * 14)))
+           |      % 16384 AS sv, dh
+           |  FROM bits, unnest(range(0, 4)) AS t(s)),
+           |cand AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+           |    x.dh AS da, y.dh AS db
+           |  FROM segs x JOIN segs y
+           |    ON x.s = y.s AND x.sv = y.sv AND x.media_id < y.media_id)
+           |SELECT a, b, CAST(bit_count(xor(da, db)) AS INTEGER) AS hamming
+           |FROM cand WHERE bit_count(xor(da, db)) <= 3
+           |ORDER BY a, b""".stripMargin,
 
       "mm2_thumbnail" ->
         s"""WITH d0 AS (SELECT doc_id AS media_id, text,

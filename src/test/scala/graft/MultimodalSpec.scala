@@ -110,6 +110,22 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("audio fingerprint: one-byte perturbation flips at most 2 gradient bits") {
+    val media = Multimodal.synthesize(spark, 20, "audio", bytesPerItem = 570)
+    val pert = media.map { m =>
+      val b = m.media.clone()
+      b(100) = (b(100) ^ 0x7f).toByte
+      m.copy(media_id = m.media_id + 1000, media = b)
+    }
+    val fps = Multimodal.audioFingerprint(media.union(pert))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { id =>
+      // one byte lands in one energy window -> only the two comparisons
+      // touching that window can flip
+      assert(java.lang.Long.bitCount(fps(id) ^ fps(id + 1000)) <= 2)
+    }
+  }
+
   test("audio features feed the standard ANN operator") {
     val media = Multimodal.synthesize(spark, 30, "audio")
     val feats = Multimodal.audioFeatures(media, windows = 16)
