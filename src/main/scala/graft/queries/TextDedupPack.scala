@@ -1174,6 +1174,28 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer fertility per language (the standard multilingual
+    // tokenizer-eval metric): BPE tokens per word and chars per BPE
+    // token, from the bpe2 sequential encode rolled up by language —
+    // integer sums first, one double division at the end.
+    "tf1_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.Bpe.sequentialTokenCounts(docs, "doc_id", "text",
+          BpeMerges)
+        .join(docs.select(col("doc_id"), col("lang"),
+          col("n_chars")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("n_bpe_tokens")).cast("long").as("n_tokens"),
+          sum(col("n_chars").cast("long")).as("n_chars"))
+        .withColumn("fertility",
+          round(col("n_tokens").cast("double") / col("n_words"), 6))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("lang"))
+    }),
+
     // Model-based quality filtering (fasttext-shaped, Joulin et al.
     // 2016; the CCNet/GPT-3 pipeline stage): linear model over hashed
     // unigram+bigram features, weights as a broadcast relation, mean-
@@ -2488,6 +2510,34 @@ object TextDedupPack {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // tf1: the bpe2 chained-replace encode, joined to lang and rolled
+    // up — sums are BIGINT, the two ratios divide once at the end.
+    "tf1_tokenizer_fertility" -> {
+      val spaced = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
+      val chained = BpeMerges.foldLeft(spaced) { case (e, (a, b)) =>
+        s"replace($e, ' $a $b ', ' ${a + b} ')"
+      }
+      s"""WITH tok AS (SELECT doc_id,
+         |    list_filter(${TextFunctions.tokensSql("text")}, w -> w <> '')
+         |      AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+         |enc AS (SELECT doc_id,
+         |    len(string_split(trim($chained), ' ')) AS n FROM w),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(n) AS BIGINT) AS n_bpe FROM enc GROUP BY doc_id),
+         |j AS (SELECT d.lang, p.n_words, p.n_bpe, d.n_chars
+         |  FROM perdoc p JOIN documents d USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6)
+         |    AS fertility,
+         |  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 6)
+         |    AS chars_per_token
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "ql1_quality_classifier" -> {
