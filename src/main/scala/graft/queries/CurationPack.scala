@@ -91,6 +91,43 @@ object CurationPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Web-corpus URL hygiene: canonicalize (scheme/host fold, default
+    // port + www + fragment strip, tracking-param drop, param sort,
+    // trailing-slash trim) → exact-URL dedup (min-id winner) →
+    // blocklist filter → per-domain cap (top-3 by n_chars). All string
+    // ops codegen'd; the only shuffles are the two partitioned windows.
+    // Fixture: URLs synthesized from doc_id residues so every
+    // canonicalization rule fires on a known subset.
+    "url1_domain_caps" -> ((s, d) => {
+      val id = col("doc_id")
+      val raw = Tables.documents(s, d).select(id, col("n_chars"))
+        .withColumn("url", concat(
+          when(id % 2 === 0, lit("http")).otherwise(lit("https")),
+          lit("://"),
+          when(id % 5 === 0, lit("WWW."))
+            .when(id % 5 === 1, lit("cdn.")).otherwise(lit("")),
+          lit("site"), (id % 13).cast("string"), lit("."),
+          when(id % 3 === 0, lit("com"))
+            .when(id % 3 === 1, lit("org")).otherwise(lit("net")),
+          when(id % 4 === 0, lit(":80"))
+            .when(id % 4 === 1, lit(":443")).otherwise(lit("")),
+          lit("/P/"), floor(id / 7).cast("long").cast("string"),
+          when(id % 6 === 0, lit("/")).otherwise(lit("")),
+          when(id % 2 === 1, concat(lit("?utm_source=x&ref="),
+              (id % 2).cast("string"), lit("&b=2&a=1")))
+            .when(id % 7 === 0, lit("?a=1&utm_campaign=z"))
+            .otherwise(lit("")),
+          when(id % 5 === 0, lit("#sec")).otherwise(lit(""))))
+      val dd = graft.text.UrlHygiene.dedupByUrl(
+        graft.text.UrlHygiene.canonicalize(raw, "url"), "doc_id")
+      graft.text.UrlHygiene.domainCap(dd, cap = 3,
+          blocklist = Seq("site0.com", "site7.org"))
+        .select(col("domain"), col("dom_rank").cast("int").as("dom_rank"),
+          col("doc_id"), col("url_canon"), col("n_chars"),
+          col("domain_urls").cast("long").as("domain_urls"))
+        .orderBy(col("domain"), col("dom_rank"))
+    }),
+
     // Z-order layout: Morton code over (n_chars, doc_id) + fixed-width
     // bucket assignment, rolled up per bucket to show the locality a
     // file-level min/max skip would exploit on BOTH dimensions.
@@ -379,6 +416,76 @@ object CurationPack {
   private val HqQuantiles = Seq(100, 250, 500, 750, 900, 990)
 
   def oracles: Map[String, String] = Map(
+    "url1_domain_caps" ->
+      """WITH raw AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'WWW.'
+        |          WHEN doc_id % 5 = 1 THEN 'cdn.' ELSE '' END) ||
+        |    'site' || CAST(doc_id % 13 AS VARCHAR) || '.' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'com'
+        |          WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':80'
+        |          WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
+        |    '/P/' || CAST(doc_id // 7 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=x&ref=' ||
+        |            CAST(doc_id % 2 AS VARCHAR) || '&b=2&a=1'
+        |          WHEN doc_id % 7 = 0 THEN '?a=1&utm_campaign=z'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(lower(regexp_replace(
+        |      regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+        |      ':(80|443)$', '')), '^www\.', '') AS host,
+        |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS qs
+        |  FROM raw),
+        |parts AS (
+        |  SELECT doc_id, n_chars, host,
+        |    CASE WHEN path0 = '' THEN '/'
+        |         WHEN length(path0) > 1 AND path0 LIKE '%/'
+        |           THEN substr(path0, 1, length(path0) - 1)
+        |         ELSE path0 END AS cpath,
+        |    coalesce(array_to_string(
+        |      list_sort(list_filter(string_split(qs, '&'),
+        |        x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid)'))),
+        |      '&'), '') AS cq
+        |  FROM canon),
+        |curl AS (
+        |  SELECT doc_id, n_chars, host,
+        |    'https://' || host || cpath ||
+        |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS url_canon
+        |  FROM parts),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY url_canon
+        |      ORDER BY doc_id) AS dup_rk
+        |  FROM curl),
+        |dedup AS (
+        |  SELECT url_canon, host, doc_id, n_chars
+        |  FROM ranked WHERE dup_rk = 1),
+        |dom AS (
+        |  SELECT url_canon, doc_id, n_chars,
+        |    list_extract(string_split(host, '.'),
+        |      len(string_split(host, '.')) - 1) || '.' ||
+        |    list_extract(string_split(host, '.'),
+        |      len(string_split(host, '.'))) AS domain
+        |  FROM dedup),
+        |kept AS (
+        |  SELECT domain, doc_id, url_canon, n_chars,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS dom_rank,
+        |    count(*) OVER (PARTITION BY domain) AS domain_urls
+        |  FROM dom
+        |  WHERE domain NOT IN ('site0.com', 'site7.org'))
+        |SELECT domain, CAST(dom_rank AS INTEGER) AS dom_rank, doc_id,
+        |  url_canon, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(domain_urls AS BIGINT) AS domain_urls
+        |FROM kept WHERE dom_rank <= 3
+        |ORDER BY domain, dom_rank""".stripMargin,
+
     "bx1_margin_mining" -> {
       import graft.functions.VectorFunctions
       val fwdCos = VectorFunctions.cosineSql("y.vec", "x.vec")

@@ -19,6 +19,9 @@ object TextDedupPack {
   import TextFunctions._
 
   val ShingleK = 3
+  /** wn1 winnowing gram size / window width. */
+  val WinnowK = 4
+  val WinnowW = 4
   val NumHashes = 12
   val RowsPerBand = 2
   /** d5 Hamming radius — pigeonhole-banded (5 segments of 12 bits). */
@@ -245,6 +248,18 @@ object TextDedupPack {
           array_join(NlpExtract.keywords(col("text"), 8), ",").as("keywords"))
         .orderBy(col("doc_id"))
         .limit(100)
+    }),
+
+    // Winnowing fingerprints (Schleimer 2003): per-window min of 40-bit
+    // k-gram hashes, rightmost tiebreak encoded arithmetically into one
+    // 60-bit key so ONE partitioned window does the whole selection.
+    "wn1_winnow" -> ((s, d) => {
+      graft.dedup.Winnow.fingerprints(
+          Tables.documents(s, d).filter(col("doc_id") < 50),
+          "text", "doc_id", k = WinnowK, w = WinnowW)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("fp").cast("long").as("fp"))
+        .orderBy(col("doc_id"), col("pos"), col("fp"))
     }),
 
     // Exact dedup groups (hash-groupBy on normalized-content sha256).
@@ -1460,6 +1475,34 @@ object TextDedupPack {
          |SELECT d.doc_id, coalesce(a.kw, '') AS keywords
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id LIMIT 100""".stripMargin
+    },
+
+    "wn1_winnow" -> {
+      val h40 = PortableHash.hash60Sql("'wn'", "gram") + " % 1099511627776"
+      s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks
+         |  FROM documents WHERE doc_id < 50),
+         |grams0 AS (SELECT doc_id,
+         |    list_transform(range(1, len(toks) - ${WinnowK - 2}),
+         |      i -> array_to_string(toks[i:i+${WinnowK - 1}], ' ')) AS grams
+         |  FROM tok WHERE len(toks) >= $WinnowK),
+         |g AS (SELECT doc_id, unnest(grams) AS gram,
+         |    unnest(range(1, len(grams) + 1)) - 1 AS pos
+         |  FROM grams0),
+         |keyed AS (SELECT doc_id, pos,
+         |    ($h40) * 1048576 + (1048575 - pos) AS key
+         |  FROM g),
+         |win AS (SELECT doc_id, pos,
+         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+         |      AS sel_key,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_grams
+         |  FROM keyed),
+         |sel AS (SELECT DISTINCT doc_id,
+         |    1048575 - (sel_key % 1048576) AS pos,
+         |    sel_key // 1048576 AS fp
+         |  FROM win WHERE pos <= n_grams - $WinnowW)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+         |FROM sel ORDER BY doc_id, pos, fp""".stripMargin
     },
 
     "d1_exact_dedup" ->
