@@ -91,6 +91,18 @@ object CurationPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Fill-in-the-Middle PSM transform (Bavarian 2022): hash-derived cut
+    // points + apply decision (deterministic per doc, reproducible
+    // shards), <PRE>/<SUF>/<MID> reorder in one codegen projection.
+    "fim1_fill_in_middle" -> ((s, d) => {
+      graft.text.Fim.psm(
+          Tables.documents(s, d).filter(col("doc_id") < 100),
+          "text", "doc_id", ratePct = 50)
+        .select(col("doc_id"), col("fim_applied"), col("lo"), col("hi"),
+          col("fim_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Web-corpus URL hygiene: canonicalize (scheme/host fold, default
     // port + www + fragment strip, tracking-param drop, param sort,
     // trailing-slash trim) → exact-URL dedup (min-id winner) →
@@ -416,6 +428,32 @@ object CurationPack {
   private val HqQuantiles = Seq(100, 250, 500, 750, 900, 990)
 
   def oracles: Map[String, String] = Map(
+    "fim1_fill_in_middle" -> {
+      import graft.functions.PortableHash.{hash60Sql => h60}
+      val norm = TextFunctions.normalizeSql("text")
+      s"""WITH tok AS (SELECT doc_id, string_split($norm, ' ') AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |cuts AS (SELECT doc_id, toks, len(toks) AS n,
+         |    ${h60("'fimc1'", "CAST(doc_id AS VARCHAR)")}
+         |      % (len(toks) + 1) AS c1,
+         |    ${h60("'fimc2'", "CAST(doc_id AS VARCHAR)")}
+         |      % (len(toks) + 1) AS c2,
+         |    CASE WHEN ${h60("'fimr'", "CAST(doc_id AS VARCHAR)")}
+         |      % 100 < 50 THEN 1 ELSE 0 END AS fim_applied
+         |  FROM tok),
+         |pieces AS (SELECT doc_id, fim_applied, toks, n,
+         |    least(c1, c2) AS lo, greatest(c1, c2) AS hi
+         |  FROM cuts)
+         |SELECT doc_id, CAST(fim_applied AS INTEGER) AS fim_applied,
+         |  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+         |  CASE WHEN fim_applied = 1 THEN
+         |    '<PRE> ' || coalesce(array_to_string(toks[1:lo], ' '), '') ||
+         |    ' <SUF> ' || coalesce(array_to_string(toks[hi+1:n], ' '), '') ||
+         |    ' <MID> ' || coalesce(array_to_string(toks[lo+1:hi], ' '), '')
+         |  ELSE coalesce(array_to_string(toks, ' '), '') END AS fim_text
+         |FROM pieces ORDER BY doc_id""".stripMargin
+    },
+
     "url1_domain_caps" ->
       """WITH raw AS (
         |  SELECT doc_id, n_chars,

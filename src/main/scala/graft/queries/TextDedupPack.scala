@@ -250,6 +250,14 @@ object TextDedupPack {
         .limit(100)
     }),
 
+    // Heaps-law vocabulary growth: first occurrence via min(doc_id) per
+    // type (the only corpus-scale shuffle), then BOTH running totals via
+    // the shared two-pass prefix sum — no single-partition window.
+    "hp1_heaps_curve" -> ((s, d) => {
+      graft.text.VocabGrowth.curve(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (Schleimer 2003): per-window min of 40-bit
     // k-gram hashes, rightmost tiebreak encoded arithmetically into one
     // 60-bit key so ONE partitioned window does the whole selection.
@@ -1476,6 +1484,22 @@ object TextDedupPack {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id LIMIT 100""".stripMargin
     },
+
+    "hp1_heaps_curve" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         |fo AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok),
+         |nt AS (SELECT first_doc AS doc_id, count(*) AS new_types
+         |  FROM fo GROUP BY 1),
+         |pd AS (SELECT k.doc_id, len(k.toks) AS n_toks,
+         |    coalesce(nt.new_types, 0) AS new_types
+         |  FROM tok k LEFT JOIN nt USING (doc_id))
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(new_types AS BIGINT) AS new_types,
+         |  CAST(sum(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_toks,
+         |  CAST(sum(new_types) OVER (ORDER BY doc_id) AS BIGINT)
+         |    AS cum_vocab
+         |FROM pd ORDER BY doc_id""".stripMargin,
 
     "wn1_winnow" -> {
       val h40 = PortableHash.hash60Sql("'wn'", "gram") + " % 1099511627776"
