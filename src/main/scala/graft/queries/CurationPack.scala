@@ -91,6 +91,28 @@ object CurationPack {
         .orderBy(col("doc_id"))
     }),
 
+    // k-anonymity release gate: quasi-identifier groups (lang, length
+    // band, source) below k=5 members are suppressed; the count rides
+    // the one hash aggregate, no second pass.
+    "ka1_k_anonymity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("len_band", expr("n_chars div 100"))
+      graft.analyze.Privacy
+        .kAnonymize(docs, Seq("lang", "len_band", "source"), k = 5)
+        .select(col("lang"), col("len_band").cast("long").as("len_band"),
+          col("source"), col("n"), col("released"))
+        .orderBy(col("lang"), col("len_band"), col("source"))
+    }),
+
+    // ε-DP noisy counts (Laplace mechanism, ε=1, sensitivity 1) with
+    // τ=10 threshold suppression; noise derived from the portable hash
+    // of the group key (reproducible release, oracle-checkable).
+    "dp1_dp_counts" -> ((s, d) => {
+      graft.analyze.Privacy.dpCounts(Tables.documents(s, d),
+          Seq("lang", "source"), epsilon = 1.0, tau = 10.0)
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Fill-in-the-Middle PSM transform (Bavarian 2022): hash-derived cut
     // points + apply decision (deterministic per doc, reproducible
     // shards), <PRE>/<SUF>/<MID> reorder in one codegen projection.
@@ -428,6 +450,34 @@ object CurationPack {
   private val HqQuantiles = Seq(100, 250, 500, 750, 900, 990)
 
   def oracles: Map[String, String] = Map(
+    "ka1_k_anonymity" ->
+      """WITH g AS (SELECT lang, n_chars // 100 AS len_band, source,
+        |    count(*) AS n
+        |  FROM documents GROUP BY lang, len_band, source)
+        |SELECT lang, CAST(len_band AS BIGINT) AS len_band, source,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN n >= 5 THEN 1 ELSE 0 END AS INTEGER) AS released
+        |FROM g ORDER BY lang, len_band, source""".stripMargin,
+
+    "dp1_dp_counts" -> {
+      import graft.functions.PortableHash.{hash60Sql => h60}
+      s"""WITH g AS (SELECT lang, source, count(*) AS n
+         |  FROM documents GROUP BY lang, source),
+         |nz AS (SELECT lang, source, n,
+         |    (${h60("'dp'", "concat_ws('|', lang, source)")} + 0.5)
+         |      / 1152921504606846976.0 AS u
+         |  FROM g)
+         |SELECT lang, source,
+         |  round(n + (-1.0) *
+         |    (CASE WHEN u - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
+         |    * ln(1.0 - 2.0 * abs(u - 0.5)), 4)::DOUBLE AS noisy_n
+         |FROM nz
+         |WHERE round(n + (-1.0) *
+         |    (CASE WHEN u - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
+         |    * ln(1.0 - 2.0 * abs(u - 0.5)), 4) >= 10
+         |ORDER BY lang, source""".stripMargin
+    },
+
     "fim1_fill_in_middle" -> {
       import graft.functions.PortableHash.{hash60Sql => h60}
       val norm = TextFunctions.normalizeSql("text")

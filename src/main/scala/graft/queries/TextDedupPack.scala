@@ -250,6 +250,15 @@ object TextDedupPack {
         .limit(100)
     }),
 
+    // Token-entropy quality signals: Shannon entropy + type-token ratio
+    // per doc; Σ c·ln c quantized to integer micro-nats per type so the
+    // distributed sum is order-free (the un1 trick).
+    "ent1_token_entropy" -> ((s, d) => {
+      graft.text.Entropy.tokenEntropy(Tables.documents(s, d),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Heaps-law vocabulary growth: first occurrence via min(doc_id) per
     // type (the only corpus-scale shuffle), then BOTH running totals via
     // the shared two-pass prefix sum — no single-partition window.
@@ -1484,6 +1493,23 @@ object TextDedupPack {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id LIMIT 100""".stripMargin
     },
+
+    "ent1_token_entropy" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM t
+         |  GROUP BY doc_id, tok),
+         |ent AS (SELECT doc_id,
+         |    CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT))
+         |      AS BIGINT) AS clogc_micro,
+         |    CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_types
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id, n AS n_toks, n_types,
+         |  round(ln(n) - (clogc_micro / 1000000.0) / n, 6)::DOUBLE
+         |    AS entropy,
+         |  round(n_types * 1.0 / n, 6)::DOUBLE AS ttr
+         |FROM ent ORDER BY doc_id""".stripMargin,
 
     "hp1_heaps_curve" ->
       s"""WITH $toksCte,
