@@ -22,6 +22,9 @@ object TextDedupPack {
   /** wn1 winnowing gram size / window width. */
   val WinnowK = 4
   val WinnowW = 4
+  /** cdc1 boundary gram size / divisor (expected segment ≈ divisor). */
+  val CdcK = 2
+  val CdcDivisor = 8
   val NumHashes = 12
   val RowsPerBand = 2
   /** d5 Hamming radius — pigeonhole-banded (5 segments of 12 bits). */
@@ -248,6 +251,30 @@ object TextDedupPack {
           array_join(NlpExtract.keywords(col("text"), 8), ",").as("keywords"))
         .orderBy(col("doc_id"))
         .limit(100)
+    }),
+
+    // Exact ROC/AUC eval: distinct-score collapse, global cumulative
+    // counts via the two-pass prefix sum, tie-averaged Mann-Whitney AUC
+    // in doubled-integer ranks (one division at the end).
+    "auc1_roc_auc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.text.Entropy
+        .tokenEntropy(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("label")), Seq("doc_id"))
+      graft.analyze.ClassifierEval.rocAuc(scored, "ttr", "label")
+        .orderBy(col("score"))
+    }),
+
+    // Content-defined chunking dedup (FastCDC boundary rule at word
+    // level): local-hash boundaries make segment splits insertion-shift
+    // robust; repeated segments found by ONE hash aggregate on content.
+    "cdc1_content_chunks" -> ((s, d) => {
+      graft.dedup.Cdc.repeatedSegments(Tables.documents(s, d),
+          "text", "doc_id", k = CdcK, divisor = CdcDivisor)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+          col("seg_text"))
+        .limit(50)
     }),
 
     // Token-entropy quality signals: Shannon entropy + type-token ratio
@@ -1492,6 +1519,66 @@ object TextDedupPack {
          |SELECT d.doc_id, coalesce(a.kw, '') AS keywords
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id LIMIT 100""".stripMargin
+    },
+
+    "auc1_roc_auc" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM t
+         |  GROUP BY doc_id, tok),
+         |ent AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_types
+         |  FROM tc GROUP BY doc_id),
+         |scored AS (SELECT e.doc_id,
+         |    round(e.n_types * 1.0 / e.n, 6)::DOUBLE AS score,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |  FROM ent e JOIN documents d USING (doc_id)),
+         |g AS (SELECT score, count(*) AS n, sum(label) AS n_pos
+         |  FROM scored GROUP BY score),
+         |c AS (SELECT score, n, n_pos,
+         |    sum(n) OVER (ORDER BY score) AS cum_n,
+         |    sum(n_pos) OVER (ORDER BY score) AS cum_pos
+         |  FROM g),
+         |r AS (SELECT *, n_pos * (2 * (cum_n - n) + n + 1) AS r2c FROM c),
+         |tot AS (SELECT sum(n) AS nn, sum(n_pos) AS pp, sum(r2c) AS r2
+         |  FROM r)
+         |SELECT score, CAST(n AS BIGINT) AS n,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  round((pp - (cum_pos - n_pos)) / (pp * 1.0), 6)::DOUBLE AS tpr,
+         |  round(((nn - pp) - ((cum_n - cum_pos) - (n - n_pos)))
+         |    / ((nn - pp) * 1.0), 6)::DOUBLE AS fpr,
+         |  round((r2 - pp * (pp + 1)) / (2.0 * pp * (nn - pp)), 6)::DOUBLE
+         |    AS auc
+         |FROM r CROSS JOIN tot ORDER BY score""".stripMargin,
+
+    "cdc1_content_chunks" -> {
+      val h60 = PortableHash.hash60Sql("'cdc'", "gram")
+      s"""WITH $toksCte,
+         |items AS (SELECT doc_id, toks, unnest(toks) AS tok,
+         |    unnest(range(1, len(toks) + 1)) - 1 AS pos
+         |  FROM tok WHERE len(toks) >= 1),
+         |g AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN pos <= len(toks) - $CdcK
+         |      THEN array_to_string(toks[pos+1:pos+$CdcK], ' ') END AS gram
+         |  FROM items),
+         |b AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN pos > 0 AND gram IS NOT NULL
+         |      AND $h60 % $CdcDivisor = 0 THEN 1 ELSE 0 END AS is_b
+         |  FROM g),
+         |s AS (SELECT doc_id, pos, tok,
+         |    sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+         |  FROM b),
+         |st AS (SELECT doc_id, seg,
+         |    string_agg(tok, ' ' ORDER BY pos) AS seg_text
+         |  FROM s GROUP BY doc_id, seg),
+         |rep AS (SELECT seg_text, count(DISTINCT doc_id) AS n_docs,
+         |    count(*) AS n_occurrences, min(doc_id) AS min_doc
+         |  FROM st GROUP BY seg_text)
+         |SELECT seg_text, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_occurrences AS BIGINT) AS n_occurrences, min_doc
+         |FROM rep WHERE n_docs > 1
+         |ORDER BY n_docs DESC, n_occurrences DESC, seg_text
+         |LIMIT 50""".stripMargin
     },
 
     "ent1_token_entropy" ->

@@ -1,0 +1,43 @@
+package graft
+
+import graft.analyze.ClassifierEval
+
+class ClassifierEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Int)]): Double =
+    ClassifierEval.rocAuc(rows.toDF("score", "label"), "score", "label")
+      .select("auc").as[Double].head()
+
+  test("perfect separation gives AUC 1, inverted gives 0, random-ish 0.5") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+    assert(auc(perfect) === 1.0)
+    assert(auc(perfect.map { case (s, l) => (s, 1 - l) }) === 0.0)
+    val interleaved = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0))
+    assert(auc(interleaved) === 0.75)
+  }
+
+  test("ties are averaged: all-equal scores give AUC 0.5 exactly") {
+    assert(auc(Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))) === 0.5)
+  }
+
+  test("ROC endpoints: lowest threshold has tpr=fpr=1") {
+    val out = ClassifierEval.rocAuc(
+        Seq((0.1, 0), (0.5, 1), (0.9, 1)).toDF("score", "label"),
+        "score", "label")
+      .orderBy("score")
+      .select("tpr", "fpr").as[(Double, Double)].collect()
+    assert(out.head === ((1.0, 1.0)))
+  }
+
+  test("AUC matches a brute-force pair count on a tied fixture") {
+    val rows = Seq((0.3, 1), (0.3, 0), (0.7, 1), (0.1, 0), (0.9, 0),
+      (0.7, 0), (0.2, 1))
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val brute = (for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum /
+      (pos.size * neg.size)
+    assert(math.abs(auc(rows) - brute) < 1e-6)
+  }
+}
