@@ -77,14 +77,22 @@ object HashEmbedder {
       idCol: String, textCol: String, cachePath: String): DataFrame = {
     val keyed = docs.select(col(idCol).as("id"), col(textCol).as("text"),
       sha2(col(textCol), 256).as("content_sha"))
+    // explicit existence probe + listing refresh: under Spark 4's lazy
+    // analysis a try/catch around `read.parquet` never fires (the
+    // missing-path failure is stored and rethrown at the first action,
+    // far from any handler), and a caller that deleted the path leaves
+    // a stale shared FileStatusCache listing behind
+    val hPath = new org.apache.hadoop.fs.Path(cachePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val cache: DataFrame =
-      try spark.read.parquet(cachePath)
-      catch {
-        case _: Throwable => spark.createDataFrame(
+      if (fs.exists(hPath)) {
+        spark.catalog.refreshByPath(cachePath)
+        spark.read.parquet(cachePath)
+      } else
+        spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(
             "content_sha STRING, vector ARRAY<FLOAT>"))
-      }
     val misses = keyed.join(cache.select("content_sha"), Seq("content_sha"), "left_anti")
     val fresh = embed(misses, "id", "text")
     val freshKeyed = fresh.join(keyed.select(col("id"), col("content_sha")), Seq("id"))

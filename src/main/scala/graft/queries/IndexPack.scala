@@ -89,6 +89,8 @@ object IndexPack {
         f.delete(); ()
       }
       rm(new java.io.File(path))
+      // the shared FileStatusCache may still list the deleted files
+      try s.catalog.refreshByPath(path) catch { case _: Throwable => }
       graft.embed.HashEmbedder.embedWithCache(s,
         docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", path)
         .count()
@@ -118,6 +120,7 @@ object IndexPack {
         f.delete(); ()
       }
       rm(new java.io.File(path))
+      try s.catalog.refreshByPath(path) catch { case _: Throwable => }
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"), (col("doc_id") % 64).as("g"))
         .repartition(col("g"))
