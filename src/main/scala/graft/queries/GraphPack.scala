@@ -228,6 +228,29 @@ object GraphPack {
     // occurs in nearly every doc — unsampled, the true answer itself is
     // quadratic, which tests nothing beyond the scorer's constant factor
     // (real entity names are identifiers with sparse mentions).
+    // Anchor-text aggregation: top-3 anchors + in-link totals per link
+    // target; per-link rows collapse in ONE map-side aggregate, top-k
+    // and totals ride the same dst partition. Fixture: a 1-inlink
+    // permutation family ((id*7+3) mod N) plus 25 hub targets
+    // (id mod 25) so hubs aggregate many distinct anchors; anchor =
+    // first 3 normalized tokens of the source doc.
+    "anch1_anchor_texts" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val a = docs.select(col("doc_id"),
+        array_join(slice(
+          graft.text.TextFunctions.tokens(col("text")), 1, 3), " ")
+          .as("anchor"))
+      val links = a.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"), col("anchor"))
+        .unionByName(a.select(col("doc_id").as("src"),
+          (col("doc_id") % 25).as("dst"), col("anchor")))
+      graft.graph.Anchors.topAnchors(links, k = 3)
+        .select(col("dst"), col("rank").cast("int").as("rank"),
+          col("anchor"), col("cnt"), col("n_inlinks"))
+        .orderBy(col("dst"), col("rank"))
+    }),
+
     "j11_documents_edges" -> ((s, d) => {
       import graft.text.TextFunctions
       val tok = Tables.documents(s, d)
@@ -761,6 +784,30 @@ object GraphPack {
          |  JOIN walk w ON e.dst = w.id WHERE w.dist < 2)
          |SELECT id, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY id
          |ORDER BY dist, id LIMIT 500""".stripMargin,
+
+    "anch1_anchor_texts" -> {
+      val norm = graft.text.TextFunctions.normalizeSql("text")
+      s"""WITH n AS (SELECT count(*) AS nn FROM documents),
+         |a AS (SELECT doc_id,
+         |    array_to_string((string_split($norm, ' '))[1:3], ' ')
+         |      AS anchor
+         |  FROM documents),
+         |l AS (SELECT doc_id AS src, (doc_id * 7 + 3) % nn AS dst, anchor
+         |    FROM a CROSS JOIN n
+         |  UNION ALL
+         |  SELECT doc_id AS src, doc_id % 25 AS dst, anchor FROM a),
+         |g AS (SELECT dst, anchor, count(*) AS cnt
+         |  FROM l GROUP BY dst, anchor),
+         |r AS (SELECT dst, anchor, cnt,
+         |    row_number() OVER (PARTITION BY dst
+         |      ORDER BY cnt DESC, anchor) AS rank,
+         |    sum(cnt) OVER (PARTITION BY dst) AS n_inlinks
+         |  FROM g)
+         |SELECT dst, CAST(rank AS INTEGER) AS rank, anchor,
+         |  CAST(cnt AS BIGINT) AS cnt, CAST(n_inlinks AS BIGINT)
+         |    AS n_inlinks
+         |FROM r WHERE rank <= 3 ORDER BY dst, rank""".stripMargin
+    },
 
     "j11_documents_edges" -> {
       val norm = graft.text.TextFunctions.normalizeSql("text")

@@ -709,6 +709,18 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Round-robin domain interleave: rank 1 of every source first, then
+    // rank 2, ... — batch-diverse training order; one domain-partitioned
+    // window + the shared two-pass prefix sum for global positions.
+    "il1_interleave" -> ((s, d) => {
+      graft.text.Mixing.interleaveRoundRobin(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "source", "doc_id")
+        .select(col("pos"), col("doc_id"), col("source"),
+          col("cycle").cast("int").as("cycle"))
+        .orderBy(col("pos"))
+    }),
+
     // Quality-annealed curriculum: 4 epochs with rising exact-quantile
     // score floors (epoch 0 = everything, epoch 3 = top quarter), each
     // epoch independently shuffled by an epoch-salted portable hash;
@@ -2389,6 +2401,21 @@ object TextDedupPack {
          |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
          |    AS BIGINT) AS shuffle_rank
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "il1_interleave" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |    (doc_id * ${graft.text.Mixing.Mult}
+         |      + ${graft.text.Mixing.Add}) % ${graft.text.Mixing.Modulus}
+         |      AS hk
+         |  FROM documents),
+         |c AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+         |      AS cycle
+         |  FROM h)
+         |SELECT CAST(row_number() OVER (ORDER BY cycle, source, doc_id)
+         |    AS BIGINT) AS pos,
+         |  doc_id, source, CAST(cycle AS INTEGER) AS cycle
+         |FROM c ORDER BY pos""".stripMargin,
 
     // cu1: quantile_cont floors (R-7 ≡ Spark exact percentile, the pf1
     // parity), epoch fan-out as a >=-join against the 4 floors,

@@ -42,6 +42,30 @@ object Mixing {
       .withColumnRenamed("cum", "shuffle_rank")
       .drop("_one")
 
+  /** Round-robin domain interleave: training order that cycles the
+    * domains so every consecutive batch is domain-diverse (the batch-
+    * composition dual of mx1's count balancing — order, not counts).
+    * Rank 1 of every domain comes first (domain-name order), then rank
+    * 2 of every domain, and so on; domains that run out simply drop out
+    * of later cycles. Within a domain the order is the deterministic
+    * id-hash shuffle. Global positions via the shared two-pass prefix
+    * sum — one domain-partitioned window plus the range repartition,
+    * never a single-partition row_number.
+    */
+  def interleaveRoundRobin(docs: DataFrame, domainCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(pmod(col(idCol) * Mult + Add, lit(Modulus)).asc,
+        col(idCol).asc)
+    Sampling.globalRunningSum(
+        docs.withColumn("cycle", row_number().over(w))
+          .withColumn("_one", lit(1)),
+        Seq(col("cycle").asc, col(domainCol).asc, col(idCol).asc), "_one")
+      .withColumnRenamed("cum", "pos")
+      .drop("_one")
+  }
+
   /** Rows of `docs` surviving the uniform-target stratified sample. */
   def stratifiedUniform(docs: DataFrame, domainCol: String, idCol: String)
       : DataFrame = {
