@@ -1070,6 +1070,17 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Severity-weighted lexicon filter (tox1): the content-policy rule
+    // family beside Gopher (statistical) and C4 (structural). Token and
+    // phrase hits count independently; any severity-3 hit blocks
+    // outright (the single-slur rule), else weighted hits-per-token
+    // thresholds route pages allow/flag/block. The lexicon is inlined
+    // into the plan: one narrow codegen projection, no shuffle.
+    "tox1_lexicon_filter" -> ((s, d) => {
+      graft.text.Lexicon.score(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Asymmetric containment scoring (d7): planted 12-token quotes of
     // every doc_id%9==4 doc, paired with their sources; containment_a
     // hits 1.0 where Jaccard stays near zero — the quote/subset signal
@@ -1951,6 +1962,38 @@ object TextDedupPack {
          |    AND distinct_frac >= 0.4 AND n_stopwords >= 2 AS INTEGER)
          |    AS keep
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "tox1_lexicon_filter" -> {
+      import graft.text.Lexicon
+      val lex = Lexicon.Default
+      val cnts = lex.zipWithIndex.map { case ((t, _), i) =>
+        s"CAST(${Lexicon.termCountSql("toks", t)} AS INTEGER) AS c$i"
+      }.mkString(",\n    ")
+      val hits = lex.indices.map(i => s"c$i").mkString(" + ")
+      val weighted = lex.zipWithIndex
+        .map { case ((_, sev), i) => s"$sev * c$i" }.mkString(" + ")
+      val topSev = lex.zipWithIndex.map { case ((_, sev), i) =>
+        s"CASE WHEN c$i > 0 THEN $sev ELSE 0 END" }.mkString(", ")
+      val blockHits = lex.zipWithIndex
+        .collect { case ((_, sev), i) if sev >= 3 => s"c$i" }.mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks
+         |    FROM documents),
+         |t2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_toks,
+         |    $cnts
+         |  FROM t2),
+         |s AS (SELECT doc_id, n_toks,
+         |    CAST($hits AS INTEGER) AS hits,
+         |    CAST($weighted AS INTEGER) AS weighted,
+         |    CAST(greatest($topSev) AS INTEGER) AS top_sev,
+         |    round(CAST($weighted AS DOUBLE) / n_toks, 6) AS score,
+         |    $blockHits AS bh
+         |  FROM c)
+         |SELECT doc_id, n_toks, hits, weighted, top_sev, score,
+         |  CASE WHEN bh > 0 OR score >= 0.12 THEN 'block'
+         |       WHEN score >= 0.06 THEN 'flag' ELSE 'allow' END AS verdict
+         |FROM s ORDER BY doc_id""".stripMargin
     },
 
     "d7_containment" ->
