@@ -67,6 +67,40 @@ object Decontaminate {
       .agg(count(lit(1)).cast("long").as("n_hits"),
         min(col("bench_id")).as("first_bench_id"))
 
+  /** Semantic contamination — the third standard flavor beside the
+    * n-gram and exact-substring tests: a corpus document is flagged
+    * when its EMBEDDING is too close to any benchmark embedding
+    * (catches paraphrased/reformatted benchmark copies that share no
+    * literal n-gram). Output per contaminated doc: (doc_id, n_hits,
+    * bench_id, sim) — hit count at `tau` plus the best-matching
+    * benchmark item (ties broken to the smallest bench_id).
+    *
+    * Scale shape: eval sets are thousands of rows against a 100 TB
+    * corpus, so the benchmark side broadcasts and the corpus streams
+    * through one broadcast nested-loop scoring pass — O(corpus ×
+    * bench) float dots, which at eval-set sizes is cheaper than
+    * building any index. A benchmark too large to broadcast routes
+    * through the persisted IVF layout instead (`graft.ann.Ivf`), same
+    * contract.
+    */
+  def semanticContaminated(corpus: DataFrame, cIdCol: String,
+      cVecCol: String, bench: DataFrame, bIdCol: String, bVecCol: String,
+      tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val b = broadcast(bench.select(col(bIdCol).as("bench_id"),
+      col(bVecCol).as("bvec")))
+    corpus.select(col(cIdCol).as("doc_id"), col(cVecCol).as("cvec"))
+      .crossJoin(b)
+      .select(col("doc_id"), col("bench_id"),
+        VectorFunctions.cosine(col("cvec"), col("bvec")).as("sim"))
+      .filter(col("sim") >= tau)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_hits"),
+        max(struct(col("sim").as("s"), (-col("bench_id")).as("nb"))).as("m"))
+      .select(col("doc_id"), col("n_hits"),
+        (-col("m.nb")).as("bench_id"), round(col("m.s"), 6).as("sim"))
+  }
+
   /** The corpus minus every document contaminated against `bench` —
     * one anti-join on the flagged ids.
     */

@@ -799,6 +799,38 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Semantic decontamination (dc3): the embedding flavor beside dc1
+    // (n-gram collisions) and dc2 (verbatim substrings) — a corpus doc
+    // is flagged when its embedding's cosine against ANY benchmark
+    // embedding reaches τ, catching paraphrased benchmark copies that
+    // share no literal n-gram. Fixture plants perturbed copies (d6's
+    // construction, sim ≈ .99) and two-parent mixtures (sim ≈ .7 to
+    // EACH parent — exercising n_hits = 2 and the best-match argmax);
+    // natural cross-sims top out at .49, so τ = 0.6 separates cleanly.
+    // The benchmark side broadcasts; the corpus streams.
+    "dc3_semantic_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val benchSrc = emb.filter(col("vec_id") % 25 === 7)
+      val bench = benchSrc.select(
+        (col("vec_id") + 300000L).as("bench_id"), col("embedding"))
+      val pert = benchSrc.select((col("vec_id") + 400000L).as("vec_id"),
+        concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
+          .as("embedding"))
+      val mixed = benchSrc.select(col("vec_id").as("v1"),
+          col("embedding").as("e1"))
+        .join(benchSrc.select((col("vec_id") - 25).as("v1"),
+          col("embedding").as("e2")), Seq("v1"))
+        .select((col("v1") + 500000L).as("vec_id"),
+          zip_with(col("e1"), col("e2"),
+            (x, y) => (x + y) * lit(0.5f)).as("embedding"))
+      val corpus = emb.filter(col("vec_id") % 25 =!= 7)
+        .unionByName(pert).unionByName(mixed)
+      graft.dedup.Decontaminate.semanticContaminated(
+          corpus, "vec_id", "embedding", bench, "bench_id", "embedding",
+          tau = 0.6)
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup-recall eval — the ar1 symmetry for the dedup family: LSH
     // candidate recall vs the EXACT Jaccard≥0.6 ground truth on a
     // capped doc sample (ground truth is all-pairs by nature, so it is
@@ -2545,6 +2577,34 @@ object TextDedupPack {
          |  CAST((SELECT count(*) FROM hit) * 1000
          |    // greatest((SELECT count(*) FROM exact), 1) AS BIGINT)
          |    AS recall_permille""".stripMargin,
+
+    "dc3_semantic_decontaminate" ->
+      s"""WITH bench AS (SELECT vec_id + 300000 AS bench_id,
+         |    embedding AS bvec FROM embeddings WHERE vec_id % 25 = 7),
+         |pert AS (SELECT vec_id + 400000 AS vec_id,
+         |    list_concat([CAST(0.0 AS FLOAT)], embedding[2:64]) AS embedding
+         |  FROM embeddings WHERE vec_id % 25 = 7),
+         |mixed AS (SELECT e1.vec_id + 500000 AS vec_id,
+         |    list_transform(e1.embedding, (x, i) ->
+         |      (x + e2.embedding[i]) * CAST(0.5 AS FLOAT)) AS embedding
+         |  FROM embeddings e1 JOIN embeddings e2
+         |    ON e2.vec_id = e1.vec_id + 25
+         |  WHERE e1.vec_id % 25 = 7 AND e2.vec_id % 25 = 7),
+         |corp AS (SELECT vec_id, embedding FROM embeddings
+         |    WHERE vec_id % 25 <> 7
+         |  UNION ALL SELECT vec_id, embedding FROM pert
+         |  UNION ALL SELECT vec_id, embedding FROM mixed),
+         |sc AS (SELECT c.vec_id AS doc_id, b.bench_id,
+         |    ${VectorFunctions.cosineSql("c.embedding", "b.bvec")} AS sim
+         |  FROM corp c CROSS JOIN bench b),
+         |h AS (SELECT doc_id, bench_id, sim,
+         |    CAST(count(*) OVER (PARTITION BY doc_id) AS INTEGER)
+         |      AS n_hits,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY sim DESC, bench_id) AS rn
+         |  FROM sc WHERE sim >= 0.6::DOUBLE)
+         |SELECT doc_id, n_hits, bench_id, round(sim, 6) AS sim
+         |FROM h WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dc1_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks

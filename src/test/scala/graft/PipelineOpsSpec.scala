@@ -34,6 +34,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(strict == Set(1L, 2L, 3L, 4L))
   }
 
+  test("semantic decontamination flags by cosine with best-match argmax") {
+    // unit axes: corpus doc 1 = bench 100's axis, doc 2 = 45° between
+    // bench 100 and 101 (hits both), doc 3 orthogonal (clean)
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(1f, 1f, 0f)),
+      (3L, Array(0f, 0f, 1f))).toDF("vec_id", "vec")
+    val bench = Seq(
+      (100L, Array(1f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f))).toDF("bench_id", "bvec")
+    val got = Decontaminate.semanticContaminated(
+        corpus, "vec_id", "vec", bench, "bench_id", "bvec", tau = 0.7)
+      .select("doc_id", "n_hits", "bench_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._1)
+    // doc 2's sims are exactly equal (cos 45° both) → tiebreak to the
+    // SMALLER bench id; doc 3 absent
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, 1, 100L), (2L, 2, 100L)))
+    assert(got(0)._4 === 1.0)
+    assert(math.abs(got(1)._4 - math.sqrt(0.5)) < 1e-6)
+  }
+
   test("cluster resolution follows transitive chains to the smallest id") {
     import graft.dedup.Dedup
     // chain 1-2-3-4 (pairwise near-dups only adjacent), triangle 10-11-12,
