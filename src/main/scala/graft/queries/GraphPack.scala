@@ -55,6 +55,23 @@ object GraphPack {
         ((col("doc_id") * 7 + 3) % PrNodes).as("dst"))
       .filter(col("src") =!= col("dst"))
 
+  /** hits1 directed fixture: the pr1 family plus a second out-edge
+    * family (11x+5) and a 15-node hub concentration (doc_id%15 →
+    * 13x+1) so hub and authority rankings genuinely diverge.
+    */
+  val HitsIters = 2
+
+  private def hitsEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select((col("doc_id") % PrNodes).as("src"),
+        ((col("doc_id") * 7 + 3) % PrNodes).as("dst"))
+      .unionByName(docs.select((col("doc_id") % PrNodes).as("src"),
+        ((col("doc_id") * 11 + 5) % PrNodes).as("dst")))
+      .unionByName(docs.select((col("doc_id") % 15).as("src"),
+        ((col("doc_id") * 13 + 1) % PrNodes).as("dst")))
+      .filter(col("src") =!= col("dst"))
+  }
+
   /** tc1 undirected fixture: circulant offsets 1,2 (which compose into
     * triangles) plus the 7x+3 family for irregular degree spread.
     */
@@ -121,6 +138,16 @@ object GraphPack {
       graft.graph.PageRank.personalizedPageRank(prEdges(s, d),
           seeds = PprSeeds, iters = PrIters)
         .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // HITS hubs & authorities (hits1): the dual link-structure ranking
+    // beside pr1 — integer micro-unit rounds with L1 renormalization by
+    // integer division (order-free sums, so the oracle chains the SAME
+    // rounds as MATERIALIZED CTEs with zero drift). Directories and
+    // destinations separate, which PageRank's single score conflates.
+    "hits1_hub_auth" -> ((s, d) => {
+      graft.graph.Hits.integerHits(hitsEdges(s, d), HitsIters)
+        .orderBy(col("auth").desc, col("node")).limit(20)
     }),
 
     // Exact per-node triangle counts + local clustering coefficient by
@@ -548,6 +575,30 @@ object GraphPack {
   }
 
   /** pr1 iteration CTEs: the exact integer damping update, chained. */
+  /** hits1's fixed rounds as chained CTEs: raw sums then L1-normalizing
+    * integer division, authorities before hubs within a round.
+    * MATERIALIZED throughout — each round CTE is referenced twice (by
+    * the total and the normalization), so inlining would re-expand the
+    * whole chain 2^rounds times.
+    */
+  private def hitsIterCtes(n: Int): String =
+    (1 to n).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node,
+         |    CAST(sum(h${i - 1}.hub) AS BIGINT) AS ar
+         |  FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY e.dst),
+         |a$i AS MATERIALIZED (SELECT nn.node,
+         |    CAST((coalesce(t.ar, 0) * 1000000)
+         |      // greatest((SELECT sum(ar) FROM ar$i), 1) AS BIGINT) AS auth
+         |  FROM nn LEFT JOIN ar$i t ON t.node = nn.node),
+         |hr$i AS MATERIALIZED (SELECT e.src AS node,
+         |    CAST(sum(a$i.auth) AS BIGINT) AS hr
+         |  FROM e JOIN a$i ON a$i.node = e.dst GROUP BY e.src),
+         |h$i AS MATERIALIZED (SELECT nn.node,
+         |    CAST((coalesce(t.hr, 0) * 1000000)
+         |      // greatest((SELECT sum(hr) FROM hr$i), 1) AS BIGINT) AS hub
+         |  FROM nn LEFT JOIN hr$i t ON t.node = nn.node)""".stripMargin
+    }.mkString(",\n")
+
   private def prIterCtes(n: Int): String =
     (1 to n).map { i =>
       s"""p$i AS (SELECT nn.node,
@@ -729,6 +780,25 @@ object GraphPack {
          |${prIterCtes(PrIters)}
          |SELECT node, pr FROM p$PrIters
          |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
+    "hits1_hub_auth" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id % $PrNodes AS src, (doc_id * 7 + 3) % $PrNodes
+         |    AS dst FROM documents
+         |  UNION ALL SELECT doc_id % $PrNodes, (doc_id * 11 + 5) % $PrNodes
+         |    FROM documents
+         |  UNION ALL SELECT doc_id % 15, (doc_id * 13 + 1) % $PrNodes
+         |    FROM documents),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw
+         |  WHERE src <> dst),
+         |nn AS MATERIALIZED (SELECT src AS node FROM e
+         |  UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nn),
+         |${hitsIterCtes(HitsIters)}
+         |SELECT nn.node, h$HitsIters.hub, a$HitsIters.auth
+         |FROM nn JOIN h$HitsIters ON h$HitsIters.node = nn.node
+         |JOIN a$HitsIters ON a$HitsIters.node = nn.node
+         |ORDER BY a$HitsIters.auth DESC, nn.node LIMIT 20""".stripMargin,
 
     "tc1_triangles" ->
       s"""WITH raw AS (
