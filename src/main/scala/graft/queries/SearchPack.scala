@@ -85,6 +85,12 @@ object SearchPack {
     */
   val E2e2Query = "fast index scan"
 
+  /** sbc1's Q17 inputs: description + focus areas, concatenated by the
+    * operator into the lifecycle query.
+    */
+  val SbcDescription = "merge sorted runs"
+  val SbcFocus = Seq("fast", "index")
+
   /** qp1's eight query templates, one per heuristic branch. */
   val QpTemplates: Map[Int, String] = Map(
     0 -> "db", 1 -> "fast scan", 2 -> "parseFile data",
@@ -122,6 +128,72 @@ object SearchPack {
     (1, Seq("spark", "join"), Seq.empty, Seq("slow")),
     (2, Seq("table"), Seq("fast", "merge"), Seq.empty),
     (3, Seq.empty, Seq("window", "batch"), Seq("key")))
+
+  /** The §3.1 lifecycle (see the e2e2 gate comment) as one plan,
+    * parameterized by the raw query — shared by e2e2 and sbc1.
+    */
+  private def searchLifecycle(s: SparkSession, d: String,
+      raw: String): DataFrame = {
+      import s.implicits._
+      import graft.search.QueryProcessor
+      val processed = QueryProcessor.preprocess(raw)
+      val threshold = QueryProcessor.adaptiveThreshold(raw)
+      val alpha = QueryProcessor.hybridAlpha(raw)
+      val variants = QueryProcessor.expand(processed)
+      val docs = Tables.documents(s, d)
+      // vector leg: corpus embedded once, all variant queries embedded
+      // through the SAME featurizer, per-doc best variant similarity
+      val corpus = graft.embed.HashEmbedder.embed(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      val qvecs = graft.embed.HashEmbedder.embed(
+        variants.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("qid", "qtext"), "qid", "qtext")
+        .select(col("vector").as("qvec"))
+      val sims = corpus.crossJoin(broadcast(qvecs))
+        .select(col("id"),
+          VectorFunctions.cosine(col("vector"), col("qvec")).as("sim"))
+        .groupBy(col("id")).agg(max(col("sim")).as("sim"))
+        .filter(col("sim") >= threshold)
+      val vRanks = Fusion.ranked(sims, "id", "sim", 50).select("id", "rank")
+      // keyword leg: variant-merged BM25 off the persisted bucketed index
+      val kScores = Bm25.scoreVariantsIndexed(s, bm25Index(s, d),
+          variants.map(_.split(" ").toSeq))
+        .select(col("id"), round(col("score"), 6).as("score"))
+      val kRanks = Fusion.ranked(kScores, "id", "score", 50)
+        .select("id", "rank")
+      val fused = Fusion.rrf(vRanks, kRanks, alpha)
+        .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"))
+      // chunk-shaped metadata fixture spanning every boost/penalty
+      // branch (boilerplate hit per language set, language-miss case,
+      // exact-identifier name, tests path, migrations path)
+      val meta = docs.select(col("doc_id").as("id"),
+        col("text").as("content"),
+        when(col("doc_id") % 10 === 0, "__init__")
+          .when(col("doc_id") % 10 === 1, "main")
+          .when(col("doc_id") % 10 === 2, "constructor")
+          .when(col("doc_id") % 10 === 3, "initialize")
+          .when(col("doc_id") % 10 === 4, "setUp")
+          .when(col("doc_id") % 10 === 5, raw)
+          .otherwise(concat(lit("fn_"), col("doc_id"))).as("name"),
+        when(col("doc_id") % 4 === 0, "python")
+          .when(col("doc_id") % 4 === 1, "javascript")
+          .when(col("doc_id") % 4 === 2, "ruby")
+          .otherwise("go").as("language"),
+        concat(lit("src/m"), col("doc_id") % 5,
+          when(col("doc_id") % 6 === 0, "/tests")
+            .when(col("doc_id") % 9 === 0, "/migrations")
+            .otherwise(""),
+          lit("/f"), col("doc_id"), lit(".py")).as("file_path"),
+        when(col("doc_id") % 3 === 0, "function")
+          .when(col("doc_id") % 3 === 1, "class")
+          .otherwise("code").as("chunk_type"))
+      val boosted = new graft.search.SearchEngine(s)
+        .boost(fused.join(meta, Seq("id")), raw, "rrf_score")
+      boosted.select(col("id").as("doc_id"), col("rrf_score"),
+          round(col("boosted"), 6).as("final_score"))
+        .orderBy(col("final_score").desc, col("doc_id"))
+        .limit(20)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Boolean set retrieval (must/should/must-not) over the inverted
@@ -254,68 +326,16 @@ object SearchPack {
     // top-k. Q10/Q11 stay out by design: the cross-encoder is the
     // declared model seam (PairScorer) and MMR is the driver-side
     // greedy finisher — both spec-verified separately.
-    "e2e2_search_pipeline" -> ((s, d) => {
-      import s.implicits._
-      import graft.search.QueryProcessor
-      val raw = E2e2Query
-      val processed = QueryProcessor.preprocess(raw)
-      val threshold = QueryProcessor.adaptiveThreshold(raw)
-      val alpha = QueryProcessor.hybridAlpha(raw)
-      val variants = QueryProcessor.expand(processed)
-      val docs = Tables.documents(s, d)
-      // vector leg: corpus embedded once, all variant queries embedded
-      // through the SAME featurizer, per-doc best variant similarity
-      val corpus = graft.embed.HashEmbedder.embed(
-        docs.select(col("doc_id"), col("text")), "doc_id", "text")
-      val qvecs = graft.embed.HashEmbedder.embed(
-        variants.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-          .toDF("qid", "qtext"), "qid", "qtext")
-        .select(col("vector").as("qvec"))
-      val sims = corpus.crossJoin(broadcast(qvecs))
-        .select(col("id"),
-          VectorFunctions.cosine(col("vector"), col("qvec")).as("sim"))
-        .groupBy(col("id")).agg(max(col("sim")).as("sim"))
-        .filter(col("sim") >= threshold)
-      val vRanks = Fusion.ranked(sims, "id", "sim", 50).select("id", "rank")
-      // keyword leg: variant-merged BM25 off the persisted bucketed index
-      val kScores = Bm25.scoreVariantsIndexed(s, bm25Index(s, d),
-          variants.map(_.split(" ").toSeq))
-        .select(col("id"), round(col("score"), 6).as("score"))
-      val kRanks = Fusion.ranked(kScores, "id", "score", 50)
-        .select("id", "rank")
-      val fused = Fusion.rrf(vRanks, kRanks, alpha)
-        .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"))
-      // chunk-shaped metadata fixture spanning every boost/penalty
-      // branch (boilerplate hit per language set, language-miss case,
-      // exact-identifier name, tests path, migrations path)
-      val meta = docs.select(col("doc_id").as("id"),
-        col("text").as("content"),
-        when(col("doc_id") % 10 === 0, "__init__")
-          .when(col("doc_id") % 10 === 1, "main")
-          .when(col("doc_id") % 10 === 2, "constructor")
-          .when(col("doc_id") % 10 === 3, "initialize")
-          .when(col("doc_id") % 10 === 4, "setUp")
-          .when(col("doc_id") % 10 === 5, raw)
-          .otherwise(concat(lit("fn_"), col("doc_id"))).as("name"),
-        when(col("doc_id") % 4 === 0, "python")
-          .when(col("doc_id") % 4 === 1, "javascript")
-          .when(col("doc_id") % 4 === 2, "ruby")
-          .otherwise("go").as("language"),
-        concat(lit("src/m"), col("doc_id") % 5,
-          when(col("doc_id") % 6 === 0, "/tests")
-            .when(col("doc_id") % 9 === 0, "/migrations")
-            .otherwise(""),
-          lit("/f"), col("doc_id"), lit(".py")).as("file_path"),
-        when(col("doc_id") % 3 === 0, "function")
-          .when(col("doc_id") % 3 === 1, "class")
-          .otherwise("code").as("chunk_type"))
-      val boosted = new graft.search.SearchEngine(s)
-        .boost(fused.join(meta, Seq("id")), raw, "rrf_score")
-      boosted.select(col("id").as("doc_id"), col("rrf_score"),
-          round(col("boosted"), 6).as("final_score"))
-        .orderBy(col("final_score").desc, col("doc_id"))
-        .limit(20)
-    }),
+    "e2e2_search_pipeline" -> ((s, d) =>
+      searchLifecycle(s, d, E2e2Query)),
+
+    // Q17 search_by_context (sbc1): description + focus areas
+    // concatenated into the query string (search.py:485-519), then
+    // the IDENTICAL lifecycle — one parameterized plan serves both
+    // front doors, proving Q17's query construction feeds the
+    // flagship path unchanged.
+    "sbc1_search_by_context" -> ((s, d) =>
+      searchLifecycle(s, d, (SbcDescription +: SbcFocus).mkString(" "))),
 
     // Ranking-quality eval (NDCG@10 / MRR / P@10 / R@10) over a
     // deterministic ranked-list + judgments fixture: integer micro-unit
@@ -631,6 +651,70 @@ object SearchPack {
        |  FROM ${p}dd GROUP BY id)""".stripMargin
   }
 
+  /** Oracle mirror of [[searchLifecycle]], parameterized by the raw
+    * query (Q1-Q4 outputs inlined as the expected values).
+    */
+  private def searchLifecycleSql(raw: String): String = {
+        import graft.search.{Boilerplate, QueryProcessor}
+        val processed = QueryProcessor.preprocess(raw)
+        val threshold = QueryProcessor.adaptiveThreshold(raw)
+        val alpha = QueryProcessor.hybridAlpha(raw)
+        val variants = QueryProcessor.expand(processed)
+        val kwCtes = Bm25.multiScoreSqlCtes("documents", "doc_id",
+          docTokensSql, variants.map(_.split(" ").toSeq))
+        val embCtesStr = embedCtes(
+          variants.zipWithIndex.map { case (v, i) => (-(i + 1).toLong, v) })
+        val q = raw.toLowerCase
+        s"""WITH $kwCtes,
+           |$embCtesStr,
+           |vsims AS (SELECT c.id,
+           |    ${VectorFunctions.cosineSql("c.v", "q.v")} AS sim
+           |  FROM evec c CROSS JOIN (SELECT v FROM evec WHERE id < 0) q
+           |  WHERE c.id >= 0),
+           |vmax AS (SELECT id, MAX(sim) AS sim FROM vsims GROUP BY id
+           |  HAVING MAX(sim) >= ${threshold}::DOUBLE),
+           |vr AS (SELECT id, rank FROM (SELECT id,
+           |    CAST(row_number() OVER (ORDER BY sim DESC, id) AS INTEGER) AS rank
+           |  FROM vmax) WHERE rank <= 50),
+           |ks AS (SELECT id, round(score, 6) AS score FROM merged),
+           |kr AS (SELECT id, rank FROM (SELECT id,
+           |    CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rank
+           |  FROM ks) WHERE rank <= 50),
+           |${Fusion.rrfSql(alpha)},
+           |rq AS (SELECT id, round(rrf_score, 6) AS rrf_score FROM rrf),
+           |meta AS (SELECT doc_id AS id, text AS content,
+           |    CASE WHEN doc_id % 10 = 0 THEN '__init__'
+           |      WHEN doc_id % 10 = 1 THEN 'main'
+           |      WHEN doc_id % 10 = 2 THEN 'constructor'
+           |      WHEN doc_id % 10 = 3 THEN 'initialize'
+           |      WHEN doc_id % 10 = 4 THEN 'setUp'
+           |      WHEN doc_id % 10 = 5 THEN '$raw'
+           |      ELSE 'fn_' || doc_id END AS name,
+           |    CASE WHEN doc_id % 4 = 0 THEN 'python'
+           |      WHEN doc_id % 4 = 1 THEN 'javascript'
+           |      WHEN doc_id % 4 = 2 THEN 'ruby' ELSE 'go' END AS language,
+           |    'src/m' || (doc_id % 5) ||
+           |      CASE WHEN doc_id % 6 = 0 THEN '/tests'
+           |        WHEN doc_id % 9 = 0 THEN '/migrations' ELSE '' END ||
+           |      '/f' || doc_id || '.py' AS file_path,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'function'
+           |      WHEN doc_id % 3 = 1 THEN 'class' ELSE 'code' END AS chunk_type
+           |  FROM documents),
+           |b AS (SELECT m.id, r.rrf_score,
+           |    least(1.0::DOUBLE, r.rrf_score +
+           |      CASE WHEN lower(m.name) = '$q' THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END +
+           |      CASE WHEN contains(lower(m.file_path), '$q') THEN 0.08::DOUBLE ELSE 0.0::DOUBLE END +
+           |      CASE WHEN m.chunk_type = 'function' THEN 0.05::DOUBLE ELSE 0.0::DOUBLE END +
+           |      CASE WHEN m.chunk_type = 'class' THEN 0.03::DOUBLE ELSE 0.0::DOUBLE END -
+           |      CASE WHEN regexp_matches(m.file_path, '(^|/)tests?/') THEN 0.02::DOUBLE ELSE 0.0::DOUBLE END -
+           |      CASE WHEN regexp_matches(m.content, '(?i)(licensed under|auto-generated|do not edit|generated by)')
+           |        OR regexp_matches(m.file_path, '(?i)(_pb2\\.|\\.generated\\.|/migrations/)') THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END +
+           |      ${Boilerplate.penaltySql("m.name", "m.language", raw)}) AS final_raw
+           |  FROM rq r JOIN meta m ON m.id = r.id)
+           |SELECT id AS doc_id, rrf_score, round(final_raw, 6) AS final_score
+           |FROM b ORDER BY final_score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     val bm25Ctes = Bm25.scoreSqlCtes("documents", "doc_id", docTokensSql, Query)
     val postingsCte =
@@ -848,67 +932,10 @@ object SearchPack {
       // engine's addition order term by term, and the Q1-Q4 outputs
       // (threshold, alpha, variant list) are inlined as the values the
       // heuristics MUST produce for this query.
-      "e2e2_search_pipeline" -> {
-        import graft.search.{Boilerplate, QueryProcessor}
-        val raw = E2e2Query
-        val processed = QueryProcessor.preprocess(raw)
-        val threshold = QueryProcessor.adaptiveThreshold(raw)
-        val alpha = QueryProcessor.hybridAlpha(raw)
-        val variants = QueryProcessor.expand(processed)
-        val kwCtes = Bm25.multiScoreSqlCtes("documents", "doc_id",
-          docTokensSql, variants.map(_.split(" ").toSeq))
-        val embCtesStr = embedCtes(
-          variants.zipWithIndex.map { case (v, i) => (-(i + 1).toLong, v) })
-        val q = raw.toLowerCase
-        s"""WITH $kwCtes,
-           |$embCtesStr,
-           |vsims AS (SELECT c.id,
-           |    ${VectorFunctions.cosineSql("c.v", "q.v")} AS sim
-           |  FROM evec c CROSS JOIN (SELECT v FROM evec WHERE id < 0) q
-           |  WHERE c.id >= 0),
-           |vmax AS (SELECT id, MAX(sim) AS sim FROM vsims GROUP BY id
-           |  HAVING MAX(sim) >= ${threshold}::DOUBLE),
-           |vr AS (SELECT id, rank FROM (SELECT id,
-           |    CAST(row_number() OVER (ORDER BY sim DESC, id) AS INTEGER) AS rank
-           |  FROM vmax) WHERE rank <= 50),
-           |ks AS (SELECT id, round(score, 6) AS score FROM merged),
-           |kr AS (SELECT id, rank FROM (SELECT id,
-           |    CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rank
-           |  FROM ks) WHERE rank <= 50),
-           |${Fusion.rrfSql(alpha)},
-           |rq AS (SELECT id, round(rrf_score, 6) AS rrf_score FROM rrf),
-           |meta AS (SELECT doc_id AS id, text AS content,
-           |    CASE WHEN doc_id % 10 = 0 THEN '__init__'
-           |      WHEN doc_id % 10 = 1 THEN 'main'
-           |      WHEN doc_id % 10 = 2 THEN 'constructor'
-           |      WHEN doc_id % 10 = 3 THEN 'initialize'
-           |      WHEN doc_id % 10 = 4 THEN 'setUp'
-           |      WHEN doc_id % 10 = 5 THEN '$raw'
-           |      ELSE 'fn_' || doc_id END AS name,
-           |    CASE WHEN doc_id % 4 = 0 THEN 'python'
-           |      WHEN doc_id % 4 = 1 THEN 'javascript'
-           |      WHEN doc_id % 4 = 2 THEN 'ruby' ELSE 'go' END AS language,
-           |    'src/m' || (doc_id % 5) ||
-           |      CASE WHEN doc_id % 6 = 0 THEN '/tests'
-           |        WHEN doc_id % 9 = 0 THEN '/migrations' ELSE '' END ||
-           |      '/f' || doc_id || '.py' AS file_path,
-           |    CASE WHEN doc_id % 3 = 0 THEN 'function'
-           |      WHEN doc_id % 3 = 1 THEN 'class' ELSE 'code' END AS chunk_type
-           |  FROM documents),
-           |b AS (SELECT m.id, r.rrf_score,
-           |    least(1.0::DOUBLE, r.rrf_score +
-           |      CASE WHEN lower(m.name) = '$q' THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END +
-           |      CASE WHEN contains(lower(m.file_path), '$q') THEN 0.08::DOUBLE ELSE 0.0::DOUBLE END +
-           |      CASE WHEN m.chunk_type = 'function' THEN 0.05::DOUBLE ELSE 0.0::DOUBLE END +
-           |      CASE WHEN m.chunk_type = 'class' THEN 0.03::DOUBLE ELSE 0.0::DOUBLE END -
-           |      CASE WHEN regexp_matches(m.file_path, '(^|/)tests?/') THEN 0.02::DOUBLE ELSE 0.0::DOUBLE END -
-           |      CASE WHEN regexp_matches(m.content, '(?i)(licensed under|auto-generated|do not edit|generated by)')
-           |        OR regexp_matches(m.file_path, '(?i)(_pb2\\.|\\.generated\\.|/migrations/)') THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END +
-           |      ${Boilerplate.penaltySql("m.name", "m.language", raw)}) AS final_raw
-           |  FROM rq r JOIN meta m ON m.id = r.id)
-           |SELECT id AS doc_id, rrf_score, round(final_raw, 6) AS final_score
-           |FROM b ORDER BY final_score DESC, doc_id LIMIT 20""".stripMargin
-      },
+      "e2e2_search_pipeline" -> searchLifecycleSql(E2e2Query),
+
+      "sbc1_search_by_context" ->
+        searchLifecycleSql((SbcDescription +: SbcFocus).mkString(" ")),
 
       // mv1: the provable greedy outcome — per-cluster argmax by
       // (rel desc, id), selection ordered by rel desc; intra-list sim 0
