@@ -39,6 +39,7 @@ object TextDedupPack {
     */
   val NearDupCopies = 250
   val NearDupIdOffset = 1000000L
+  val LeakIdOffset = 2000000L
   /** ic1 ingest-batch id offset (disjoint from corpus doc ids at every
     * SF) and the keep/drop Jaccard threshold.
     */
@@ -829,6 +830,31 @@ object TextDedupPack {
           corpus, "vec_id", "embedding", bench, "bench_id", "embedding",
           tau = 0.6)
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-split leakage audit (leak1): near-dup pairs that STRADDLE
+    // the train/val/test boundary — the contamination dedup-before-
+    // split prevents, measured. Fixture plants perturbed variants
+    // (+LeakIdOffset, three appended tokens) of every doc_id%10==4
+    // doc; the iid doc_id-keyed split then leaks a deterministic
+    // subset of those pairs across the boundary (cluster-keyed
+    // assignment drives this to zero — LeakAuditSpec). Pairs ride the
+    // banded LSH path, never all-pairs; the audit is two equi-joins of
+    // the bounded pair set against the assignment.
+    "leak1_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + LeakIdOffset).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text"))
+      val all = docs.unionByName(variants)
+      val pairs = Dedup.minhashNearDupPairs(all, "text", "doc_id",
+        ShingleK, NumHashes, RowsPerBand, minJaccard = 0.6)
+      val sp = graft.text.Splits.assign(all.select(col("doc_id")),
+        "doc_id", SplitLayout)
+      graft.dedup.LeakAudit.crossSplitPairs(pairs, sp, "doc_id")
+        .select(col("a"), col("b"), col("split_a"), col("split_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a"), col("b"))
     }),
 
     // Dedup-recall eval — the ar1 symmetry for the dedup family: LSH
@@ -1731,6 +1757,54 @@ object TextDedupPack {
          |JOIN sizes na ON na.doc_id = c.a
          |JOIN sizes nb ON nb.doc_id = c.b
          |ORDER BY jaccard DESC, c.a, c.b LIMIT 100""".stripMargin,
+
+    "leak1_split_leakage" ->
+      s"""WITH nd AS (SELECT doc_id + $LeakIdOffset AS doc_id,
+         |    text || ' zz yy xx' AS text
+         |  FROM documents WHERE doc_id % 10 = 4),
+         |ad AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM nd),
+         |tok AS (SELECT doc_id, string_split(${normalizeSql("text")}, ' ')
+         |    AS toks FROM ad),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks", ShingleK)})
+         |    AS shingle FROM tok WHERE len(toks) >= $ShingleK),
+         |ab(h, a, b) AS (VALUES $abVals),
+         |mh AS (SELECT doc_id, CAST(ab.h AS INTEGER) AS h,
+         |    CAST(min((ab.a * (${PortableHash.hash60Sql("0", "shingle")} % ${graft.dedup.Dedup.MinhashM})
+         |      + ab.b) % ${graft.dedup.Dedup.MinhashP}) AS BIGINT) AS v
+         |  FROM sh CROSS JOIN ab GROUP BY doc_id, ab.h),
+         |bands AS (SELECT doc_id, CAST(h // $RowsPerBand AS INTEGER) AS band,
+         |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY h) AS band_val
+         |  FROM mh GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_val = y.band_val
+         |      AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+         |  FROM sh s1 JOIN sh s2
+         |    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |  JOIN cand c ON c.a = s1.doc_id AND c.b = s2.doc_id
+         |  GROUP BY s1.doc_id, s2.doc_id),
+         |ver AS (SELECT c.a, c.b,
+         |    CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |      / (na.n + nb.n - COALESCE(i.i, 0)) AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+         |  JOIN sizes na ON na.doc_id = c.a
+         |  JOIN sizes nb ON nb.doc_id = c.b
+         |  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |    / (na.n + nb.n - COALESCE(i.i, 0)) >= 0.6::DOUBLE),
+         |sp AS (SELECT doc_id,
+         |    ${graft.text.Splits.assignSql("doc_id", SplitLayout)} AS split
+         |  FROM ad)
+         |SELECT v.a, v.b, sa.split AS split_a, sb.split AS split_b,
+         |  round(v.jaccard, 6) AS jaccard
+         |FROM ver v
+         |JOIN sp sa ON sa.doc_id = v.a
+         |JOIN sp sb ON sb.doc_id = v.b
+         |WHERE sa.split <> sb.split
+         |ORDER BY v.a, v.b""".stripMargin,
 
     "ic1_incremental_dedup" ->
       s"""WITH nd AS (
