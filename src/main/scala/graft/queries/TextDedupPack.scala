@@ -1139,6 +1139,33 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Main-content extraction (html1): jusText/Boilerpipe-style block
+    // segmentation + link-density filtering — the web-pipeline stage
+    // UPSTREAM of C4/Gopher (both assume extraction already ran).
+    // Fixture wraps each doc's tokens into a nav (pure links), a
+    // link-list (enough words but ≈1.0 density — the case only the
+    // density rule catches), a clean paragraph, a mixed paragraph
+    // (short docs drop it by word count), and a footer; the extractor
+    // must keep exactly the prose. One narrow codegen projection of
+    // array HOFs over the block split — no explode, no shuffle.
+    "html1_main_content" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      val html = concat(
+        lit("<div><a href=\"/\">"), element_at(toks, 1),
+        lit("</a> <a href=\"/x\">"), element_at(toks, 2), lit("</a></div>"),
+        lit("<li><a href=\"/a\">"), array_join(slice(toks, 1, 3), " "),
+        lit("</a> <a href=\"/b\">"), array_join(slice(toks, 4, 3), " "),
+        lit("</a></li>"),
+        lit("<p>"), array_join(slice(toks, 3, 15), " "), lit("</p>"),
+        lit("<p>"), array_join(slice(toks, 18, 10), " "),
+        lit(" <a href=\"#\">"), element_at(toks, 1), lit("</a></p>"),
+        lit("<div><a>"), element_at(toks, 2), lit("</a> menu</div>"))
+      graft.text.HtmlExtract.extract(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
     // Asymmetric containment scoring (d7): planted 12-token quotes of
     // every doc_id%9==4 doc, paired with their sources; containment_a
     // hits 1.0 where Jaccard stays near zero — the quote/subset signal
@@ -2100,6 +2127,53 @@ object TextDedupPack {
          |  CASE WHEN bh > 0 OR score >= 0.12 THEN 'block'
          |       WHEN score >= 0.06 THEN 'flag' ELSE 'allow' END AS verdict
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "html1_main_content" -> {
+      import graft.text.HtmlExtract
+      val ats = (e: String) => s"coalesce(array_to_string($e, ' '), '')"
+      s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks
+         |    FROM documents),
+         |pg AS (SELECT doc_id,
+         |    '<div><a href="/">' || toks[1] || '</a> <a href="/x">'
+         |      || toks[2] || '</a></div>'
+         |    || '<li><a href="/a">' || ${ats("toks[1:3]")}
+         |      || '</a> <a href="/b">' || ${ats("toks[4:6]")} || '</a></li>'
+         |    || '<p>' || ${ats("toks[3:17]")} || '</p>'
+         |    || '<p>' || ${ats("toks[18:27]")} || ' <a href="#">'
+         |      || toks[1] || '</a></p>'
+         |    || '<div><a>' || toks[2] || '</a> menu</div>' AS html
+         |  FROM tok),
+         |bl AS (SELECT doc_id,
+         |    unnest(string_split_regex(html, '${HtmlExtract.BlockCloseRe}'))
+         |      AS b,
+         |    unnest(range(1,
+         |      len(string_split_regex(html, '${HtmlExtract.BlockCloseRe}'))
+         |        + 1)) AS i
+         |  FROM pg),
+         |per AS (SELECT doc_id, i,
+         |    trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+         |      ' +', ' ', 'g')) AS v,
+         |    coalesce(CAST(list_aggregate(list_transform(
+         |      regexp_extract_all(b, '${HtmlExtract.AnchorRe}', 1),
+         |      s -> len(s)), 'sum') AS INTEGER), 0) AS ac
+         |  FROM bl),
+         |pw AS (SELECT doc_id, i, v, ac,
+         |    CAST(len(string_split(v, ' ')) AS INTEGER) AS w
+         |  FROM per WHERE v <> ''),
+         |kept AS (SELECT * FROM pw WHERE w >= 5
+         |  AND CAST(ac AS DOUBLE) / greatest(len(v), 1) <= 0.33::DOUBLE),
+         |nb AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_blocks
+         |  FROM pw GROUP BY doc_id),
+         |ka AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+         |    CAST(sum(w) AS INTEGER) AS n_words_kept,
+         |    string_agg(v, chr(10) ORDER BY i) AS main_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT nb.doc_id, nb.n_blocks, coalesce(ka.n_kept, 0) AS n_kept,
+         |  coalesce(ka.n_words_kept, 0) AS n_words_kept,
+         |  coalesce(ka.main_text, '') AS main_text
+         |FROM nb LEFT JOIN ka ON ka.doc_id = nb.doc_id
+         |ORDER BY nb.doc_id""".stripMargin
     },
 
     "d7_containment" ->
