@@ -372,6 +372,24 @@ object CurationPack {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Integer-exact EWMA (ewma1): α=1/2 smoothed level per event type
+    // over the daily volumes — the trend signal beside an1's outlier
+    // z-score. The recurrence runs in micro-units with a right-shift
+    // (exactly (x·1e6 + s)÷2 for non-negative values), so the oracle
+    // replays it bit-for-bit as a recursive CTE. Series are per-key
+    // and bounded; the fold runs inside one aggregate over the
+    // collected sorted array — no windows, no driver state.
+    "ewma1_volume_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      graft.analyze.Ewma.ewmaHalf(daily, "event_type", "day", "n")
+        .select(col("key").as("event_type"), col("ord").as("day"),
+          col("value").as("n"), col("ewma_micro"), col("ewma"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Two-stage salted aggregation proved EXACT against the plain
     // GROUP BY oracle: the skew-mitigation plan shape (partial per
     // salt → final) produces bit-identical integer sums — the gate
@@ -854,6 +872,25 @@ object CurationPack {
         |      sqrt(CAST((win_n * s2 - s1 * s1) * win_n AS DOUBLE)
         |        / (win_n - 1)), 4)
         |    ELSE 0.0::DOUBLE END AS z
+        |FROM r ORDER BY event_type, day""".stripMargin,
+
+    "ewma1_volume_trend" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, day, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS INTEGER) AS i
+        |  FROM daily),
+        |r AS (SELECT event_type, i, day, x, x * 1000000 AS s
+        |    FROM rk WHERE i = 1
+        |  UNION ALL
+        |  SELECT k.event_type, k.i, k.day, k.x,
+        |    (k.x * 1000000 + r.s) // 2
+        |  FROM rk k JOIN r ON k.event_type = r.event_type
+        |    AND k.i = r.i + 1)
+        |SELECT event_type, day, x AS n, CAST(s AS BIGINT) AS ewma_micro,
+        |  round(CAST(s AS DOUBLE) / 1000000, 6) AS ewma
         |FROM r ORDER BY event_type, day""".stripMargin,
 
     "sj1_salted_agg" ->

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Knn
 import graft.functions.VectorFunctions
-import graft.search.{Bm25, Fusion}
+import graft.search.{Bm25, Bm25F, Fusion}
 import graft.tables.Tables
 import graft.text.TextFunctions
 
@@ -21,6 +21,11 @@ object SearchPack {
     * multiset weighting (rank_bm25 counts duplicates).
     */
   val Query: Seq[String] = Seq("fast", "table", "scan", "merge", "table")
+
+  /** br1's BM25F query — terms that hit both the 2-token name field
+    * (weight 3) and the body, so field weighting visibly reorders.
+    */
+  val BrQuery: Seq[String] = Seq("slow", "merge", "key")
   val Alpha = 0.5
 
   /** Expansion variants of "fast table scan" via the synonym groups
@@ -478,6 +483,25 @@ object SearchPack {
     // Q7/A3: BM25 top-k for a fixed query.
     "b1_bm25_topk" -> ((s, d) => {
       bm25Scores(s, d)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Simple BM25F (br1): multi-field ranking with integer field
+    // weights folded into pseudo-counts BEFORE saturation — a name-
+    // field hit (weight 3) outweighs the same term in the body, which
+    // single-field BM25 cannot express. The weighted postings reuse
+    // the UNCHANGED Bm25 index/scoring pipeline (and so inherit its
+    // bucketed-layout story). Fixture: name = the doc's first two
+    // tokens, content = the full text.
+    "br1_bm25f_fields" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val fielded = Tables.documents(s, d).select(col("doc_id"),
+        array_join(slice(toks, 1, 2), " ").as("name"),
+        col("text").as("content"))
+      Bm25F.scoreFields(s, fielded, "doc_id",
+          Seq("name" -> 3, "content" -> 1), BrQuery)
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
@@ -1029,6 +1053,26 @@ object SearchPack {
         s"""WITH $bm25Ctes
            |SELECT id AS doc_id, round(score, 6) AS score FROM bm25
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      // br1: weighted p0/postings replace the single-field head, the
+      // rest of the BM25 chain (doc_stats onward) is the UNCHANGED
+      // scoreSqlCtes tail — mirroring how Bm25F reuses Bm25 in Spark.
+      "br1_bm25f_fields" -> {
+        val base = Bm25.scoreSqlCtes("documents", "doc_id",
+          TextFunctions.tokensSql("text"), BrQuery)
+        val tail = base.substring(base.indexOf("doc_stats AS"))
+        s"""WITH tokd AS (SELECT doc_id,
+           |    ${TextFunctions.tokensSql("text")} AS toks FROM documents),
+           |p0 AS (
+           |  SELECT doc_id AS id, unnest(toks[1:2]) AS term, 3 AS w
+           |    FROM tokd
+           |  UNION ALL SELECT doc_id, unnest(toks), 1 FROM tokd),
+           |postings AS (SELECT id, term, CAST(sum(w) AS BIGINT) AS tf
+           |  FROM p0 GROUP BY id, term),
+           |$tail
+           |SELECT id AS doc_id, round(score, 6) AS score FROM bm25
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      },
 
       // b2's merge ≡ rebuild contract: the oracle IS the full rebuild.
       "b2_bm25_incremental" ->

@@ -700,6 +700,18 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-domain distribution drift (ce1): KL(domain ‖ corpus) over
+    // unigram distributions in quantized micro-nats — ranks sources
+    // for re-weighting/capping (the DSIR/mixing inputs) and alarms on
+    // ingestion drift. Token-keyed count joins (a 100 TB vocabulary
+    // never broadcasts); only the metadata-scale domain totals and the
+    // scalar corpus total broadcast.
+    "ce1_domain_drift" -> ((s, d) => {
+      graft.text.DomainDrift.unigramKl(
+          Tables.documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    }),
+
     // Deterministic global shuffle: reproducible training order with
     // global positions via the distributed prefix sum (unit weights) —
     // no single-partition row_number.
@@ -2517,6 +2529,29 @@ object TextDedupPack {
          |    + ${graft.text.Mixing.Add}) % ${graft.text.Mixing.Modulus})
          |  * doms * dom_n < ${graft.text.Mixing.Modulus} * total
          |ORDER BY d.doc_id""".stripMargin,
+
+    "ce1_domain_drift" ->
+      s"""WITH occ AS (SELECT source, unnest(string_split($normDoc, ' '))
+         |    AS t FROM documents),
+         |dc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cd
+         |  FROM occ GROUP BY source, t),
+         |cc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM occ
+         |  GROUP BY t),
+         |dt AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM occ
+         |  GROUP BY source),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM occ),
+         |q AS (SELECT d.source, d.cd,
+         |    CAST(floor(ln((d.cd * tt.n)::DOUBLE / (cc.c * dt.nd))
+         |      * 1000000) AS BIGINT) AS qn
+         |  FROM dc d JOIN cc USING (t) JOIN dt USING (source)
+         |  CROSS JOIN tt)
+         |SELECT q.source, dt.nd AS n_tokens,
+         |  CAST(count(*) AS INTEGER) AS vocab,
+         |  CAST(sum(q.cd * q.qn) AS BIGINT) AS sum_micro_nats,
+         |  round(CAST(sum(q.cd * q.qn) AS DOUBLE) / dt.nd / 1000000, 6)
+         |    AS kl_nats
+         |FROM q JOIN dt USING (source) GROUP BY q.source, dt.nd
+         |ORDER BY source""".stripMargin,
 
     "un1_unigram_lm" ->
       s"""WITH $toksCte,
