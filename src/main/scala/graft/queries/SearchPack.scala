@@ -108,6 +108,9 @@ object SearchPack {
   /** ph1 phrase — adjacent-token exact match over the documents corpus. */
   val PhraseTerms = Seq("table", "scan")
 
+  /** prox1 term pair — both common, so min-distance genuinely ranks. */
+  val ProxTerms = ("slow", "merge")
+
   /** Per-JVM persisted positional-postings index (the bm25Index pattern):
     * built + written once per corpus, the ph1 gate then times the PROBE
     * — term-pushdown scans + Exchange-free (id, start) joins off the
@@ -367,6 +370,20 @@ object SearchPack {
     // the gate times the probe.
     "ph1_phrase_search" -> ((s, d) => {
       graft.search.Phrase.phraseSearch(phrasePostings(s, d), PhraseTerms, 30)
+    }),
+
+    // Pairwise term proximity off the SAME persisted positional index
+    // ph1 probes (prox1): min token distance between the two query
+    // terms per doc + the 1/(1+d) ranking bonus — the positional
+    // signal between order-blind BM25 and adjacency-exact phrase
+    // match. Two term-pushdown scans, in-row position-set fold, one
+    // Exchange-free id join.
+    "prox1_term_proximity" -> ((s, d) => {
+      graft.search.Phrase.proximityPairs(phrasePostings(s, d),
+          ProxTerms._1, ProxTerms._2, 20)
+        .select(col("id").as("doc_id"), col("n_a"), col("n_b"),
+          col("min_dist"), col("prox_score"))
+        .orderBy(col("min_dist"), col("doc_id"))
     }),
 
     // Q12 KG boost (search.py:885-936): +0.02 per 1-hop related entity
@@ -848,6 +865,28 @@ object SearchPack {
            |SELECT id, CAST(count(*) AS BIGINT) AS n_matches FROM m
            |GROUP BY id ORDER BY n_matches DESC, id LIMIT 30""".stripMargin
       },
+
+      "prox1_term_proximity" ->
+        s"""WITH tok AS (SELECT doc_id AS id,
+           |    ${TextFunctions.tokensSql("text")} AS toks FROM documents),
+           |praw AS (SELECT id, unnest(list_transform(toks,
+           |    (t, i) -> {'term': t, 'pos': i - 1})) AS u FROM tok),
+           |p AS (SELECT id, u.term AS term, u.pos AS pos FROM praw
+           |  WHERE u.term <> ''),
+           |la AS (SELECT id, list_sort(list(DISTINCT pos)) AS pa,
+           |    CAST(count(*) AS INTEGER) AS n_a
+           |  FROM p WHERE term = '${ProxTerms._1}' GROUP BY id),
+           |lb AS (SELECT id, list_sort(list(DISTINCT pos)) AS pb,
+           |    CAST(count(*) AS INTEGER) AS n_b
+           |  FROM p WHERE term = '${ProxTerms._2}' GROUP BY id),
+           |j AS (SELECT la.id, la.n_a, lb.n_b,
+           |    CAST(list_min(flatten(list_transform(la.pa, x ->
+           |      list_transform(lb.pb, y -> abs(x - y))))) AS INTEGER)
+           |      AS min_dist
+           |  FROM la JOIN lb USING (id))
+           |SELECT id AS doc_id, n_a, n_b, min_dist,
+           |  round(1.0::DOUBLE / (1 + min_dist), 6) AS prox_score
+           |FROM j ORDER BY min_dist, id LIMIT 20""".stripMargin,
 
       // Golden rows per template (the gh1 pattern): expected values
       // derived by hand from the documented heuristics — e.g. k=4 is

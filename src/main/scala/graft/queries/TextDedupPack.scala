@@ -712,6 +712,23 @@ object TextDedupPack {
         .orderBy(col("source"))
     }),
 
+    // Embedding-space domain drift (ed1): per-source mean-embedding
+    // centroid vs the corpus centroid — the SEMANTIC complement of
+    // ce1's lexical KL (a domain can share vocabulary yet sit far away
+    // in embedding space). Quantized micro-unit sums (ep1's contract)
+    // make the centroids bit-exact floats; the corpus centroid
+    // re-aggregates the domain sums, so the corpus pays one explode
+    // pass and the re-aggregation is domains × dims rows.
+    "ed1_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val src = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      graft.text.DomainDrift.embeddingDrift(
+          emb.join(src, Seq("vec_id")), "source", "embedding")
+        .orderBy(col("source"))
+    }),
+
     // Deterministic global shuffle: reproducible training order with
     // global positions via the distributed prefix sum (unit weights) —
     // no single-partition row_number.
@@ -2552,6 +2569,31 @@ object TextDedupPack {
          |    AS kl_nats
          |FROM q JOIN dt USING (source) GROUP BY q.source, dt.nd
          |ORDER BY source""".stripMargin,
+
+    "ed1_embedding_drift" ->
+      s"""WITH tagged AS (SELECT d.source, e.embedding FROM embeddings e
+         |  JOIN documents d ON d.doc_id = e.vec_id),
+         |px AS (SELECT source, CAST(i AS INTEGER) AS pos,
+         |    embedding[CAST(i AS INTEGER) + 1] AS e
+         |  FROM (SELECT source, embedding, unnest(range(0, 64)) AS i
+         |    FROM tagged)),
+         |per AS (SELECT source, pos,
+         |    CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+         |      AS BIGINT) AS sq,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM px GROUP BY source, pos),
+         |dom AS (SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |    list(CAST(CAST(sq AS DOUBLE) / (n * 1000000) AS FLOAT)
+         |      ORDER BY pos) AS dvec
+         |  FROM per GROUP BY source),
+         |corp AS (SELECT list(CAST(CAST(csq AS DOUBLE) / (cn * 1000000)
+         |      AS FLOAT) ORDER BY pos) AS cvec
+         |  FROM (SELECT pos, sum(sq) AS csq, sum(n) AS cn FROM per
+         |    GROUP BY pos))
+         |SELECT source, n_docs,
+         |  round(${VectorFunctions.cosineSql("dvec", "cvec")}, 6)
+         |    AS centroid_sim
+         |FROM dom CROSS JOIN corp ORDER BY source""".stripMargin,
 
     "un1_unigram_lm" ->
       s"""WITH $toksCte,

@@ -50,6 +50,35 @@ object Phrase {
   def readIndex(spark: org.apache.spark.sql.SparkSession,
       name: String): DataFrame = spark.table(name)
 
+  /** Pairwise term proximity: for documents containing BOTH terms, the
+    * minimum token distance between any occurrence of `a` and any of
+    * `b`, with occurrence counts and the 1/(1+dist) ranking bonus —
+    * the positional ranking signal between bag-of-words BM25 (order-
+    * blind) and [[phraseSearch]] (adjacency-exact).
+    *
+    * Scale shape: two term-pushdown scans of the persisted bucketed
+    * postings, per-doc position sets collected IN-ROW (bounded by
+    * document length), one Exchange-free id join, and the min-distance
+    * is a bounded in-row fold — never a positions × positions row
+    * explosion.
+    */
+  def proximityPairs(postings: DataFrame, a: String, b: String,
+      k: Int = 20): DataFrame = {
+    def leg(t: String, pc: String, nc: String) =
+      postings.filter(col("term") === t)
+        .groupBy(col("id"))
+        .agg(sort_array(collect_set(col("pos"))).as(pc),
+          count(lit(1)).cast("int").as(nc))
+    leg(a, "pa", "n_a").join(leg(b, "pb", "n_b"), Seq("id"))
+      .withColumn("min_dist",
+        array_min(flatten(transform(col("pa"), p =>
+          transform(col("pb"), q => abs(p - q))))).cast("int"))
+      .select(col("id"), col("n_a"), col("n_b"), col("min_dist"),
+        round(lit(1.0) / (lit(1) + col("min_dist")), 6).as("prox_score"))
+      .orderBy(col("min_dist"), col("id"))
+      .limit(k)
+  }
+
   /** Docs containing the exact token sequence, with occurrence counts,
     * top-k by (count desc, id). Joins are ordered rarest-term-first;
     * each joined side is re-anchored to the phrase START position so

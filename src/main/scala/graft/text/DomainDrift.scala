@@ -27,6 +27,51 @@ import org.apache.spark.sql.functions._
   */
 object DomainDrift {
 
+  /** Embedding-space drift: cosine between each domain's mean-embedding
+    * centroid and the corpus centroid — the semantic complement of
+    * [[unigramKl]] (lexical): a domain can share the corpus vocabulary
+    * yet sit far away in embedding space (code vs prose, translated
+    * text), and vice versa.
+    *
+    * Determinism ([[graft.embed.Pooling]]'s contract): components are
+    * quantized to integer micro-units before summing, so centroids are
+    * bit-exact floats in any engine. The corpus centroid re-aggregates
+    * the DOMAIN sums — exact (integer addition is associative) and
+    * metadata-scale (domains × dims rows), so the corpus pays ONE
+    * explode pass, not two.
+    */
+  def embeddingDrift(docs: DataFrame, domainCol: String, vecCol: String)
+      : DataFrame = {
+    import graft.embed.Pooling.QuantScale
+    import graft.functions.VectorFunctions
+    val per = docs
+      .select(col(domainCol).as("source"),
+        posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .withColumn("q",
+        floor(col("e").cast("double") * QuantScale).cast("long"))
+      .groupBy(col("source"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .cache()
+    def assemble(v: org.apache.spark.sql.Column) =
+      transform(array_sort(collect_list(struct(col("pos"), v.as("v")))),
+        s => s.getField("v"))
+    val dom = per
+      .withColumn("v",
+        (col("sq").cast("double") / (col("n") * QuantScale)).cast("float"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).cast("long").as("n_docs"),
+        assemble(col("v")).as("dvec"))
+    val corp = per.groupBy(col("pos"))
+      .agg(sum(col("sq")).as("csq"), sum(col("n")).as("cn"))
+      .withColumn("v",
+        (col("csq").cast("double") / (col("cn") * QuantScale)).cast("float"))
+      .agg(assemble(col("v")).as("cvec"))
+    dom.crossJoin(broadcast(corp))
+      .select(col("source"), col("n_docs"),
+        round(VectorFunctions.cosine(col("dvec"), col("cvec")), 6)
+          .as("centroid_sim"))
+  }
+
   /** Per-domain KL vs the corpus: (source, n_tokens, vocab,
     * sum_micro_nats, kl_nats) — one row per domain, kl_nats rounded
     * to 6.

@@ -35,6 +35,25 @@ class DomainDriftSpec extends SparkSpec {
     assert(got("a") > 0.0 && got("b") > 0.0)
   }
 
+  test("embedding drift: aligned domain sims 1.0, orthogonal domain lower") {
+    // domain a vectors all on axis 1; domain b on axis 2. Corpus
+    // centroid sits between → equal sims; a lone domain c ON the
+    // corpus diagonal scores highest.
+    val rows =
+      (1 to 4).map(i => ("a", Array(1f, 0f))) ++
+      (1 to 4).map(i => ("b", Array(0f, 1f))) :+ ("c", Array(1f, 1f))
+    val got = DomainDrift.embeddingDrift(
+        rows.toDF("source", "vec"), "source", "vec")
+      .select("source", "n_docs", "centroid_sim")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)).toSeq ===
+      Seq(("a", 4L), ("b", 4L), ("c", 1L)))
+    val sims = got.map(r => r._1 -> r._3).toMap
+    assert(sims("a") === sims("b"))
+    assert(sims("c") > sims("a"))
+    assert(sims.values.forall(s => s > 0.0 && s <= 1.0))
+  }
+
   test("quantized KL is invariant to input partitioning") {
     val docs = (1 to 200).map(i =>
       (s"d${i % 5}", if (i % 3 == 0) "x y z w" else "x x y"))

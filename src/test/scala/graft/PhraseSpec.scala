@@ -54,4 +54,34 @@ class PhraseSpec extends SparkSpec {
   test("phrase absent from corpus returns empty") {
     assert(search(Seq(1L -> "nothing here"), Seq("missing", "phrase")).isEmpty)
   }
+
+  private def prox(docs: Seq[(Long, String)], a: String, b: String) = {
+    val p = Phrase.positionalPostings(
+      docs.toDF("doc_id", "text"), "doc_id", TextFunctions.tokens)
+    Phrase.proximityPairs(p, a, b)
+      .select("id", "n_a", "n_b", "min_dist")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+  }
+
+  test("proximity: min distance over all occurrence pairs, both orders") {
+    val docs = Seq(
+      1L -> "x a y y y b a z", // a@1,6 b@5 → min |6-5| = 1
+      2L -> "b y y a",         // b@0 a@3 → 3
+      3L -> "a only here")     // missing b → absent
+    assert(prox(docs, "a", "b") ===
+      Seq((1L, 2, 1, 1), (2L, 1, 1, 3)))
+  }
+
+  test("proximity ranks adjacent above scattered and caps at k") {
+    val docs = Seq(
+      1L -> "q w a b e r t",
+      2L -> "a x x x x x x x b",
+      3L -> "a x b")
+    val got = prox(docs, "a", "b").sortBy(_._4)
+    assert(got.map(_._1) === Seq(1L, 3L, 2L))
+    assert(got.map(_._4) === Seq(1, 2, 8))
+    val p = Phrase.positionalPostings(
+      docs.toDF("doc_id", "text"), "doc_id", TextFunctions.tokens)
+    assert(Phrase.proximityPairs(p, "a", "b", k = 2).count() === 2)
+  }
 }
