@@ -56,4 +56,46 @@ object ClassifierEval {
         round((col("_r2") - col("_pp") * (col("_pp") + 1)) /
           (lit(2.0) * col("_pp") * col("_neg")), 6).as("auc"))
   }
+
+  /** Reliability diagram + expected calibration error: scores in [0,1]
+    * fall into `bins` fixed-width bins; each bin reports observed
+    * positive rate vs mean predicted score, and every row carries the
+    * n-weighted ECE — the number that says whether the quality
+    * classifier's scores can be used as probabilities (thresholding
+    * and importance-weighting both assume they can).
+    *
+    * Determinism: per-bin counts are integers; scores are quantized to
+    * micro-units before summing (order-free); pos_rate / avg_score are
+    * single divisions of integers; the per-bin |gap| re-quantizes so
+    * the ECE numerator Σ n·gap_micro is again an exact integer sum.
+    *
+    * Scale: one map-side-combinable groupBy on the bin id (≤ `bins`
+    * groups), one broadcast of the 1-row totals. Runs at scan speed
+    * next to the scoring pass.
+    */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val per = scored
+      .select(
+        least(floor(col(scoreCol) * bins).cast("int"), lit(bins - 1))
+          .as("bin"),
+        col(labelCol).cast("long").as("y"),
+        round(col(scoreCol) * 1e6).cast("long").as("sm"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("sm")).as("ssum"))
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n"))
+      .withColumn("avg_score",
+        col("ssum").cast("double") / col("n") / 1e6)
+      .withColumn("gap_micro",
+        round(abs(col("pos_rate") - col("avg_score")) * 1e6).cast("long"))
+    val tot = per.agg(sum(col("n")).as("nn"),
+      sum(col("n") * col("gap_micro")).as("gsum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n").cast("long").as("n"),
+        col("n_pos").cast("long").as("n_pos"),
+        round(col("pos_rate"), 6).as("pos_rate"),
+        round(col("avg_score"), 6).as("avg_score"),
+        round(col("gsum").cast("double") / col("nn") / 1e6, 6).as("ece"))
+  }
 }

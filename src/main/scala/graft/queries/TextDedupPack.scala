@@ -267,6 +267,34 @@ object TextDedupPack {
         .orderBy(col("score"))
     }),
 
+    // Reliability diagram + ECE (cal1): the calibration counterpart of
+    // auc1's discrimination — per-bin observed positive rate vs mean
+    // predicted score over ttr-as-score, with the n-weighted expected
+    // calibration error riding on every row. Integer bin counts,
+    // micro-quantized score sums, re-quantized gaps.
+    "cal1_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.text.Entropy
+        .tokenEntropy(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("label")), Seq("doc_id"))
+      graft.analyze.ClassifierEval.calibration(scored, "ttr", "label")
+        .orderBy(col("bin"))
+    }),
+
+    // MI feature ranking (mi1): mutual information between token
+    // presence and the language label — the feature-selection pass
+    // before training the lexical classifiers (ql1/lr1). One distinct-
+    // token explode + one token-keyed groupBy; double ratios BEFORE
+    // the N product so corpus-scale counts cannot overflow.
+    "mi1_feature_mi" -> ((s, d) => {
+      graft.text.FeatureSelection.tokenLabelMi(
+          Tables.documents(s, d)
+            .withColumn("label", (col("lang") === "en").cast("int")),
+          "doc_id", "text", "label", topK = 20)
+        .orderBy(col("mi").desc, col("t"))
+    }),
+
     // Content-defined chunking dedup (FastCDC boundary rule at word
     // level): local-hash boundaries make segment splits insertion-shift
     // robust; repeated segments found by ONE hash aggregate on content.
@@ -1687,6 +1715,72 @@ object TextDedupPack {
          |  round((r2 - pp * (pp + 1)) / (2.0 * pp * (nn - pp)), 6)::DOUBLE
          |    AS auc
          |FROM r CROSS JOIN tot ORDER BY score""".stripMargin,
+
+    "cal1_calibration" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM t
+         |  GROUP BY doc_id, tok),
+         |ent AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_types
+         |  FROM tc GROUP BY doc_id),
+         |scored AS (SELECT e.doc_id,
+         |    round(e.n_types * 1.0 / e.n, 6)::DOUBLE AS score,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |  FROM ent e JOIN documents d USING (doc_id)),
+         |per AS (SELECT least(CAST(floor(score * 10) AS INTEGER), 9)
+         |      AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(label) AS BIGINT) AS n_pos,
+         |    CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
+         |      AS ssum
+         |  FROM scored GROUP BY 1),
+         |pq AS (SELECT bin, n, n_pos,
+         |    n_pos::DOUBLE / n AS pos_rate,
+         |    ssum::DOUBLE / n / 1000000 AS avg_score
+         |  FROM per),
+         |pg AS (SELECT *, CAST(round(abs(pos_rate - avg_score) * 1000000)
+         |    AS BIGINT) AS gap_micro FROM pq),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(n * gap_micro) AS BIGINT) AS gsum FROM pg)
+         |SELECT bin, n, n_pos, round(pos_rate, 6) AS pos_rate,
+         |  round(avg_score, 6) AS avg_score,
+         |  round(CAST(gsum AS DOUBLE) / nn / 1000000, 6) AS ece
+         |FROM pg CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    "mi1_feature_mi" ->
+      s"""WITH $toksCte,
+         |d0 AS (SELECT doc_id, unnest(list_distinct(toks)) AS t
+         |  FROM tok),
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |dty AS (SELECT d0.t, l.y FROM d0 JOIN lab l USING (doc_id)),
+         |per AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+         |    CAST(sum(y) AS BIGINT) AS n_t1 FROM dty GROUP BY t),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(y) AS BIGINT) AS n1 FROM lab),
+         |mm AS (SELECT t, n_t, n_t1, nn,
+         |    (CASE WHEN n_t1 > 0 THEN n_t1 *
+         |      CAST(floor(ln((n_t1::DOUBLE / n_t) * (nn::DOUBLE / n1))
+         |        * 1000000) AS BIGINT) ELSE 0 END)
+         |  + (CASE WHEN (n_t - n_t1) > 0 THEN (n_t - n_t1) *
+         |      CAST(floor(ln(((n_t - n_t1)::DOUBLE / n_t)
+         |        * (nn::DOUBLE / (nn - n1))) * 1000000) AS BIGINT)
+         |      ELSE 0 END)
+         |  + (CASE WHEN (n1 - n_t1) > 0 THEN (n1 - n_t1) *
+         |      CAST(floor(ln(((n1 - n_t1)::DOUBLE / (nn - n_t))
+         |        * (nn::DOUBLE / n1)) * 1000000) AS BIGINT) ELSE 0 END)
+         |  + (CASE WHEN (nn - n_t - n1 + n_t1) > 0
+         |      THEN (nn - n_t - n1 + n_t1) *
+         |      CAST(floor(ln(((nn - n_t - n1 + n_t1)::DOUBLE
+         |        / (nn - n_t)) * (nn::DOUBLE / (nn - n1))) * 1000000)
+         |        AS BIGINT) ELSE 0 END)
+         |    AS mi_micro
+         |  FROM per CROSS JOIN tot)
+         |SELECT t, n_t, n_t1, CAST(mi_micro AS BIGINT) AS mi_micro,
+         |  round(CAST(mi_micro AS DOUBLE) / nn / 1000000, 6) AS mi
+         |FROM mm ORDER BY mi DESC, t LIMIT 20""".stripMargin,
 
     "cdc1_content_chunks" -> {
       val h60 = PortableHash.hash60Sql("'cdc'", "gram")

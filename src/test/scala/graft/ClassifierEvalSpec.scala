@@ -40,4 +40,30 @@ class ClassifierEvalSpec extends SparkSpec {
       (pos.size * neg.size)
     assert(math.abs(auc(rows) - brute) < 1e-6)
   }
+
+  private def cal(rows: Seq[(Double, Int)], bins: Int = 10) =
+    ClassifierEval.calibration(rows.toDF("score", "label"),
+        "score", "label", bins)
+      .select("bin", "n", "n_pos", "pos_rate", "avg_score", "ece")
+      .as[(Int, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+
+  test("perfectly calibrated scores give zero-gap bins and tiny ECE") {
+    // bin 0.25: half positive; bin 0.75: three quarters positive
+    val rows = Seq((0.25, 0), (0.25, 1), (0.25, 0), (0.25, 1),
+      (0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0))
+    val got = cal(rows)
+    assert(got.map(_._1) === Seq(2, 7))
+    assert(got(0)._4 === 0.5 && got(0)._5 === 0.25)
+    assert(got(1)._4 === 0.75 && got(1)._5 === 0.75)
+    // bin 7's gap is 0; bin 2's gap 0.25 → ece = 0.25/2
+    assert(got.head._6 === 0.125)
+  }
+
+  test("anti-calibrated scores show a large ECE; score 1.0 lands in the top bin") {
+    val rows = Seq((1.0, 0), (1.0, 0), (0.05, 1), (0.05, 1))
+    val got = cal(rows)
+    assert(got.map(_._1) === Seq(0, 9))
+    assert(got.head._6 === 0.975)
+  }
 }
