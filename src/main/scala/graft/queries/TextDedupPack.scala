@@ -40,6 +40,9 @@ object TextDedupPack {
   val NearDupCopies = 250
   val NearDupIdOffset = 1000000L
   val LeakIdOffset = 2000000L
+
+  /** w2v1 probe words (all clear the pm1 min-support floor). */
+  val W2vProbes = Seq("slow", "table", "key")
   /** ic1 ingest-batch id offset (disjoint from corpus doc ids at every
     * SF) and the keep/drop Jaccard threshold.
     */
@@ -622,6 +625,19 @@ object TextDedupPack {
           Tables.documents(s, d), "doc_id", "text", window = 2, minCount = 5)
         .orderBy(col("pmi_micro").desc, col("a"), col("b"))
         .limit(50)
+    }),
+
+    // PPMI word vectors + nearest neighbors (w2v1): count-based
+    // distributional word similarity off pm1's windowed co-occurrence
+    // table — the "train word embeddings from the corpus" primitive.
+    // Probe side broadcast-bounded; exact micro² integer dots/norms;
+    // vocabulary-scale neighbors route through the ANN family, never
+    // all-pairs.
+    "w2v1_ppmi_neighbors" -> ((s, d) => {
+      graft.text.Cooccur.ppmiNeighbors(Tables.documents(s, d),
+          "doc_id", "text", window = 2, minCount = 5,
+          probes = W2vProbes, k = 5)
+        .orderBy(col("p"), col("rank"))
     }),
 
     // Vocabulary coverage: per-doc OOV rate against the corpus top-1000
@@ -2551,6 +2567,56 @@ object TextDedupPack {
          |  WHERE c >= 5)
          |SELECT a, b, n_pairs, pmi_micro FROM scored
          |ORDER BY pmi_micro DESC, a, b LIMIT 50""".stripMargin,
+
+    "w2v1_ppmi_neighbors" -> {
+      val probeList = W2vProbes.map(p => s"'$p'").mkString(", ")
+      s"""WITH $toksCte,
+         |pr AS (SELECT toks[i] AS a, toks[i + 1] AS b FROM (
+         |    SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |    FROM tok WHERE len(toks) > 1)
+         |  UNION ALL
+         |  SELECT toks[i] AS a, toks[i + 2] AS b FROM (
+         |    SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |    FROM tok WHERE len(toks) > 2)),
+         |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM pr GROUP BY a, b),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS u FROM
+         |  (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+         |tt AS (SELECT CAST(sum(u) AS BIGINT) AS ttok FROM uni),
+         |tp AS (SELECT CAST(sum(c) AS BIGINT) AS tpair FROM cab),
+         |scored AS (SELECT a, b,
+         |    CAST(floor(ln((c::DOUBLE * ttok * ttok)
+         |      / (tpair::DOUBLE * ua.u * ub.u)) * 1000000) AS BIGINT)
+         |      AS pmi_micro
+         |  FROM cab JOIN uni ua ON cab.a = ua.t
+         |  JOIN uni ub ON cab.b = ub.t
+         |  CROSS JOIN tt CROSS JOIN tp
+         |  WHERE c >= 5),
+         |ppv AS (SELECT a, b, greatest(pmi_micro, 0) AS x FROM scored
+         |  WHERE pmi_micro > 0),
+         |vec AS (SELECT w, c, CAST(max(x) AS BIGINT) AS x FROM (
+         |    SELECT a AS w, b AS c, x FROM ppv
+         |    UNION ALL SELECT b, a, x FROM ppv) GROUP BY w, c),
+         |norms AS (SELECT w, CAST(sum(x * x) AS BIGINT) AS n2
+         |  FROM vec GROUP BY w),
+         |pv AS (SELECT w AS p, c, x AS xp FROM vec
+         |  WHERE w IN ($probeList)),
+         |dots AS (SELECT pv.p, v.w, CAST(sum(pv.xp * v.x) AS BIGINT)
+         |      AS dot
+         |  FROM pv JOIN vec v USING (c) WHERE v.w <> pv.p
+         |  GROUP BY pv.p, v.w),
+         |cs AS (SELECT d.p, d.w, d.dot,
+         |    d.dot::DOUBLE / (sqrt(np.n2::DOUBLE) * sqrt(nw.n2::DOUBLE))
+         |      AS cosr
+         |  FROM dots d JOIN norms np ON np.w = d.p
+         |  JOIN norms nw ON nw.w = d.w),
+         |rk AS (SELECT p, w, dot, cosr,
+         |    CAST(row_number() OVER (PARTITION BY p
+         |      ORDER BY cosr DESC, w) AS INTEGER) AS rank
+         |  FROM cs)
+         |SELECT p, w AS neighbor, dot, round(cosr, 6) AS cos, rank
+         |FROM rk WHERE rank <= 5 ORDER BY p, rank""".stripMargin
+    },
 
     "vc1_vocab_coverage" ->
       s"""WITH $toksCte,

@@ -55,4 +55,54 @@ object Cooccur {
           / (col("tpair").cast("double") * col("ua") * col("ub")))
           * UnigramLm.MicroNats).cast("long").as("pmi_micro"))
   }
+
+  /** PPMI word vectors + top-k nearest neighbors for probe words —
+    * distributional word similarity from the SAME windowed counts as
+    * [[pmiPairs]] (Levy & Goldberg 2014: the PPMI matrix is the
+    * count-based twin of word2vec's factorization). A word's vector is
+    * its sparse (context → ppmi) row; symmetric context (forward and
+    * backward windows both count, max weight on collision).
+    *
+    * Determinism: weights are the quantized micro-nat longs clamped at
+    * 0, dots and norms are exact integer sums of micro² products, and
+    * the only doubles are the final sqrt/division — identical
+    * arithmetic in the mirror.
+    *
+    * Scale shape: count tables key on tokens (never broadcast); the
+    * probe leg filters to |probes| words, so the dot products are ONE
+    * context-keyed equi-join against a bounded broadcast side. Full
+    * vocabulary×vocabulary neighbors are never materialized — at that
+    * scale the vectors feed the ANN family (a3's IVF) instead.
+    */
+  def ppmiNeighbors(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long, probes: Seq[String], k: Int)
+      : DataFrame = {
+    val pp0 = pmiPairs(docs, idCol, textCol, window, minCount)
+      .select(col("a"), col("b"),
+        greatest(col("pmi_micro"), lit(0L)).as("x"))
+      .filter(col("x") > 0)
+    val vec = pp0.select(col("a").as("w"), col("b").as("c"), col("x"))
+      .unionByName(pp0.select(col("b").as("w"), col("a").as("c"), col("x")))
+      .groupBy(col("w"), col("c")).agg(max(col("x")).as("x"))
+      .cache()
+    val norms = vec.groupBy(col("w")).agg(sum(col("x") * col("x")).as("n2"))
+    val probeVec = vec.filter(col("w").isin(probes: _*))
+      .select(col("w").as("p"), col("c"), col("x").as("xp"))
+    import org.apache.spark.sql.expressions.Window
+    val rw = Window.partitionBy(col("p"))
+      .orderBy(col("cosr").desc, col("w"))
+    broadcast(probeVec)
+      .join(vec, Seq("c"))
+      .filter(col("w") =!= col("p"))
+      .groupBy(col("p"), col("w"))
+      .agg(sum(col("xp") * col("x")).as("dot"))
+      .join(norms.select(col("w").as("p"), col("n2").as("n2p")), Seq("p"))
+      .join(norms.select(col("w"), col("n2").as("n2w")), Seq("w"))
+      .withColumn("cosr", col("dot").cast("double") /
+        (sqrt(col("n2p").cast("double")) * sqrt(col("n2w").cast("double"))))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("p"), col("w").as("neighbor"), col("dot"),
+        round(col("cosr"), 6).as("cos"), col("rank"))
+  }
 }

@@ -34,4 +34,19 @@ class CooccurSpec extends SparkSpec {
     // 'new york' is the collocation: present and high-support
     assert(got.contains(("new", "york")) && got(("new", "york"))._1 == 4L)
   }
+
+  test("ppmi neighbors: words sharing contexts are each other's top match") {
+    // cat/dog live in identical contexts; car in a disjoint one
+    val docs = (1 to 6).flatMap(i => Seq(
+      (i * 10L, "cat pet vet"), (i * 10L + 1, "dog pet vet"),
+      (i * 10L + 2, "car road fuel"))).toDF("doc_id", "text")
+    val got = graft.text.Cooccur.ppmiNeighbors(docs, "doc_id", "text",
+        window = 2, minCount = 1, probes = Seq("cat"), k = 3)
+      .select("neighbor", "cos", "rank")
+      .as[(String, Double, Int)].collect().sortBy(_._3)
+    assert(got.head._1 === "dog")
+    assert(got.head._2 === 1.0) // identical context rows
+    // the disjoint-context cluster never appears as a neighbor
+    assert(!got.map(_._1).exists(Set("car", "road", "fuel")))
+  }
 }
