@@ -372,6 +372,19 @@ object CurationPack {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Poisson bootstrap CI (boot1): per-row Poisson(1) weights derived
+    // from the portable hash via the inverse CDF (Chamandy et al.
+    // 2012 — the coordination-free bootstrap), 20 replicates of the
+    // mean-doc-length metric with rank-based percentile endpoints.
+    // One ×B expansion collapsed map-side; the B-row mean table sorts
+    // IN-ROW for the endpoints — no unpartitioned window.
+    "boot1_bootstrap_ci" -> ((s, d) => {
+      graft.analyze.Bootstrap.poissonMeanCi(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", b = 20)
+        .orderBy(col("b"))
+    }),
+
     // Integer-exact EWMA (ewma1): α=1/2 smoothed level per event type
     // over the daily volumes — the trend signal beside an1's outlier
     // z-score. The recurrence runs in micro-units with a right-shift
@@ -873,6 +886,32 @@ object CurationPack {
         |        / (win_n - 1)), 4)
         |    ELSE 0.0::DOUBLE END AS z
         |FROM r ORDER BY event_type, day""".stripMargin,
+
+    "boot1_bootstrap_ci" -> {
+      import graft.functions.PortableHash
+      val cases = graft.analyze.Bootstrap.PoissonCdf.zipWithIndex
+        .map { case (t, k) => s"WHEN u < ${t}::DOUBLE THEN $k" }
+        .mkString(" ")
+      s"""WITH reps AS (SELECT unnest(range(1, 21)) AS b),
+         |w AS (SELECT r.b, d.doc_id, d.n_chars,
+         |    CAST(${PortableHash.hash60Sql("r.b", "CAST(d.doc_id AS VARCHAR)")}
+         |      AS DOUBLE) / 1152921504606846976 AS u
+         |  FROM documents d CROSS JOIN reps r),
+         |pw AS (SELECT b, n_chars,
+         |    CAST(CASE $cases ELSE 7 END AS BIGINT) AS wt FROM w),
+         |per AS (SELECT b, CAST(sum(wt) AS BIGINT) AS n_eff,
+         |    CAST(sum(wt * n_chars) AS BIGINT) AS wsum
+         |  FROM pw GROUP BY b),
+         |means AS (SELECT CAST(b AS INTEGER) AS b, n_eff,
+         |    round(CAST(wsum AS DOUBLE) / n_eff, 6) AS mean_q FROM per),
+         |ci AS (SELECT list(mean_q ORDER BY mean_q) AS arr FROM means),
+         |pt AS (SELECT round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
+         |    AS point FROM documents)
+         |SELECT m.b, m.n_eff, m.mean_q, pt.point,
+         |  round(ci.arr[2], 6) AS ci_lo, round(ci.arr[19], 6) AS ci_hi
+         |FROM means m CROSS JOIN pt CROSS JOIN ci
+         |ORDER BY m.b""".stripMargin
+    },
 
     "ewma1_volume_trend" ->
       """WITH RECURSIVE daily AS (SELECT event_type,
