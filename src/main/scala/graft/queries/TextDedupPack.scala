@@ -1212,6 +1212,36 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Encoding hygiene (gar1): control chars, U+FFFD replacement chars
+    // and the non-ASCII ratio — the mojibake detector that runs BEFORE
+    // language-level quality rules can be trusted. Fixture plants a
+    // decode scar, a control-char spill, and a non-Latin page on three
+    // doc_id%7 classes. translate()-removal counting — no regex
+    // dialect risk; one narrow projection.
+    "gar1_encoding_qc" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit("��")))
+          .when(col("doc_id") % 7 === 5,
+            concat(col("text"), lit(" \u0001\u0007bad")))
+          .when(col("doc_id") % 7 === 6, lit("дёжà вü çöntént"))
+          .otherwise(col("text")).as("text"))
+      graft.text.EncodingQc.screen(planted, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic word dropout (aug1): the token-level member of the
+    // noising family beside spc1 (spans) and fim1 (structure) — token
+    // i of doc d survives iff hash60('aug', d:i:seed) mod 10 ≠ 0, so
+    // augmented corpora are versionable artifacts, not one-shot
+    // randomness. Narrow array-HOF projection; output carries the
+    // sha256 of the augmented text.
+    "aug1_word_dropout" -> ((s, d) => {
+      graft.text.Augment.wordDropout(Tables.documents(s, d),
+          "doc_id", "text", dropOneIn = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // Main-content extraction (html1): jusText/Boilerpipe-style block
     // segmentation + link-density filtering — the web-pipeline stage
     // UPSTREAM of C4/Gopher (both assume extraction already ran).
@@ -2266,6 +2296,53 @@ object TextDedupPack {
          |  CASE WHEN bh > 0 OR score >= 0.12 THEN 'block'
          |       WHEN score >= 0.06 THEN 'flag' ELSE 'allow' END AS verdict
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "gar1_encoding_qc" -> {
+      import graft.text.EncodingQc
+      val ctrl = EncodingQc.CtrlChars
+      val repl = EncodingQc.ReplacementChar
+      val ctrlLit = "\u0001\u0007"
+      s"""WITH planted AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 3 THEN text || '$repl$repl'
+         |      WHEN doc_id % 7 = 5 THEN text || ' ${ctrlLit}bad'
+         |      WHEN doc_id % 7 = 6 THEN 'дёжà вü çöntént'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id, length(text) AS nc,
+         |    length(text) - length(translate(text, '$ctrl', ''))
+         |      AS nctrl,
+         |    length(text) - length(translate(text, '$repl', ''))
+         |      AS nrepl,
+         |    length(text) - length(regexp_replace(text,
+         |      '[^\\x00-\\x7f]', '', 'g')) AS nna
+         |  FROM planted)
+         |SELECT doc_id, CAST(nc AS INTEGER) AS n_chars,
+         |  CAST(nctrl AS INTEGER) AS n_ctrl,
+         |  CAST(nrepl AS INTEGER) AS n_repl,
+         |  CAST(nna AS INTEGER) AS n_nonascii,
+         |  round(CAST(nna AS DOUBLE) / greatest(nc, 1), 6)
+         |    AS nonascii_ratio,
+         |  CASE WHEN nctrl > 0 OR nrepl > 0
+         |    OR round(CAST(nna AS DOUBLE) / greatest(nc, 1), 6)
+         |      > 0.3::DOUBLE
+         |    THEN 'flag' ELSE 'keep' END AS verdict
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "aug1_word_dropout" -> {
+      import graft.functions.PortableHash
+      val h = PortableHash.hash60Sql("'aug'",
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR) || ':0'")
+      s"""WITH $toksCte,
+         |k AS (SELECT doc_id, toks,
+         |    list_filter(toks, (t, i) -> ($h) % 10 <> 0) AS kept
+         |  FROM tok)
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_orig,
+         |  CAST(len(kept) AS INTEGER) AS n_kept,
+         |  sha256(coalesce(array_to_string(kept, ' '), ''))
+         |    AS aug_sha256
+         |FROM k ORDER BY doc_id""".stripMargin
     },
 
     "html1_main_content" -> {
