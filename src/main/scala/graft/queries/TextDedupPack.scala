@@ -1201,6 +1201,19 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // LexRank extractive summarization (sum1): per-doc sentence graph
+    // (10-token windows, edge = ≥2 shared distinct tokens) ranked by
+    // the SAME integer-micro-unit PageRank arithmetic as pr1, run over
+    // (doc, sentence) keys — per-doc graphs are independent and
+    // bounded, so the pair join is small-constant quadratic, never
+    // corpus-quadratic. Top-2 central sentences per doc = the snippet.
+    "sum1_lexrank" -> ((s, d) => {
+      graft.text.LexRank.topSentences(Tables.documents(s, d),
+          "doc_id", "text", sentLen = 10, minOverlap = 2,
+          iters = 2, k = 2)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // Severity-weighted lexicon filter (tox1): the content-policy rule
     // family beside Gopher (statistical) and C4 (structural). Token and
     // phrase hits count independently; any severity-3 hit blocks
@@ -2297,6 +2310,51 @@ object TextDedupPack {
          |       WHEN score >= 0.06 THEN 'flag' ELSE 'allow' END AS verdict
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    "sum1_lexrank" ->
+      s"""WITH $toksCte,
+         |sent AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS sid,
+         |    toks[(i-1)*10 + 1 : i*10] AS stoks
+         |  FROM (SELECT doc_id, toks,
+         |    unnest(range(1, (len(toks) + 9) // 10 + 1)) AS i FROM tok)),
+         |st AS (SELECT doc_id, sid, unnest(list_distinct(stoks)) AS t
+         |  FROM sent),
+         |fwd AS (SELECT s1.doc_id, s1.sid AS a, s2.sid AS b FROM st s1
+         |  JOIN st s2 ON s1.doc_id = s2.doc_id AND s1.t = s2.t
+         |    AND s1.sid < s2.sid
+         |  GROUP BY s1.doc_id, s1.sid, s2.sid HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT doc_id, a, b FROM fwd
+         |  UNION ALL SELECT doc_id, b, a FROM fwd),
+         |od AS MATERIALIZED (SELECT doc_id, a,
+         |    CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY doc_id, a),
+         |nn AS MATERIALIZED (SELECT doc_id, sid FROM sent),
+         |p0 AS (SELECT doc_id, sid, CAST(1000000 AS BIGINT) AS pr
+         |  FROM nn),
+         |p1 AS MATERIALIZED (SELECT nn.doc_id, nn.sid,
+         |    CAST(150000 + (85 * coalesce(t.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.doc_id, e.b AS sid,
+         |      CAST(sum(p0.pr // od.outdeg) AS BIGINT) AS s
+         |    FROM e JOIN od ON od.doc_id = e.doc_id AND od.a = e.a
+         |    JOIN p0 ON p0.doc_id = e.doc_id AND p0.sid = e.a
+         |    GROUP BY e.doc_id, e.b) t
+         |  ON t.doc_id = nn.doc_id AND t.sid = nn.sid),
+         |p2 AS MATERIALIZED (SELECT nn.doc_id, nn.sid,
+         |    CAST(150000 + (85 * coalesce(t.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.doc_id, e.b AS sid,
+         |      CAST(sum(p1.pr // od.outdeg) AS BIGINT) AS s
+         |    FROM e JOIN od ON od.doc_id = e.doc_id AND od.a = e.a
+         |    JOIN p1 ON p1.doc_id = e.doc_id AND p1.sid = e.a
+         |    GROUP BY e.doc_id, e.b) t
+         |  ON t.doc_id = nn.doc_id AND t.sid = nn.sid),
+         |rk AS (SELECT doc_id, sid, pr,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY pr DESC, sid) AS INTEGER) AS rank FROM p2)
+         |SELECT r.doc_id, r.sid, r.pr, r.rank,
+         |  coalesce(array_to_string(s.stoks, ' '), '') AS sentence
+         |FROM rk r JOIN sent s ON s.doc_id = r.doc_id AND s.sid = r.sid
+         |WHERE r.rank <= 2 ORDER BY r.doc_id, r.rank""".stripMargin,
 
     "gar1_encoding_qc" -> {
       import graft.text.EncodingQc
