@@ -67,6 +67,31 @@ object HashEmbedder {
     dense
   }
 
+  /** Driver-side Scala mirror of [[embed]] for QUERY-sized inputs — the
+    * same tokenize → unigram+bigram → portable-hash bucket → integer
+    * count → L2-normalize chain, bit-identical to the Column version
+    * (EmbedLocalSpec asserts equality element by element). Lets the
+    * search gates build their handful of query vectors at plan time, so
+    * a probe plan against the persisted corpus-vector registry contains
+    * ZERO featurizer stages (no md5 chain, no explode) — the reference's
+    * query-embed call is likewise a single local model invocation
+    * (`embeddings.py:1078-1113`), never a corpus job.
+    */
+  def embedLocal(text: String): Array[Float] = {
+    val norm = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    val toks = norm.split(" ", -1)
+    val grams = toks ++ toks.iterator.sliding(2).withPartial(false)
+      .map(p => p(0) + " " + p(1))
+    val raw = new Array[Double](Dim)
+    grams.foreach { g =>
+      raw((PortableHash.hash60Local("7", g) % Dim).toInt) += 1.0
+    }
+    // same left-fold order as functions.aggregate over the raw array
+    val n = math.sqrt(raw.foldLeft(0.0d)((acc, x) => acc + x * x))
+    raw.map(x => if (n > 0) (x / n).toFloat else 0.0f)
+  }
+
   /** S12 embedding cache: a Parquet KV table keyed by sha2(text). Cached
     * rows skip featurization (a left join, not an LRU — the reference's
     * disk cache `embeddings.py:284-404` re-expressed); misses are embedded

@@ -350,10 +350,10 @@ class SearchEngine(spark: SparkSession) {
     */
   def codeVectorEnrich(results: DataFrame, codeVectors: DataFrame,
       query: String, scoreCol: String, limit: Int): DataFrame = {
+    // query vector at plan time (embedLocal ≡ the Column featurizer,
+    // bit-for-bit) — no Spark job, no featurizer stage in the probe plan
     val qvec = typedlit(
-      HashEmbedder.embed(
-        Seq((0L, QueryProcessor.preprocess(query))).toDF("id", "text"),
-        "id", "text").select("vector").as[Array[Float]].head())
+      HashEmbedder.embedLocal(QueryProcessor.preprocess(query)))
     val codeTop = Fusion.ranked(
       codeVectors.withColumn("csim", VectorFunctions.cosine(col("vector"), qvec)),
       "chunk_id", "csim", limit)

@@ -18,6 +18,28 @@ class ParitySpec extends SparkSpec {
     assert(fromCols == local)
   }
 
+  test("embedLocal matches the Column embed chain bit-for-bit") {
+    val texts = Seq(
+      "fast index scan", "merge sorted runs fast index",
+      "table table table scan", // duplicate grams
+      "x",                      // single token: no bigrams
+      "Mixed CASE, punct!! (and) [brackets] :: obj->ptr",
+      "a 1 2 3 numbers 42", "quick rapid catalog fast")
+    val fromCols = graft.embed.HashEmbedder.embed(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text"), "id", "text")
+      .as[(Long, Array[Float])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val local = graft.embed.HashEmbedder.embedLocal(t)
+      val dist = fromCols(i.toLong)
+      assert(dist.length == local.length, s"dim mismatch for '$t'")
+      dist.zip(local).zipWithIndex.foreach { case ((a, b), k) =>
+        assert(java.lang.Float.floatToIntBits(a) ==
+          java.lang.Float.floatToIntBits(b), s"'$t' dim $k: $a vs $b")
+      }
+    }
+  }
+
   test("FloatDot matches the HOF float fold bit-for-bit") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 50).map { i =>
