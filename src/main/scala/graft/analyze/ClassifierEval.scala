@@ -53,8 +53,17 @@ object ClassifierEval {
         round((col("_neg") - ((col("cum_n") - col("cum_pos")) -
           (col("n") - col("n_pos")))) / col("_neg").cast("double"), 6)
           .as("fpr"),
-        round((col("_r2") - col("_pp") * (col("_pp") + 1)) /
-          (lit(2.0) * col("_pp") * col("_neg")), 6).as("auc"))
+        // fail FAST on a single-class eval frame instead of silently
+        // emitting null/NaN rates that round() would propagate into a
+        // green-looking gate: the guard rides the auc expression (so
+        // column pruning can't drop it) and raises at execution time
+        round(when(col("_pp") > 0 && col("_neg") > 0,
+            (col("_r2") - col("_pp") * (col("_pp") + 1)) /
+              (lit(2.0) * col("_pp") * col("_neg")))
+          .otherwise(raise_error(concat(
+            lit("rocAuc: both classes required, got n_pos="),
+            col("_pp").cast("string"), lit(" n_neg="),
+            col("_neg").cast("string")))), 6).as("auc"))
   }
 
   /** Reliability diagram + expected calibration error: scores in [0,1]

@@ -168,7 +168,7 @@ object Chunker {
   def chunkFile(f: FileRecord): Seq[CodeChunk] = {
     val lines = f.content.split("\n", -1)
     val decls: Seq[Decl] = f.language match {
-      case "python" => pythonTopDecls(pythonDecls(lines))
+      case "python" => pythonTopDecls(lines, pythonDecls(lines))
       case "markdown" => return markdownChunks(f, lines)
       case "go" => goDecls(lines)
       case "java" => javaDecls(lines)
@@ -611,13 +611,32 @@ object Chunker {
     * nested def stays part of its enclosing function's chunk — only
     * module-level and class-level defs become chunks. Class-level
     * methods keep their class parent (classes DO recurse).
+    *
+    * Scope is tracked by an indent STACK over all lines, not "last
+    * preceding decl with smaller indent": any non-blank, non-comment
+    * line at indent ≤ an open function's indent CLOSES that function,
+    * so an indented module-level def that merely follows one (inside
+    * `if TYPE_CHECKING:` / `try:` blocks) is correctly kept — the
+    * tree-sitter traversal would extract it too.
     */
-  private def pythonTopDecls(decls: Seq[Decl]): Seq[Decl] =
-    decls.zipWithIndex.filterNot { case (d, di) =>
-      decls.take(di)
-        .filter(p => p.indent < d.indent && p.line < d.line)
-        .lastOption.exists(_.kind == "function")
-    }.map(_._1)
+  private def pythonTopDecls(lines: Array[String], decls: Seq[Decl]): Seq[Decl] = {
+    val declAt = decls.map(d => d.line -> d).toMap
+    var open = List.empty[Decl]
+    val nested = scala.collection.mutable.Set[Int]()
+    lines.zipWithIndex.foreach { case (l, i) =>
+      val t = l.trim
+      if (t.nonEmpty && !t.startsWith("#")) {
+        val ind = declAt.get(i).map(_.indent)
+          .getOrElse(l.takeWhile(_.isWhitespace).length)
+        open = open.dropWhile(f => ind <= f.indent)
+        declAt.get(i).foreach { d =>
+          if (open.exists(_.kind == "function")) nested += i
+          open = d :: open
+        }
+      }
+    }
+    decls.filterNot(d => nested.contains(d.line))
+  }
 
   private def braceDecls(lines: Array[String]): Seq[Decl] =
     lines.zipWithIndex.flatMap {

@@ -131,18 +131,24 @@ object CurationPack {
     // blocklist filter → per-domain cap (top-3 by n_chars). All string
     // ops codegen'd; the only shuffles are the two partitioned windows.
     // Fixture: URLs synthesized from doc_id residues so every
-    // canonicalization rule fires on a known subset.
+    // canonicalization rule fires on a known subset — including the
+    // non-http(s) pass-through (ftp://, %17), the case-folded scheme
+    // (HTTP://, %23) and the single-label host (localhost, %19) the
+    // ANSI element_at guard exists for.
     "url1_domain_caps" -> ((s, d) => {
       val id = col("doc_id")
       val raw = Tables.documents(s, d).select(id, col("n_chars"))
         .withColumn("url", concat(
-          when(id % 2 === 0, lit("http")).otherwise(lit("https")),
+          when(id % 17 === 0, lit("ftp"))
+            .when(id % 23 === 0, lit("HTTP"))
+            .when(id % 2 === 0, lit("http")).otherwise(lit("https")),
           lit("://"),
           when(id % 5 === 0, lit("WWW."))
             .when(id % 5 === 1, lit("cdn.")).otherwise(lit("")),
-          lit("site"), (id % 13).cast("string"), lit("."),
-          when(id % 3 === 0, lit("com"))
-            .when(id % 3 === 1, lit("org")).otherwise(lit("net")),
+          when(id % 19 === 0, lit("localhost")).otherwise(concat(
+            lit("site"), (id % 13).cast("string"), lit("."),
+            when(id % 3 === 0, lit("com"))
+              .when(id % 3 === 1, lit("org")).otherwise(lit("net")))),
           when(id % 4 === 0, lit(":80"))
             .when(id % 4 === 1, lit(":443")).otherwise(lit("")),
           lit("/P/"), floor(id / 7).cast("long").cast("string"),
@@ -538,12 +544,16 @@ object CurationPack {
     "url1_domain_caps" ->
       """WITH raw AS (
         |  SELECT doc_id, n_chars,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 17 = 0 THEN 'ftp'
+        |          WHEN doc_id % 23 = 0 THEN 'HTTP'
+        |          WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
         |    (CASE WHEN doc_id % 5 = 0 THEN 'WWW.'
         |          WHEN doc_id % 5 = 1 THEN 'cdn.' ELSE '' END) ||
-        |    'site' || CAST(doc_id % 13 AS VARCHAR) || '.' ||
-        |    (CASE WHEN doc_id % 3 = 0 THEN 'com'
-        |          WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END) ||
+        |    (CASE WHEN doc_id % 19 = 0 THEN 'localhost'
+        |          ELSE 'site' || CAST(doc_id % 13 AS VARCHAR) || '.' ||
+        |            (CASE WHEN doc_id % 3 = 0 THEN 'com'
+        |                  WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END)
+        |     END) ||
         |    (CASE WHEN doc_id % 4 = 0 THEN ':80'
         |          WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
         |    '/P/' || CAST(doc_id // 7 AS VARCHAR) ||
@@ -555,15 +565,15 @@ object CurationPack {
         |    (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
         |  FROM documents),
         |canon AS (
-        |  SELECT doc_id, n_chars,
+        |  SELECT doc_id, n_chars, url,
         |    regexp_replace(lower(regexp_replace(
-        |      regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+        |      regexp_extract(url, '(?i)^https?://([^/?#]+)', 1),
         |      ':(80|443)$', '')), '^www\.', '') AS host,
-        |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1) AS path0,
         |    regexp_extract(url, '\?([^#]*)', 1) AS qs
         |  FROM raw),
         |parts AS (
-        |  SELECT doc_id, n_chars, host,
+        |  SELECT doc_id, n_chars, url, host,
         |    CASE WHEN path0 = '' THEN '/'
         |         WHEN length(path0) > 1 AND path0 LIKE '%/'
         |           THEN substr(path0, 1, length(path0) - 1)
@@ -575,8 +585,10 @@ object CurationPack {
         |  FROM canon),
         |curl AS (
         |  SELECT doc_id, n_chars, host,
-        |    'https://' || host || cpath ||
-        |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS url_canon
+        |    CASE WHEN host = '' THEN url
+        |         ELSE 'https://' || host || cpath ||
+        |           (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) END
+        |      AS url_canon
         |  FROM parts),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY url_canon
@@ -587,10 +599,12 @@ object CurationPack {
         |  FROM ranked WHERE dup_rk = 1),
         |dom AS (
         |  SELECT url_canon, doc_id, n_chars,
-        |    list_extract(string_split(host, '.'),
-        |      len(string_split(host, '.')) - 1) || '.' ||
-        |    list_extract(string_split(host, '.'),
-        |      len(string_split(host, '.'))) AS domain
+        |    CASE WHEN len(string_split(host, '.')) >= 2 THEN
+        |      list_extract(string_split(host, '.'),
+        |        len(string_split(host, '.')) - 1) || '.' ||
+        |      list_extract(string_split(host, '.'),
+        |        len(string_split(host, '.')))
+        |    ELSE host END AS domain
         |  FROM dedup),
         |kept AS (
         |  SELECT domain, doc_id, url_canon, n_chars,

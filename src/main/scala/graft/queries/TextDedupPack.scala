@@ -1238,6 +1238,11 @@ object TextDedupPack {
           .when(col("doc_id") % 7 === 5,
             concat(col("text"), lit(" \u0001\u0007bad")))
           .when(col("doc_id") % 7 === 6, lit("дёжà вü çöntént"))
+          // supplementary-plane tail: proves both engines count CODE
+          // POINTS (not UTF-16 units) on exactly the non-ASCII text
+          // this op screens — 3 astral chars = n_nonascii 3, not 6
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" 😀😀😀")))
           .otherwise(col("text")).as("text"))
       graft.text.EncodingQc.screen(planted, "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -2365,6 +2370,7 @@ object TextDedupPack {
          |    CASE WHEN doc_id % 7 = 3 THEN text || '$repl$repl'
          |      WHEN doc_id % 7 = 5 THEN text || ' ${ctrlLit}bad'
          |      WHEN doc_id % 7 = 6 THEN 'дёжà вü çöntént'
+         |      WHEN doc_id % 7 = 2 THEN text || ' 😀😀😀'
          |      ELSE text END AS text
          |  FROM documents),
          |m AS (SELECT doc_id, length(text) AS nc,

@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * engines, so no regex-dialect risk for the character-class counts;
   * only the non-ASCII count needs a (portable, hex-escaped) regex.
   *
+  * Unit contract: every count is in Unicode CODE POINTS in both engines
+  * — Spark `length` counts UTF8String chars and Java regex removes a
+  * supplementary character as one code point, matching DuckDB's
+  * code-point `length`/RE2 exactly (EncodingQcSpec's emoji cases pin
+  * this; the gar1 fixture's %7==2 class gates it against DuckDB).
+  *
   * Scale shape: one narrow codegen projection; no explode, no shuffle.
   */
 object EncodingQc {

@@ -36,13 +36,23 @@ object UrlHygiene {
 
   /** Adds `host`, `url_canon` and registered `domain` columns derived
     * from `urlCol`. Pure projection — no shuffle.
+    *
+    * Only http/https URLs canonicalize (any scheme case): those two
+    * genuinely address one resource, so folding them to https is safe.
+    * Any other scheme (ftp://, data:, a bare path — crawl corpora carry
+    * them all) passes through VERBATIM as its own identity: host is
+    * empty, `url_canon` = the original string, `domain` = host. A host
+    * with fewer than two labels (`localhost`, a bare IPv4 octet-less
+    * name) keeps the whole host as its registered domain — under ANSI
+    * mode an unguarded element_at(labels, -2) would throw on exactly
+    * the messy inputs this operator exists to screen.
     */
   def canonicalize(df: DataFrame, urlCol: String = "url"): DataFrame = {
     val u = col(urlCol)
-    val hostport = regexp_extract(u, "^[a-z]+://([^/?#]+)", 1)
+    val hostport = regexp_extract(u, "(?i)^https?://([^/?#]+)", 1)
     val host = regexp_replace(
       lower(regexp_replace(hostport, ":(80|443)$", "")), "^www\\.", "")
-    val path0 = regexp_extract(u, "^[a-z]+://[^/?#]+([^?#]*)", 1)
+    val path0 = regexp_extract(u, "(?i)^https?://[^/?#]+([^?#]*)", 1)
     val cpath = when(path0 === "", lit("/"))
       .when(length(path0) > 1 && path0.endsWith("/"),
         path0.substr(lit(1), length(path0) - 1))
@@ -53,11 +63,14 @@ object UrlHygiene {
         x => x =!= "" && !x.rlike(TrackingParamPattern))), "&")
     val labels = split(regexp_replace(host, ":\\d+$", ""), "\\.")
     df.withColumn("host", host)
-      .withColumn("url_canon", concat(
-        lit("https://"), col("host"), cpath,
-        when(cq === "", lit("")).otherwise(concat(lit("?"), cq))))
-      .withColumn("domain", concat(
-        element_at(labels, -2), lit("."), element_at(labels, -1)))
+      .withColumn("url_canon",
+        when(col("host") === "", u).otherwise(concat(
+          lit("https://"), col("host"), cpath,
+          when(cq === "", lit("")).otherwise(concat(lit("?"), cq)))))
+      .withColumn("domain",
+        when(size(labels) >= 2, concat(
+            element_at(labels, -2), lit("."), element_at(labels, -1)))
+          .otherwise(col("host")))
   }
 
   /** Keeps one row per `url_canon` — the smallest id (first-crawled

@@ -40,6 +40,52 @@ class ChunkerSpec extends AnyFunSuite {
     assert(byName("Widget").chunk_type == "class")
   }
 
+  test("python: indented module-level defs after a function are kept") {
+    // a def inside `if TYPE_CHECKING:` / `try:` is module-scope to the
+    // tree-sitter traversal even though it is indented and FOLLOWS a
+    // function — only defs truly inside an open function are dropped
+    val f = rec("/repo/tc.py", "python", Seq(
+      "def first():",
+      "    def inner():",      // genuinely nested -> dropped
+      "        return 1",
+      "    return inner()",
+      "",
+      "if TYPE_CHECKING:",
+      "    def stub(x):",      // module-scope under a plain block -> kept
+      "        return x",
+      "",
+      "try:",
+      "    def fallback():",   // same
+      "        pass",
+      "except ImportError:",
+      "    pass",
+      "").mkString("\n"))
+    val names = Chunker.chunkFile(f).map(_.name).toSet
+    assert(names.contains("first") && names.contains("stub")
+      && names.contains("fallback"))
+    assert(!names.contains("inner"))
+  }
+
+  test("python: a class nested inside a function is not extracted") {
+    // the reference traversal stops at function_definition without
+    // recursing, so neither the class nor its methods become chunks
+    val f = rec("/repo/nc.py", "python", Seq(
+      "def factory():",
+      "    class Local:",
+      "        def run(self):",
+      "            return 1",
+      "    return Local",
+      "",
+      "class Top:",
+      "    def ok(self):",
+      "        return 2",
+      "").mkString("\n"))
+    val names = Chunker.chunkFile(f).map(_.name).toSet
+    assert(names.contains("factory") && names.contains("Top")
+      && names.contains("ok"))
+    assert(!names.contains("Local") && !names.contains("run"))
+  }
+
   test("line ranges are 1-based inclusive and within file") {
     val chunks = Chunker.chunkFile(py)
     chunks.foreach { c =>

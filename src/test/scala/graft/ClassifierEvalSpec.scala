@@ -21,6 +21,16 @@ class ClassifierEvalSpec extends SparkSpec {
     assert(auc(Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))) === 0.5)
   }
 
+  test("single-class input fails fast instead of emitting null rates") {
+    Seq(Seq((0.9, 1), (0.1, 1)), Seq((0.9, 0), (0.1, 0))).foreach { rows =>
+      val e = intercept[Exception] { auc(rows) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("both classes required")),
+        s"unexpected failure: $e")
+    }
+  }
+
   test("ROC endpoints: lowest threshold has tpr=fpr=1") {
     val out = ClassifierEval.rocAuc(
         Seq((0.1, 0), (0.5, 1), (0.9, 1)).toDF("score", "label"),

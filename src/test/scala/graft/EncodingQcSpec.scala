@@ -32,6 +32,20 @@ class EncodingQcSpec extends SparkSpec {
     assert(light._4 === 1 && light._5 === "keep")
   }
 
+  test("supplementary-plane chars count as code points, not UTF-16 units") {
+    // expected values computed in DuckDB (the oracle engine):
+    // length('a😀b😀') = 4, nonascii = 2 — if Spark counted UTF-16
+    // code units these would be 6 and 4 and the gar1 gate would skew
+    val r = screen("a😀b😀")
+    assert(r === ((4, 0, 0, 2, "flag")))
+    val ratio = EncodingQc.screen(
+        Seq((1L, "ascii text 😀")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("n_chars", "n_nonascii", "nonascii_ratio")
+      .as[(Int, Int, Double)].head()
+    assert(ratio === ((12, 1, 0.083333)))
+  }
+
   test("word dropout is deterministic, bounded, and seed-sensitive") {
     val docs = (1L to 50L).map(i => (i, ("w" * 1) + (1 to 40)
       .map(j => s"t$j").mkString(" ", " ", ""))).toDF("doc_id", "text")

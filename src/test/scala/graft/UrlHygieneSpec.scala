@@ -43,6 +43,24 @@ class UrlHygieneSpec extends SparkSpec {
     assert(canonOf("https://a.b.example.org/a")._2 === "example.org")
   }
 
+  test("single-label hosts keep the whole host as domain (no ANSI throw)") {
+    assert(canonOf("https://localhost/x") === (
+      "https://localhost/x", "localhost"))
+    assert(canonOf("http://localhost:80") === ("https://localhost/", "localhost"))
+  }
+
+  test("uppercase http/https schemes canonicalize like lowercase") {
+    assert(canonOf("HTTP://WWW.Example.COM:80/a")._1 === "https://example.com/a")
+    assert(canonOf("HTTPS://example.com/a")._1 === "https://example.com/a")
+  }
+
+  test("non-http(s) schemes pass through verbatim as their own identity") {
+    assert(canonOf("ftp://x.com/f") === ("ftp://x.com/f", ""))
+    assert(canonOf("mailto:a@b.com") === ("mailto:a@b.com", ""))
+    // so ftp and https to the same path do NOT collapse to one identity
+    assert(canonOf("ftp://x.com/f")._1 !== canonOf("https://x.com/f")._1)
+  }
+
   test("dedupByUrl keeps the smallest id per canonical URL") {
     val df = Seq(
       (5L, "http://www.example.com/a?utm_source=x"),
