@@ -103,6 +103,81 @@ object IndexPack {
         .orderBy(col("id"), col("i"))
     }),
 
+    // ST1-ST3 streaming reindex END STATE (watcher.py:218-360): a
+    // seeded workspace is mutated through TWO debounced micro-batches
+    // driven through WatchStream.applyBatch — batch 1 modifies w1,
+    // creates w100 and carries modify-then-delete noise for w2 (the
+    // debounce must keep only the delete); batch 2 moves w3→m3
+    // (metadata-only rewrite, no re-embed), deletes w4, re-modifies
+    // w100 and creates w101. The FINAL chunks+vectors tables are gated
+    // against a DuckDB reconstruction of the same event algebra (the
+    // g12 delta ≡ full-rebuild pattern): per surviving file, the chunk
+    // row (name/lines/content sha) and its vector-table twin (64-dim
+    // membership) — streamed maintenance must land exactly where a
+    // from-scratch index of the final workspace would.
+    "st1_stream_reindex" -> ((s, d) => {
+      import s.implicits._
+      val h = java.lang.Long.toHexString(
+        graft.functions.PortableHash.hash60Local("st1", d))
+      val base = s"/tmp/graft_st1_$h"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val ws = new java.io.File(s"$base/ws"); ws.mkdirs()
+      val chunksPath = s"$base/chunks"
+      val vectorsPath = s"$base/vectors"
+      Seq(chunksPath, vectorsPath).foreach { p =>
+        try s.catalog.refreshByPath(p) catch { case _: Throwable => }
+      }
+      def v1(k: Int) = s"def fn_$k(x):\n    return x + $k\n"
+      def v2(k: Int) = s"def fn_$k(x):\n    y = x * 2\n    return y + $k\n"
+      def put(name: String, text: String): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Path.of(s"$base/ws/$name"), text)
+      val ks = Tables.documents(s, d)
+        .select((col("doc_id") % 24).cast("int").as("k"))
+        .distinct().as[Int].collect().sorted
+      ks.foreach(k => put(s"w$k.py", v1(k)))
+      new graft.search.SearchEngine(s).indexRepo(
+        ws.getAbsolutePath, chunksPath, vectorsPath)
+      def ev(p: String, t: String, ms: Long, dest: String = null) =
+        graft.streaming.WatchStream.FileEvent(s"$base/ws/$p", t,
+          new java.sql.Timestamp(ms),
+          if (dest == null) null else s"$base/ws/$dest")
+      // micro-batch 1
+      put("w1.py", v2(1)); put("w100.py", v1(100))
+      rm(new java.io.File(s"$base/ws/w2.py"))
+      graft.streaming.WatchStream.applyBatch(s, Seq(
+          ev("w1.py", "modified", 1), ev("w100.py", "created", 2),
+          ev("w2.py", "modified", 3), ev("w2.py", "deleted", 4)).toDF(),
+        chunksPath, vectorsPath)
+      // micro-batch 2
+      java.nio.file.Files.move(
+        java.nio.file.Path.of(s"$base/ws/w3.py"),
+        java.nio.file.Path.of(s"$base/ws/m3.py"))
+      rm(new java.io.File(s"$base/ws/w4.py"))
+      put("w100.py", v2(100)); put("w101.py", v1(101))
+      graft.streaming.WatchStream.applyBatch(s, Seq(
+          ev("w3.py", "moved", 10, dest = "m3.py"),
+          ev("w4.py", "deleted", 11),
+          ev("w100.py", "modified", 12),
+          ev("w101.py", "created", 13)).toDF(),
+        chunksPath, vectorsPath)
+      val rel = regexp_extract(col("file_path"), "([^/]+)$", 1)
+      val ch = s.read.parquet(chunksPath).select(lit("C").as("kind"),
+        rel.as("file"), col("name"), col("chunk_type"),
+        col("start_line"), col("end_line"),
+        sha2(col("content"), 256).as("sha"), lit(-1).as("dim"))
+      val ve = s.read.parquet(vectorsPath).select(lit("V").as("kind"),
+        rel.as("file"), col("name"), col("chunk_type"),
+        col("start_line"), col("end_line"),
+        sha2(col("content"), 256).as("sha"),
+        size(col("vector")).as("dim"))
+      ch.unionByName(ve).orderBy(col("kind"), col("file"), col("name"))
+    }),
+
     // S4 compaction (chunks_backend.py:553-605): a deliberately
     // FRAGMENTED table (one file per doc_id%64 partition via
     // partitionBy) compacted by the size-aware repartition rewrite into
@@ -304,6 +379,40 @@ object IndexPack {
          |  round(CAST(x AS DOUBLE), 6) AS val
          |FROM comp WHERE x <> 0 ORDER BY id, i""".stripMargin
     },
+
+    // The same two-micro-batch event algebra replayed as pure SQL over
+    // the residue fixture: survivors = all k except the deleted (2, 4),
+    // w3 renamed to m3 with content UNCHANGED (move = metadata-only),
+    // w1/w100 at template v2, w100/w101 created in-stream; every file
+    // yields its chunk row and a 64-dim vector-table twin.
+    "st1_stream_reindex" ->
+      """WITH ks AS (SELECT DISTINCT CAST(doc_id % 24 AS INTEGER) AS k
+        |  FROM documents),
+        |files AS (
+        |  SELECT CASE WHEN k = 3 THEN 'm3.py'
+        |           ELSE 'w' || k || '.py' END AS file,
+        |    k, CASE WHEN k = 1 THEN 2 ELSE 1 END AS ver
+        |  FROM ks WHERE k NOT IN (2, 4)
+        |  UNION ALL SELECT 'w100.py', 100, 2
+        |  UNION ALL SELECT 'w101.py', 101, 1),
+        |rows0 AS (
+        |  SELECT file, 'fn_' || k AS name, 'function' AS chunk_type,
+        |    1 AS start_line,
+        |    CASE WHEN ver = 2 THEN 3 ELSE 2 END AS end_line,
+        |    sha256(CASE WHEN ver = 2 THEN
+        |        'def fn_' || k || '(x):' || chr(10) ||
+        |        '    y = x * 2' || chr(10) || '    return y + ' || k
+        |      ELSE 'def fn_' || k || '(x):' || chr(10) ||
+        |        '    return x + ' || k END) AS sha
+        |  FROM files)
+        |SELECT kind, file, name, chunk_type,
+        |  CAST(start_line AS INTEGER) AS start_line,
+        |  CAST(end_line AS INTEGER) AS end_line, sha,
+        |  CAST(dim AS INTEGER) AS dim
+        |FROM (
+        |  SELECT 'C' AS kind, *, -1 AS dim FROM rows0
+        |  UNION ALL SELECT 'V', *, 64 FROM rows0)
+        |ORDER BY kind, file, name""".stripMargin,
 
     "s4_compaction" ->
       """SELECT CAST(count(DISTINCT doc_id % 64) AS BIGINT) AS files_before,

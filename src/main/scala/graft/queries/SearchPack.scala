@@ -424,6 +424,34 @@ object SearchPack {
     "sbc1_search_by_context" -> ((s, d) =>
       searchLifecycle(s, d, (SbcDescription +: SbcFocus).mkString(" "))),
 
+    // Q18 search_with_context (swc1, search.py:521-569): the flagship
+    // results PLUS the query-analysis map — preprocessed form, adaptive
+    // threshold, hybrid alpha, related-query suggestions (expansion
+    // minus the original) — materialized as a one-row 'A' record
+    // unioned with the 'R' result rows of the SAME parameterized
+    // lifecycle plan e2e2 gates. The oracle inlines the expected
+    // analysis literals (the qp1 golden-values pattern), so a heuristic
+    // drift upstream breaks the hash.
+    "swc1_search_with_context" -> ((s, d) => {
+      import s.implicits._
+      import graft.search.QueryProcessor
+      val raw = E2e2Query
+      val analysis = Seq((
+        "A", -1L,
+        BigDecimal(QueryProcessor.adaptiveThreshold(raw))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        QueryProcessor.hybridAlpha(raw),
+        QueryProcessor.preprocess(raw) + " => " +
+          QueryProcessor.expand(raw).drop(1).mkString("|")))
+        .toDF("kind", "doc_id", "v1", "v2", "txt")
+      val results = searchLifecycle(s, d, raw)
+        .select(lit("R").as("kind"), col("doc_id"),
+          col("rrf_score").as("v1"), col("final_score").as("v2"),
+          lit("").as("txt"))
+      analysis.unionByName(results)
+        .orderBy(col("kind"), col("v2").desc, col("doc_id"))
+    }),
+
     // Ranking-quality eval (NDCG@10 / MRR / P@10 / R@10) over a
     // deterministic ranked-list + judgments fixture: integer micro-unit
     // rank discounts make DCG/IDCG order-free integer sums, so the
@@ -1073,6 +1101,26 @@ object SearchPack {
 
       "sbc1_search_by_context" ->
         searchLifecycleSql((SbcDescription +: SbcFocus).mkString(" ")),
+
+      // Q18: the e2e2 lifecycle SQL as the result leg; the analysis
+      // row's literals are the hand-derived QueryProcessor outputs for
+      // "fast index scan" (3 words + technical term -> 0.5-0.29-0.1;
+      // non-identifier alpha; fast/index synonym variants in
+      // sorted-within-group, token-order traversal).
+      "swc1_search_with_context" ->
+        // concatenated, NOT interpolated into a stripMargin template:
+        // the lifecycle SQL is already margin-stripped and a second
+        // strip would eat leading || concat pipes
+        ("WITH res AS MATERIALIZED (\n" + searchLifecycleSql(E2e2Query) +
+          "\n),\n" +
+          """a(kind, doc_id, v1, v2, txt) AS (VALUES
+            |  ('A', -1, 0.11::DOUBLE, 0.7::DOUBLE,
+            |   'fast index scan => quick index scan|rapid index scan|fast catalog scan'))
+            |SELECT kind, CAST(doc_id AS BIGINT) AS doc_id, v1, v2, txt
+            |FROM a
+            |UNION ALL
+            |SELECT 'R', doc_id, rrf_score, final_score, '' FROM res
+            |ORDER BY kind, v2 DESC, doc_id""".stripMargin),
 
       // mv1: the provable greedy outcome — per-cluster argmax by
       // (rel desc, id), selection ordered by rel desc; intra-list sim 0
