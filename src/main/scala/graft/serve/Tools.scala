@@ -11,7 +11,9 @@ import graft.search.SearchEngine
 /** The reference's serving front door — the 27 MCP tools
   * (`mcp/tool_schemas.py:46-1284`) and the CLI subcommands that shadow
   * them (`cli/main.py:589`) — as ONE typed dispatch table over the
-  * Spark data planes this library already implements. Each tool is a
+  * Spark data planes this library already implements, plus the five
+  * engine-extra search modes (BM25F, phrase, proximity, boolean,
+  * autocomplete) exposed with the same validation surface. Each tool is a
   * (param spec, handler) pair; `dispatch` validates arguments exactly
   * as the server's CallToolRequest path does (unknown tool / missing
   * required argument → error result, `mcp/server.py:303-380`) and
@@ -93,6 +95,26 @@ object Tools {
     ToolSpec("search_hybrid", "hybrid search with explicit alpha",
       Seq(Param("query", "string", required = true),
         Param("alpha", "double"), Param("limit", "int"))),
+    ToolSpec("search_bm25f",
+      "field-weighted keyword search (entity names boosted 3x)",
+      Seq(Param("query", "string", required = true),
+        Param("limit", "int"))),
+    ToolSpec("search_phrase", "exact adjacent-phrase search",
+      Seq(Param("phrase", "string", required = true),
+        Param("limit", "int"))),
+    ToolSpec("search_proximity",
+      "rank chunks by minimum distance between two terms",
+      Seq(Param("term_a", "string", required = true),
+        Param("term_b", "string", required = true),
+        Param("limit", "int"))),
+    ToolSpec("search_boolean",
+      "set retrieval: all of `must`, any of `should`, none of `must_not`",
+      Seq(Param("must", "array"), Param("should", "array"),
+        Param("must_not", "array"))),
+    ToolSpec("autocomplete",
+      "top index-vocabulary completions for a prefix",
+      Seq(Param("prefix", "string", required = true),
+        Param("limit", "int"))),
     ToolSpec("get_project_status", "index freshness and size counters",
       Nil),
     ToolSpec("index_project", "full chunk+embed index build", Nil),
@@ -193,6 +215,59 @@ object Tools {
         Right(graft.search.Fusion.ranked(
           engine.boost(fused, q, "rrf_score"), "chunk_id", "boosted",
           limit))
+      case "search_bm25f" =>
+        // name field weighted 3x over content — a deployment persists
+        // this index once (Bm25.writeIndexBucketed, the br1 layout);
+        // the tool layer derives it inline over the project's chunks
+        val terms = graft.search.Tokenizer.tokenize(
+          graft.search.QueryProcessor.preprocess(str(args, "query").get))
+        if (terms.isEmpty) Left("query has no indexable terms")
+        else {
+          val fielded = chunks(p).select(col("chunk_id"), col("name"),
+            col("content"))
+          val idx = graft.search.Bm25.buildIndex(
+            graft.search.Bm25F.fieldPostings(fielded, "chunk_id",
+              Seq("name" -> 3, "content" -> 1)))
+          Right(graft.search.Fusion.ranked(
+            graft.search.Bm25.scoreIndexed(s, idx, terms),
+            "id", "score", int(args, "limit", 10))
+            .withColumnRenamed("id", "chunk_id"))
+        }
+      case "search_phrase" =>
+        val terms = graft.search.Tokenizer.tokenize(str(args, "phrase").get)
+        if (terms.isEmpty) Left("phrase has no indexable terms")
+        else Right(graft.search.Phrase.phraseSearch(
+          graft.search.Phrase.positionalPostings(
+            chunks(p).select(col("chunk_id"), col("content")),
+            "chunk_id", graft.text.TextFunctions.tokens, "content"),
+          terms, int(args, "limit", 10)))
+      case "search_proximity" =>
+        val (a, b) = (str(args, "term_a").get.toLowerCase,
+          str(args, "term_b").get.toLowerCase)
+        Right(graft.search.Phrase.proximityPairs(
+          graft.search.Phrase.positionalPostings(
+            chunks(p).select(col("chunk_id"), col("content")),
+            "chunk_id", graft.text.TextFunctions.tokens, "content"),
+          a, b, int(args, "limit", 10)))
+      case "search_boolean" =>
+        val (must, should, not) = (strs(args, "must"),
+          strs(args, "should"), strs(args, "must_not"))
+        if (must.isEmpty && should.isEmpty)
+          Left("search_boolean needs at least one `must` or `should` term")
+        else Right(graft.search.BooleanQuery.query(
+          graft.search.BooleanQuery.postings(chunks(p), "chunk_id",
+            "content"),
+          must.map(_.toLowerCase), should.map(_.toLowerCase),
+          not.map(_.toLowerCase))
+          .withColumnRenamed("doc_id", "chunk_id"))
+      case "autocomplete" =>
+        val prefix = str(args, "prefix").get.toLowerCase
+        if (prefix.isEmpty) Left("prefix must be non-empty")
+        else Right(graft.search.BooleanQuery.completions(
+            graft.search.BooleanQuery.postings(chunks(p), "chunk_id",
+              "content"),
+            prefixLen = prefix.length, k = int(args, "limit", 5))
+          .filter(col("prefix") === prefix))
       case "get_project_status" =>
         val ch = chunks(p)
         val stale = graft.streaming.WatchStream

@@ -38,8 +38,43 @@ class ToolsSpec extends SparkSpec {
       "kg_build", "kg_stats", "kg_query", "kg_ontology", "kg_ia",
       "trace_execution_flow", "kg_history", "kg_callers_at_commit",
       "story_generate")
-    assert(Tools.specs.map(_.name).toSet == expected)
-    assert(Tools.specs.size == 27)
+    // the five engine-extra search modes ride the same dispatch
+    val extras = Set("search_bm25f", "search_phrase", "search_proximity",
+      "search_boolean", "autocomplete")
+    assert(Tools.specs.map(_.name).toSet == expected ++ extras)
+    assert(Tools.specs.size == 32)
+  }
+
+  test("engine-extra search modes dispatch against the indexed repo") {
+    // BM25F: "parser" appears in entity NAMES (FileParser, parse_file)
+    // — the 3x name weight must surface those chunks first
+    val bm = Tools.dispatch(project, "search_bm25f",
+      Map("query" -> "parse file", "limit" -> 5)).toOption.get.collect()
+    assert(bm.nonEmpty && bm.length <= 5)
+    // exact adjacent phrase from a docstring
+    val ph = Tools.dispatch(project, "search_phrase",
+      Map("phrase" -> "file contents")).toOption.get.collect()
+    assert(ph.nonEmpty)
+    // proximity: both terms common in parser.py
+    val px = Tools.dispatch(project, "search_proximity",
+      Map("term_a" -> "parse", "term_b" -> "file")).toOption.get.collect()
+    assert(px.nonEmpty)
+    assert(px.map(_.getAs[Int]("min_dist")).forall(_ >= 1))
+    // boolean: parse AND NOT configuration
+    val bq = Tools.dispatch(project, "search_boolean",
+      Map("must" -> Seq("parse"), "must_not" -> Seq("configuration")))
+      .toOption.get.collect()
+    assert(bq.nonEmpty)
+    // autocomplete on a live prefix
+    val ac = Tools.dispatch(project, "autocomplete",
+      Map("prefix" -> "pa", "limit" -> 3)).toOption.get.collect()
+    assert(ac.nonEmpty && ac.length <= 3)
+    assert(ac.forall(_.getAs[String]("term").startsWith("pa")))
+    // validation: empty boolean query and missing args still error
+    assert(Tools.dispatch(project, "search_boolean", Map.empty).isLeft)
+    assert(Tools.dispatch(project, "search_phrase", Map.empty).isLeft)
+    assert(Tools.dispatch(project, "search_proximity",
+      Map("term_a" -> "parse")).isLeft)
   }
 
   test("validation mirrors the server's error results") {
@@ -141,7 +176,7 @@ class ToolsSpec extends SparkSpec {
       Map("query" -> "fast", "limit" -> "3",
         "focus_areas" -> Seq("a", "b")))
     val listing = ServeMain.handle(project, "list")
-    assert(listing.size == 27)
+    assert(listing.size == 32)
     assert(listing.exists(_.startsWith("search_code(query*, limit)")))
     assert(listing.exists(l => l.startsWith("review_repository") &&
       l.contains("[llm-seam]")))
