@@ -102,16 +102,60 @@ object Bench {
         }
       }
 
-    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"stress":$stress,"sf":"$sfDir"}"""
-    // compact recap BEFORE the full line: the driver tail-captures the
-    // bench log, so the LAST line is the one that reliably survives —
-    // round 6 printed full-then-compact and the full per-query map was
-    // truncated upstream ("parsed": null). The full line also lands in
-    // BENCH_LOCAL.json so it is never at the mercy of log capture.
+    // Per-gate regression guard against the COMMITTED snapshot
+    // (BENCH_SNAPSHOT.json, sum-of-min per gate): a gate whose min grew
+    // past 1.5x AND +0.3s is a regression — loud on stderr and recorded
+    // in the artifact, so drift like round 7's s12 2.3x is visible the
+    // round it happens, not a round later in the verdict.
+    val snapPath = sys.env.getOrElse("SPARK_GRAFT_SNAPSHOT_PATH",
+      "/root/repo/BENCH_SNAPSHOT.json")
+    val snapshot: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(snapPath)), "UTF-8")
+        "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val regressions = results.flatMap { case (k, _, m, _) =>
+      snapshot.get(k).collect {
+        case prev if prev > 0 && m > prev * 1.5 && m > prev + 0.3 =>
+          (k, prev, m)
+      }
+    }.sortBy { case (_, p, m) => -(m / p) }.take(10)
+    if (regressions.nonEmpty) {
+      System.err.println(s"[bench] ===== TOP REGRESSIONS vs $snapPath =====")
+      regressions.foreach { case (k, p, m) =>
+        System.err.println("[bench] REGRESSION %-36s min %8.3fs -> %8.3fs (%.1fx)"
+          .formatLocal(java.util.Locale.ROOT, k, p, m, m / p))
+      }
+    }
+    val regJson = regressions.map { case (k, p, m) =>
+      "\"" + k + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(m) + "}"
+    }.mkString("{", ",", "}")
+    // refresh the committed snapshot on demand (end-of-round clean run):
+    // SPARK_GRAFT_WRITE_SNAPSHOT=1, full (non-filtered) runs only
+    if (sys.env.get("SPARK_GRAFT_WRITE_SNAPSHOT").contains("1") &&
+        only.isEmpty) {
+      val snap = results.map { case (k, _, m, _) => "\"" + k + "\":" + j3(m) }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(snapPath),
+        (snap + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote snapshot ${results.size} gates -> $snapPath")
+    }
+
+    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"sf":"$sfDir"}"""
+    // The driver TAIL-captures the bench log, so only the END of the
+    // output reliably survives; a >8 KB full line with the compact
+    // recap before it still lost its head in rounds 6 AND 7
+    // ("parsed": null, mid-map tail). Print the compact recap BOTH
+    // before and after the full line — whichever direction the capture
+    // truncates, a complete parseable headline line survives — and
+    // keep the full maps in BENCH_LOCAL.json regardless.
     val slow = results.sortBy(-_._2).take(30)
       .map { case (k, v, _, _) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":${j3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"top30":$slow,"sf":"$sfDir"}""")
+    val compactLine = s"""{"metric":"total_compact","value":${j3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"top30":$slow,"sf":"$sfDir"}"""
+    println(compactLine)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")),
@@ -120,6 +164,7 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
     }
     println(fullLine)
+    println(compactLine)
     spark.stop()
   }
 }
