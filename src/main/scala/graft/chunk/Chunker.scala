@@ -171,15 +171,19 @@ object Chunker {
       case "python" => pythonTopDecls(lines, pythonDecls(lines))
       case "markdown" => return markdownChunks(f, lines)
       case "go" => goDecls(lines)
-      case "java" => javaDecls(lines)
-      case "javascript" | "typescript" => jsDecls(lines)
-      case "rust" => rustDecls(lines)
-      case "ruby" => rubyDecls(lines)
-      case "php" => phpDecls(lines)
-      case "csharp" => csharpDecls(lines)
-      case "dart" => dartDecls(lines)
+      case "java" => dropFunctionNested(lines, javaDecls(lines), braceComment)
+      case "javascript" | "typescript" =>
+        dropFunctionNested(lines, jsDecls(lines), braceComment)
+      case "rust" => dropFunctionNested(lines, rustDecls(lines), braceComment)
+      case "ruby" => dropFunctionNested(lines, rubyDecls(lines),
+        t => t.startsWith("#"))
+      case "php" => dropFunctionNested(lines, phpDecls(lines), braceComment)
+      case "csharp" =>
+        dropFunctionNested(lines, csharpDecls(lines), braceComment)
+      case "dart" => dropFunctionNested(lines, dartDecls(lines), braceComment)
       case "html" => return htmlChunks(f)
-      case "scala" | "c" | "cpp" => braceDecls(lines)
+      case "scala" | "c" | "cpp" =>
+        dropFunctionNested(lines, braceDecls(lines), braceComment)
       case _ => return windowChunks(f, lines)
     }
     if (decls.isEmpty) windowChunks(f, lines) else declChunks(f, lines, decls)
@@ -590,13 +594,18 @@ object Chunker {
       case (l, i) =>
         (PyDef.findFirstMatchIn(l), PyClass.findFirstMatchIn(l)) match {
           case (Some(m), _) =>
-            val params = """def\s+\w+\s*\(([^)]*)""".r.findFirstMatchIn(l)
+            // a signature may span lines (tree-sitter reads the whole
+            // parameters node); join continuation lines until the paren
+            // balance closes before extracting params
+            val sig = joinedSignature(lines, i)
+            val params = """def\s+\w+\s*\(([^)]*)""".r.findFirstMatchIn(sig)
               .map(p => splitParams(p.group(1)).filterNot(Set("self", "cls")))
               .getOrElse(Nil)
             Some(Decl(i, m.group(1).length, "function", m.group(2), Nil,
               params = params, decorators = pyDecoratorsAbove(lines, i)))
           case (_, Some(m)) =>
-            val inh = """class\s+\w+\s*\(([^)]*)\)""".r.findFirstMatchIn(l)
+            val sig = joinedSignature(lines, i)
+            val inh = """class\s+\w+\s*\(([^)]*)\)""".r.findFirstMatchIn(sig)
               .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .getOrElse(Nil)
             Some(Decl(i, m.group(1).length, "class", m.group(2), inh,
@@ -604,6 +613,23 @@ object Chunker {
           case _ => None
         }
     }.toSeq
+
+  /** The decl line plus continuation lines until its `(` balance closes
+    * (bounded) — one string the single-line signature regexes run over.
+    */
+  private def joinedSignature(lines: Array[String], i: Int,
+      maxLines: Int = 20): String = {
+    def bal(s: String) = s.count(_ == '(') - s.count(_ == ')')
+    val sb = new StringBuilder(lines(i))
+    var open = bal(lines(i))
+    var j = i + 1
+    while (open > 0 && j < lines.length && j - i < maxLines) {
+      sb.append(' ').append(lines(j).trim)
+      open += bal(lines(j))
+      j += 1
+    }
+    sb.toString
+  }
 
   /** Drop python defs NESTED INSIDE A FUNCTION: the reference's
     * traversal stops at `function_definition` nodes
@@ -619,13 +645,27 @@ object Chunker {
     * `if TYPE_CHECKING:` / `try:` blocks) is correctly kept — the
     * tree-sitter traversal would extract it too.
     */
-  private def pythonTopDecls(lines: Array[String], decls: Seq[Decl]): Seq[Decl] = {
+  private def pythonTopDecls(lines: Array[String], decls: Seq[Decl]): Seq[Decl] =
+    dropFunctionNested(lines, decls, t => t.startsWith("#"))
+
+  /** The reference's universal traversal rule — "only recurse into
+    * children if we didn't extract this node" (`javascript.py:171-174`,
+    * `rust.py:113-115`, `python.py:188-192`) — means a function/arrow/
+    * fn nested INSIDE a function never becomes its own chunk in ANY
+    * language, while class/impl/trait members do (containers recurse
+    * explicitly). Indentation-scope approximation of that rule, shared
+    * by every decl-based language family: comment lines and dangling
+    * `)`/`]` continuation closers never close a scope.
+    */
+  private def dropFunctionNested(lines: Array[String], decls: Seq[Decl],
+      isComment: String => Boolean): Seq[Decl] = {
     val declAt = decls.map(d => d.line -> d).toMap
     var open = List.empty[Decl]
     val nested = scala.collection.mutable.Set[Int]()
     lines.zipWithIndex.foreach { case (l, i) =>
       val t = l.trim
-      if (t.nonEmpty && !t.startsWith("#")) {
+      if (t.nonEmpty && !isComment(t) &&
+          !t.startsWith(")") && !t.startsWith("]")) {
         val ind = declAt.get(i).map(_.indent)
           .getOrElse(l.takeWhile(_.isWhitespace).length)
         open = open.dropWhile(f => ind <= f.indent)
@@ -637,6 +677,10 @@ object Chunker {
     }
     decls.filterNot(d => nested.contains(d.line))
   }
+
+  private val braceComment = (t: String) =>
+    t.startsWith("//") || t.startsWith("/*") || t.startsWith("*") ||
+      t.startsWith("#")
 
   private def braceDecls(lines: Array[String]): Seq[Decl] =
     lines.zipWithIndex.flatMap {

@@ -143,6 +143,82 @@ class ChunkerSpec extends AnyFunSuite {
     assert(names.contains("alpha") && names.contains("beta") && names.contains("Gamma"))
   }
 
+  test("python: multi-line signatures carry their full parameter list") {
+    val f = rec("/repo/ml.py", "python", Seq(
+      "def configure(",
+      "    host,",
+      "    port=8080,",
+      "    *,",
+      "    timeout=None,",
+      "):",
+      "    return host, port, timeout",
+      "",
+      "class Server(",
+      "        BaseServer,",
+      "        LoggingMixin):",
+      "    def start(self):",
+      "        return 1",
+      "").mkString("\n"))
+    val byName = Chunker.chunkFile(f).map(c => c.name -> c).toMap
+    // reference reads the whole parameters node (base.py parameters);
+    // the joined signature must see every line of the param list
+    assert(byName("configure").chunk_type == "function")
+    assert(byName.contains("start") && byName("start").chunk_type == "method")
+    assert(byName("start").parent_name == "Server")
+  }
+
+  test("javascript: arrows nested inside a function are not chunks") {
+    // the reference's traversal extracts function_declaration without
+    // recursing (javascript.py:171-174) — test_js_parser.py's fixture
+    // has `const increment = () =>` INSIDE Counter and expects only the
+    // top-level entities
+    val f = rec("/repo/counter.js", "javascript", Seq(
+      "function Counter(props) {",
+      "    const increment = () => {",
+      "        setCount(count + 1);",
+      "    };",
+      "    return increment;",
+      "}",
+      "",
+      "const calculateArea = (radius) => {",
+      "    return Math.PI * radius * radius;",
+      "};",
+      "",
+      "class DataProcessor {",
+      "    addItem(item) {",
+      "        this.data.push(item);",
+      "    }",
+      "}",
+      "").mkString("\n"))
+    val names = Chunker.chunkFile(f).map(_.name).toSet
+    assert(names.contains("Counter") && names.contains("calculateArea"))
+    assert(names.contains("DataProcessor") && names.contains("addItem"))
+    assert(!names.contains("increment"))
+  }
+
+  test("rust: a helper fn nested inside a fn is part of its parent chunk") {
+    val f = rec("/repo/n.rs", "rust", Seq(
+      "fn outer(x: i32) -> i32 {",
+      "    fn helper(y: i32) -> i32 {",
+      "        y * 2",
+      "    }",
+      "    helper(x)",
+      "}",
+      "",
+      "impl Widget {",
+      "    fn render(&self) -> String {",
+      "        String::new()",
+      "    }",
+      "}",
+      "").mkString("\n"))
+    val chunks = Chunker.chunkFile(f)
+    val names = chunks.map(_.name).toSet
+    assert(names.contains("outer") && names.contains("render"))
+    assert(!names.contains("helper"))
+    val outer = chunks.find(_.name == "outer").get
+    assert(outer.content.contains("fn helper"))
+  }
+
   test("unknown language falls back to fixed windows") {
     val txt = rec("/repo/big.txt", "text", (1 to 100).map(i => s"line $i").mkString("\n"))
     val chunks = Chunker.chunkFile(txt)
