@@ -121,12 +121,16 @@ object HashEmbedder {
     val misses = keyed.join(cache.select("content_sha"), Seq("content_sha"), "left_anti")
     val fresh = embed(misses, "id", "text")
     val freshKeyed = fresh.join(keyed.select(col("id"), col("content_sha")), Seq("id"))
-    val updated = cache.unionByName(
-        freshKeyed.select(col("content_sha"), col("vector")))
+    // dedup WITHIN the miss batch only (two miss docs can share a text
+    // → one sha); the anti-join already guarantees no overlap with the
+    // stored cache, so new rows APPEND — a warm pass rewrites miss-sized
+    // bytes, not the whole (corpus-sized at 100 TB) cache
+    val newRows = freshKeyed.select(col("content_sha"), col("vector"))
       .dropDuplicates("content_sha")
-    // staging+swap, never overwrite a path the plan still reads from
-    // (cache eviction mid-write would recompute from the deleted path)
-    graft.index.IndexStore.overwriteSafe(spark, updated, cachePath)
+    if (fs.exists(hPath))
+      newRows.write.mode("append").parquet(cachePath)
+    else
+      graft.index.IndexStore.overwriteSafe(spark, newRows, cachePath)
     // after the swap every requested row is a cache hit; serve the result
     // from the fresh listing — a pre-swap `hits` plan would hold the old
     // (deleted) file list

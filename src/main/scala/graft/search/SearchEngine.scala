@@ -120,12 +120,12 @@ class SearchEngine(spark: SparkSession) {
     moves.unpersist()
   }
 
-  /** Embed a query string with the exact corpus featurizer (1-row plan). */
-  def embedQuery(query: String): Array[Float] = {
-    val df = Seq((0L, query)).toDF("id", "text")
-    HashEmbedder.embed(df, "id", "text")
-      .select("vector").as[Array[Float]].head()
-  }
+  /** Embed a query string with the exact corpus featurizer — driver-side
+    * (embedLocal ≡ the Column chain bit-for-bit, ParitySpec), so a
+    * query embed never schedules a Spark job.
+    */
+  def embedQuery(query: String): Array[Float] =
+    HashEmbedder.embedLocal(query)
 
   /** Vector search over a vectors DataFrame. */
   def vectorSearch(vectors: DataFrame, query: String, limit: Int,
