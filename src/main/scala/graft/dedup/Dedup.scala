@@ -43,6 +43,35 @@ object Dedup {
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
 
+  /** N-gram NOVELTY scoring — the data-valuation complement of
+    * decontamination: per scored document, the fraction of its distinct
+    * word k-shingles absent from a reference corpus (how much genuinely
+    * new n-gram mass a candidate source adds before it is bought /
+    * mixed in; docs under k tokens drop out as in [[docShingles]]).
+    * Output: (doc_id, n_shingles, n_novel, novelty_micro).
+    *
+    * Scale shape: distinct reference shingles via one aggregate, then a
+    * LEFT join on the shingle string — both sides hash-partitioned by
+    * the join key (a 100 TB reference vocabulary never broadcasts), one
+    * partial-aggregated rollup per doc. Integer micro ratio.
+    */
+  def ngramNovelty(scored: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    val refShingles = docShingles(reference, textCol, idCol, k)
+      .select(col("shingle")).distinct()
+      .withColumn("seen", lit(1))
+    docShingles(scored, textCol, idCol, k)
+      .join(refShingles, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        col("n_novel").cast("long").as("n_novel"),
+        (col("n_novel") * lit(1000000L) / col("n_shingles"))
+          .cast("long").as("novelty_micro"))
+  }
+
   /** Universal-hash family for MinHash: one base md5 hash per shingle,
     * then h_i(x) = (a_i * (base % 2^30) + b_i) mod P — the standard
     * (a·x+b) mod p construction, so the per-shingle cost is one md5

@@ -930,6 +930,35 @@ object TextDedupPack {
         .orderBy(col("a"), col("b"))
     }),
 
+    // LSH parameter planner (lshp1): for hash budgets derived from the
+    // corpus residues and two target thresholds, score every (b, r)
+    // factorization's S-curve error mass against the τ step function
+    // and flag the argmin — datasketch's optimal_param as ONE codegen'd
+    // plan, integer micro-units end to end (iterated div-folds, no
+    // libm pow in either engine).
+    "lshp1_lsh_planner" -> ((s, d) => {
+      val budgets = Tables.documents(s, d)
+        .select((lit(60) + (col("doc_id") % 3).cast("int") * 60)
+          .as("max_hashes")).distinct()
+      graft.dedup.LshPlan.plans(budgets, Seq(500000L, 700000L))
+        .orderBy(col("max_hashes"), col("tau_micro"), col("b"), col("r"))
+    }),
+
+    // N-gram novelty scoring (nov1): fraction of each scored doc's
+    // distinct word 3-shingles absent from the reference corpus — the
+    // data-valuation number behind "does this source add anything new".
+    // Reference = doc_id%5==0 docs; one shingle-keyed left join (both
+    // sides hash-partitioned — a 100 TB reference vocabulary never
+    // broadcasts), integer micro ratio.
+    "nov1_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.dedup.Dedup.ngramNovelty(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "text", "doc_id", ShingleK)
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup-recall eval — the ar1 symmetry for the dedup family: LSH
     // candidate recall vs the EXACT Jaccard≥0.6 ground truth on a
     // capped doc sample (ground truth is all-pairs by nature, so it is
@@ -3131,6 +3160,60 @@ object TextDedupPack {
          |  FROM sc WHERE sim >= 0.6::DOUBLE)
          |SELECT doc_id, n_hits, bench_id, round(sim, 6) AS sim
          |FROM h WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "lshp1_lsh_planner" ->
+      """WITH ks AS (SELECT DISTINCT CAST(doc_id % 3 AS INTEGER) AS k
+        |  FROM documents),
+        |budgets AS (SELECT 60 + 60 * k AS max_hashes FROM ks),
+        |rs AS (SELECT CAST(unnest(range(1, 33)) AS INTEGER) AS r),
+        |taus(tau_micro) AS (VALUES (500000::BIGINT), (700000::BIGINT)),
+        |grid AS (
+        |  SELECT max_hashes, r,
+        |    CAST(max_hashes // r AS INTEGER) AS b, tau_micro
+        |  FROM budgets, rs, taus
+        |  WHERE max_hashes % r = 0),
+        |probes AS (SELECT unnest(range(1, 20)) * 50000 AS s),
+        |srt AS (SELECT g.*, p.s,
+        |    list_reduce(list_prepend(CAST(p.s AS BIGINT),
+        |      list_transform(range(g.r - 1), i -> CAST(p.s AS BIGINT))),
+        |      (a, x) -> (a * x) // 1000000) AS sr
+        |  FROM grid g, probes p),
+        |pc AS (SELECT max_hashes, tau_micro, b, r, s,
+        |    1000000 - list_reduce(list_prepend(CAST(1000000 - sr AS BIGINT),
+        |      list_transform(range(b - 1), i -> CAST(1000000 - sr AS BIGINT))),
+        |      (a, x) -> (a * x) // 1000000) AS p
+        |  FROM srt),
+        |costs AS (SELECT max_hashes, tau_micro, b, r,
+        |    CAST(SUM(CASE WHEN s < tau_micro THEN p
+        |      ELSE 1000000 - p END) AS BIGINT) AS cost_micro
+        |  FROM pc GROUP BY 1, 2, 3, 4),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY max_hashes, tau_micro
+        |    ORDER BY cost_micro, b, r) AS rk
+        |  FROM costs)
+        |SELECT CAST(max_hashes AS INTEGER) AS max_hashes, tau_micro,
+        |  b, r, cost_micro,
+        |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS chosen
+        |FROM ranked
+        |ORDER BY max_hashes, tau_micro, b, r""".stripMargin,
+
+    "nov1_ngram_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks
+         |  FROM documents),
+         |ref AS (SELECT DISTINCT unnest(${shinglesSql("toks", ShingleK)})
+         |    AS shingle
+         |  FROM tok WHERE doc_id % 5 = 0 AND len(toks) >= $ShingleK),
+         |sc AS (SELECT doc_id, unnest(${shinglesSql("toks", ShingleK)})
+         |    AS shingle
+         |  FROM tok WHERE doc_id % 5 <> 0 AND len(toks) >= $ShingleK),
+         |j AS (SELECT sc.doc_id, sc.shingle, ref.shingle AS seen
+         |  FROM sc LEFT JOIN ref USING (shingle))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST((sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS novelty_micro
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dc1_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, string_split($normDoc, ' ') AS toks
