@@ -43,6 +43,27 @@ object Dedup {
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
 
+  /** SOFT dedup — duplicate-count downweighting instead of hard drops
+    * (the "keep one copy" policy loses the signal that a document was
+    * independently replicated; training pipelines increasingly weight
+    * by 1/cluster_size so total mass per distinct content is constant).
+    * Components come from the O(log n) star closure over the verified
+    * near-dup pair graph; singletons weight 10^6.
+    * Output: (doc_id, cluster_id, cluster_size, weight_micro).
+    */
+  def softDedupWeights(pairs: DataFrame, docs: DataFrame,
+      idCol: String): DataFrame = {
+    val cl = resolveClustersStar(pairs, docs, idCol)
+      .select(col("doc_id"), col("cluster_id"))
+    val sizes = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cl.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        (lit(1000000L) / col("cluster_size")).cast("long")
+          .as("weight_micro"))
+  }
+
   /** N-gram NOVELTY scoring — the data-valuation complement of
     * decontamination: per scored document, the fraction of its distinct
     * word k-shingles absent from a reference corpus (how much genuinely

@@ -856,6 +856,20 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Soft dedup (sdw1): 1/cluster_size downweighting instead of hard
+    // drops — total training mass per distinct content stays constant
+    // while replication signal survives. Same verified pair graph and
+    // O(log n) star closure as cc1; one per-cluster count join.
+    "sdw1_soft_dedup_weights" -> ((s, d) => {
+      val idx = graft.dedup.DedupCache.persisted(
+        s, d, ShingleK, NumHashes, RowsPerBand)
+      val pairs = Dedup.jaccardOfPairs(Dedup.lshCandidates(idx.bands),
+          idx.shingles)
+        .filter(col("jaccard") >= 0.6)
+      Dedup.softDedupWeights(pairs, Tables.documents(s, d), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact-substring decontamination — the verbatim-copy flavor
     // beside dc1's n-gram collisions: eval probe strings (50-char
     // windows of every 13th doc) broadcast against the streaming
@@ -1723,7 +1737,22 @@ object TextDedupPack {
       |FROM alldocs f JOIN rep r USING (cluster_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** sdw1 mirror: the dd1 cluster chain + per-cluster counts. */
+  private lazy val sdwOracle: String = ddChainCtes + ",\n" +
+    """alldocs AS (SELECT d.doc_id,
+      |    COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN cl USING (doc_id)),
+      |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+      |  FROM alldocs GROUP BY cluster_id)
+      |SELECT a.doc_id, a.cluster_id,
+      |  CAST(c.cluster_size AS BIGINT) AS cluster_size,
+      |  CAST(1000000 // c.cluster_size AS BIGINT) AS weight_micro
+      |FROM alldocs a JOIN csz c USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "sdw1_soft_dedup_weights" -> sdwOracle,
+
     "t1_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(${tokensSql("text")}) AS INTEGER) AS n_tokens,

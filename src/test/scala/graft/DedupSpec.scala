@@ -150,4 +150,22 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((2L, false)))
     assert(out(9L) == ((9L, true))) // singleton keeps itself
   }
+
+  test("softDedupWeights: 1/cluster_size, singletons keep full weight") {
+    // chain 1-2-3 is one component; 9 is untouched by any pair
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+      .withColumn("jaccard", org.apache.spark.sql.functions.lit(0.9))
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val out = graft.dedup.Dedup.softDedupWeights(pairs, docs, "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((1L, 3L, 333333L)))
+    assert(out(2L) == ((1L, 3L, 333333L)))
+    assert(out(3L) == ((1L, 3L, 333333L)))
+    assert(out(9L) == ((9L, 1L, 1000000L)))
+    // mass per distinct content is constant: weights in a cluster sum
+    // to ~1e6 (floor residue aside)
+    assert(out.filter(_._2._1 == 1L).values.map(_._3).sum == 999999L)
+  }
 }
