@@ -75,6 +75,55 @@ object IndexPack {
   private val st1SeedCache =
     scala.collection.concurrent.TrieMap[String, Array[Int]]()
 
+  private[queries] def st1V1(k: Int) = s"def fn_$k(x):\n    return x + $k\n"
+  private[queries] def st1V2(k: Int) =
+    s"def fn_$k(x):\n    y = x * 2\n    return y + $k\n"
+
+  /** Seed (once per corpus per JVM) and restore the st1 workspace +
+    * store to the pristine seeded state. Returns (base, residues).
+    */
+  private def st1Restore(s: SparkSession, d: String): (String, Array[Int]) = {
+    val h = java.lang.Long.toHexString(
+      graft.functions.PortableHash.hash60Local("st1", d))
+    val base = s"/tmp/graft_st1_$h"
+    def put(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$base/ws/$name"), text)
+    val ks = st1SeedCache.getOrElseUpdate(d, {
+      rmTree(new java.io.File(base))
+      new java.io.File(s"$base/ws").mkdirs()
+      import s.implicits._
+      val ks0 = Tables.documents(s, d)
+        .select((col("doc_id") % 24).cast("int").as("k"))
+        .distinct().as[Int].collect().sorted
+      ks0.foreach(k => put(s"w$k.py", st1V1(k)))
+      new graft.search.SearchEngine(s).indexRepo(
+        s"$base/ws", s"$base/chunks", s"$base/vectors")
+      copyTree(s"$base/chunks", s"$base/seed_chunks")
+      copyTree(s"$base/vectors", s"$base/seed_vectors")
+      ks0
+    })
+    rmTree(new java.io.File(s"$base/ws"))
+    new java.io.File(s"$base/ws").mkdirs()
+    ks.foreach(k => put(s"w$k.py", st1V1(k)))
+    rmTree(new java.io.File(s"$base/chunks"))
+    rmTree(new java.io.File(s"$base/vectors"))
+    copyTree(s"$base/seed_chunks", s"$base/chunks")
+    copyTree(s"$base/seed_vectors", s"$base/vectors")
+    Seq(s"$base/chunks", s"$base/vectors").foreach { p =>
+      try s.catalog.refreshByPath(p) catch { case _: Throwable => }
+    }
+    (base, ks)
+  }
+
+  /** st1/st4's workspace mutations (micro-batch 1 then 2 file states),
+    * applied to the restored workspace; applyBatch is the caller's.
+    */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** Recursive file-tree copy (metadata-scale store snapshots). */
   private def copyTree(src: String, dst: String): Unit = {
     val s = java.nio.file.Path.of(src)
@@ -140,55 +189,24 @@ object IndexPack {
     // from-scratch index of the final workspace would.
     "st1_stream_reindex" -> ((s, d) => {
       import s.implicits._
-      val h = java.lang.Long.toHexString(
-        graft.functions.PortableHash.hash60Local("st1", d))
-      val base = s"/tmp/graft_st1_$h"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(); ()
-      }
-      def v1(k: Int) = s"def fn_$k(x):\n    return x + $k\n"
-      def v2(k: Int) = s"def fn_$k(x):\n    y = x * 2\n    return y + $k\n"
+      // seed ONCE per corpus per JVM (the registry pattern): the seed
+      // index is per-corpus INGEST work; the gate times the streamed
+      // MAINTENANCE from a restored pristine state every run.
+      val (base, _) = st1Restore(s, d)
+      val chunksPath = s"$base/chunks"
+      val vectorsPath = s"$base/vectors"
+      def v1(k: Int) = st1V1(k)
+      def v2(k: Int) = st1V2(k)
       def put(name: String, text: String): Unit =
         java.nio.file.Files.writeString(
           java.nio.file.Path.of(s"$base/ws/$name"), text)
-      val chunksPath = s"$base/chunks"
-      val vectorsPath = s"$base/vectors"
-      // seed ONCE per corpus per JVM (the registry pattern): the seed
-      // index is per-corpus INGEST work; the gate times the streamed
-      // MAINTENANCE. The seeded store is snapshotted beside the live
-      // dirs, and every run restores workspace + store from it — same
-      // cold starting state, no re-chunk/re-embed of the seed corpus.
-      val ks = st1SeedCache.getOrElseUpdate(d, {
-        rm(new java.io.File(base))
-        new java.io.File(s"$base/ws").mkdirs()
-        val ks0 = Tables.documents(s, d)
-          .select((col("doc_id") % 24).cast("int").as("k"))
-          .distinct().as[Int].collect().sorted
-        ks0.foreach(k => put(s"w$k.py", v1(k)))
-        new graft.search.SearchEngine(s).indexRepo(
-          s"$base/ws", chunksPath, vectorsPath)
-        copyTree(s"$base/chunks", s"$base/seed_chunks")
-        copyTree(s"$base/vectors", s"$base/seed_vectors")
-        ks0
-      })
-      // restore the seed state (idempotent; covers repeated bench runs)
-      rm(new java.io.File(s"$base/ws"))
-      new java.io.File(s"$base/ws").mkdirs()
-      ks.foreach(k => put(s"w$k.py", v1(k)))
-      rm(new java.io.File(chunksPath)); rm(new java.io.File(vectorsPath))
-      copyTree(s"$base/seed_chunks", chunksPath)
-      copyTree(s"$base/seed_vectors", vectorsPath)
-      Seq(chunksPath, vectorsPath).foreach { p =>
-        try s.catalog.refreshByPath(p) catch { case _: Throwable => }
-      }
       def ev(p: String, t: String, ms: Long, dest: String = null) =
         graft.streaming.WatchStream.FileEvent(s"$base/ws/$p", t,
           new java.sql.Timestamp(ms),
           if (dest == null) null else s"$base/ws/$dest")
       // micro-batch 1
       put("w1.py", v2(1)); put("w100.py", v1(100))
-      rm(new java.io.File(s"$base/ws/w2.py"))
+      rmTree(new java.io.File(s"$base/ws/w2.py"))
       graft.streaming.WatchStream.applyBatch(s, Seq(
           ev("w1.py", "modified", 1), ev("w100.py", "created", 2),
           ev("w2.py", "modified", 3), ev("w2.py", "deleted", 4)).toDF(),
@@ -197,7 +215,7 @@ object IndexPack {
       java.nio.file.Files.move(
         java.nio.file.Path.of(s"$base/ws/w3.py"),
         java.nio.file.Path.of(s"$base/ws/m3.py"))
-      rm(new java.io.File(s"$base/ws/w4.py"))
+      rmTree(new java.io.File(s"$base/ws/w4.py"))
       put("w100.py", v2(100)); put("w101.py", v1(101))
       graft.streaming.WatchStream.applyBatch(s, Seq(
           ev("w3.py", "moved", 10, dest = "m3.py"),
@@ -216,6 +234,34 @@ object IndexPack {
         sha2(col("content"), 256).as("sha"),
         size(col("vector")).as("dim"))
       ch.unionByName(ve).orderBy(col("kind"), col("file"), col("name"))
+    }),
+
+    // ST4 search-triggered staleness probe (auto_indexer.py): after
+    // the SAME workspace mutations st1 streams (modify w1, create
+    // w100/w101, delete w2/w4, move w3→m3) but BEFORE any reindex,
+    // the cheap disk-vs-store diff a search front door runs to decide
+    // whether to auto-reindex: changed/new files (w1, w100, w101 and
+    // the move DESTINATION m3) and vanished store paths (w2, w3, w4).
+    "st4_staleness_probe" -> ((s, d) => {
+      val (base, _) = st1Restore(s, d)
+      def put(name: String, text: String): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Path.of(s"$base/ws/$name"), text)
+      put("w1.py", st1V2(1)); put("w100.py", st1V1(100))
+      put("w101.py", st1V1(101))
+      rmTree(new java.io.File(s"$base/ws/w2.py"))
+      rmTree(new java.io.File(s"$base/ws/w4.py"))
+      java.nio.file.Files.move(
+        java.nio.file.Path.of(s"$base/ws/w3.py"),
+        java.nio.file.Path.of(s"$base/ws/m3.py"))
+      val disk = graft.ingest.FileDiscovery.discover(s, s"$base/ws").toDF()
+      val stored = IndexStore.read(s, s"$base/chunks")
+      val rel = regexp_extract(col("file_path"), "([^/]+)$", 1)
+      IndexStore.changedFiles(disk, stored)
+        .select(lit("changed").as("kind"), rel.as("file"))
+        .unionByName(IndexStore.deletedFiles(disk, stored)
+          .select(lit("deleted").as("kind"), rel.as("file")))
+        .orderBy(col("kind"), col("file"))
     }),
 
     // S4 compaction (chunks_backend.py:553-605): a deliberately
@@ -453,6 +499,22 @@ object IndexPack {
         |  SELECT 'C' AS kind, *, -1 AS dim FROM rows0
         |  UNION ALL SELECT 'V', *, 64 FROM rows0)
         |ORDER BY kind, file, name""".stripMargin,
+
+    // The mutation algebra replayed as membership tests against the
+    // residue set (all of 1..4 are present at every sf): changed = the
+    // modified file, the two creations, the move destination; deleted
+    // = the two removals plus the move source.
+    "st4_staleness_probe" ->
+      """WITH ks AS (SELECT DISTINCT CAST(doc_id % 24 AS INTEGER) AS k
+        |  FROM documents),
+        |rows0(kind, file, needs) AS (VALUES
+        |  ('changed', 'w1.py', 1), ('changed', 'w100.py', 0),
+        |  ('changed', 'w101.py', 0), ('changed', 'm3.py', 3),
+        |  ('deleted', 'w2.py', 2), ('deleted', 'w3.py', 3),
+        |  ('deleted', 'w4.py', 4))
+        |SELECT kind, file FROM rows0
+        |WHERE needs = 0 OR needs IN (SELECT k FROM ks)
+        |ORDER BY kind, file""".stripMargin,
 
     "s4_compaction" ->
       """SELECT CAST(count(DISTINCT doc_id % 64) AS BIGINT) AS files_before,
