@@ -41,6 +41,27 @@ object TextDedupPack {
   val NearDupIdOffset = 1000000L
   val LeakIdOffset = 2000000L
 
+  /** leak1/lks1's verified near-dup pair graph over the planted corpus,
+    * materialized once per corpus per JVM (the registry pattern): the
+    * pair graph is dedup INDEX state — both gates probe it; the pair
+    * set is bounded (planted variants + natural collisions), so an
+    * eager localCheckpoint is metadata-scale.
+    */
+  private val leakPairsCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
+
+  private def leakPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    leakPairsCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + LeakIdOffset).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text"))
+      val all = docs.unionByName(variants)
+      Dedup.minhashNearDupPairs(all, "text", "doc_id",
+          ShingleK, NumHashes, RowsPerBand, minJaccard = 0.6)
+        .localCheckpoint(true)
+    })
+
   /** w2v1 probe words (all clear the pm1 min-support floor). */
   val W2vProbes = Seq("slow", "table", "key")
   /** ic1 ingest-batch id offset (disjoint from corpus doc ids at every
@@ -928,14 +949,42 @@ object TextDedupPack {
     // assignment drives this to zero — LeakAuditSpec). Pairs ride the
     // banded LSH path, never all-pairs; the audit is two equi-joins of
     // the bounded pair set against the assignment.
+    // The leak1 FIX gated (lks1): key the split assignment by the
+    // near-dup CLUSTER id instead of the doc id, so correlated
+    // documents land in one split by construction — per-split doc
+    // counts plus the measured cross-split pair count, which must be
+    // (and is computed to be) zero. Same banded pair graph as leak1
+    // (registry-materialized: the pair graph is dedup index state),
+    // O(log n) star closure, then the pure-projection hash split.
+    "lks1_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + LeakIdOffset).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text"))
+      val all = docs.unionByName(variants)
+      val pairs = leakPairs(s, d)
+      val clusters = Dedup.resolveClustersStar(pairs, all, "doc_id")
+        .select(col("doc_id"), col("cluster_id"))
+      val sp = graft.text.Splits.assign(clusters, "cluster_id", SplitLayout)
+        .select(col("doc_id"), col("split"))
+      val counts = sp.groupBy(col("split"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("split").as("key"), col("n"))
+      val leak = graft.dedup.LeakAudit.crossSplitPairs(pairs, sp, "doc_id")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("cross_pairs").as("key"), col("n"))
+      counts.unionByName(leak)
+        .select(col("key"), col("n").cast("long").as("n"))
+        .orderBy(col("key"))
+    }),
+
     "leak1_split_leakage" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val variants = docs.filter(col("doc_id") % 10 === 4)
         .select((col("doc_id") + LeakIdOffset).as("doc_id"),
           concat(col("text"), lit(" zz yy xx")).as("text"))
       val all = docs.unionByName(variants)
-      val pairs = Dedup.minhashNearDupPairs(all, "text", "doc_id",
-        ShingleK, NumHashes, RowsPerBand, minJaccard = 0.6)
+      val pairs = leakPairs(s, d)
       val sp = graft.text.Splits.assign(all.select(col("doc_id")),
         "doc_id", SplitLayout)
       graft.dedup.LeakAudit.crossSplitPairs(pairs, sp, "doc_id")
@@ -1737,6 +1786,48 @@ object TextDedupPack {
       |FROM alldocs f JOIN rep r USING (cluster_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** leak1/lks1 shared mirror: planted variants → LSH candidates →
+    * verified Jaccard≥0.6 pairs `ver(a, b, jaccard)` over the planted
+    * corpus `ad`. WITH RECURSIVE so lks1 can close components.
+    */
+  private lazy val leakVerCtes: String =
+    s"""WITH RECURSIVE nd AS (SELECT doc_id + $LeakIdOffset AS doc_id,
+       |    text || ' zz yy xx' AS text
+       |  FROM documents WHERE doc_id % 10 = 4),
+       |ad AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM nd),
+       |tok2 AS (SELECT doc_id, string_split(${normalizeSql("text")}, ' ')
+       |    AS toks FROM ad),
+       |sh2 AS (SELECT doc_id, unnest(${shinglesSql("toks", ShingleK)})
+       |    AS shingle FROM tok2 WHERE len(toks) >= $ShingleK),
+       |ab(h, a, b) AS (VALUES $abVals),
+       |mh AS (SELECT doc_id, CAST(ab.h AS INTEGER) AS h,
+       |    CAST(min((ab.a * (${PortableHash.hash60Sql("0", "shingle")} % ${graft.dedup.Dedup.MinhashM})
+       |      + ab.b) % ${graft.dedup.Dedup.MinhashP}) AS BIGINT) AS v
+       |  FROM sh2 CROSS JOIN ab GROUP BY doc_id, ab.h),
+       |bands AS (SELECT doc_id, CAST(h // $RowsPerBand AS INTEGER) AS band,
+       |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY h) AS band_val
+       |  FROM mh GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_val = y.band_val
+       |      AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+       |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+       |  FROM sh2 s1 JOIN sh2 s2
+       |    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+       |  JOIN cand c ON c.a = s1.doc_id AND c.b = s2.doc_id
+       |  GROUP BY s1.doc_id, s2.doc_id),
+       |ver AS MATERIALIZED (SELECT c.a, c.b,
+       |    CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |      / (na.n + nb.n - COALESCE(i.i, 0)) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+       |  JOIN sizes na ON na.doc_id = c.a
+       |  JOIN sizes nb ON nb.doc_id = c.b
+       |  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |    / (na.n + nb.n - COALESCE(i.i, 0)) >= 0.6::DOUBLE)""".stripMargin
+
   /** sdw1 mirror: the dd1 cluster chain + per-cluster counts. */
   private lazy val sdwOracle: String = ddChainCtes + ",\n" +
     """alldocs AS (SELECT d.doc_id,
@@ -2030,43 +2121,8 @@ object TextDedupPack {
          |JOIN sizes nb ON nb.doc_id = c.b
          |ORDER BY jaccard DESC, c.a, c.b LIMIT 100""".stripMargin,
 
-    "leak1_split_leakage" ->
-      s"""WITH nd AS (SELECT doc_id + $LeakIdOffset AS doc_id,
-         |    text || ' zz yy xx' AS text
-         |  FROM documents WHERE doc_id % 10 = 4),
-         |ad AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id, text FROM nd),
-         |tok AS (SELECT doc_id, string_split(${normalizeSql("text")}, ' ')
-         |    AS toks FROM ad),
-         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks", ShingleK)})
-         |    AS shingle FROM tok WHERE len(toks) >= $ShingleK),
-         |ab(h, a, b) AS (VALUES $abVals),
-         |mh AS (SELECT doc_id, CAST(ab.h AS INTEGER) AS h,
-         |    CAST(min((ab.a * (${PortableHash.hash60Sql("0", "shingle")} % ${graft.dedup.Dedup.MinhashM})
-         |      + ab.b) % ${graft.dedup.Dedup.MinhashP}) AS BIGINT) AS v
-         |  FROM sh CROSS JOIN ab GROUP BY doc_id, ab.h),
-         |bands AS (SELECT doc_id, CAST(h // $RowsPerBand AS INTEGER) AS band,
-         |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY h) AS band_val
-         |  FROM mh GROUP BY doc_id, band),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.band_val = y.band_val
-         |      AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
-         |  FROM sh s1 JOIN sh s2
-         |    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-         |  JOIN cand c ON c.a = s1.doc_id AND c.b = s2.doc_id
-         |  GROUP BY s1.doc_id, s2.doc_id),
-         |ver AS (SELECT c.a, c.b,
-         |    CAST(COALESCE(i.i, 0) AS DOUBLE)
-         |      / (na.n + nb.n - COALESCE(i.i, 0)) AS jaccard
-         |  FROM cand c
-         |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-         |  JOIN sizes na ON na.doc_id = c.a
-         |  JOIN sizes nb ON nb.doc_id = c.b
-         |  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
-         |    / (na.n + nb.n - COALESCE(i.i, 0)) >= 0.6::DOUBLE),
+    "leak1_split_leakage" -> (leakVerCtes +
+      s""",
          |sp AS (SELECT doc_id,
          |    ${graft.text.Splits.assignSql("doc_id", SplitLayout)} AS split
          |  FROM ad)
@@ -2076,7 +2132,39 @@ object TextDedupPack {
          |JOIN sp sa ON sa.doc_id = v.a
          |JOIN sp sb ON sb.doc_id = v.b
          |WHERE sa.split <> sb.split
-         |ORDER BY v.a, v.b""".stripMargin,
+         |ORDER BY v.a, v.b""".stripMargin),
+
+    // The leak1 FIX, proven not asserted: cluster-atomic splits give
+    // ZERO cross-split near-dup pairs — the oracle recomputes the
+    // closure, the assignment AND the leak count from the same pair
+    // chain.
+    "lks1_cluster_split" -> (leakVerCtes +
+      s""",
+         |e AS MATERIALIZED (SELECT a AS x, b AS y FROM ver
+         |  UNION ALL SELECT b, a FROM ver),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT x, x FROM e
+         |  UNION
+         |  SELECT e.y, reach.r FROM reach JOIN e ON e.x = reach.id),
+         |cl AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |alld AS (SELECT ad.doc_id,
+         |    COALESCE(cl.cluster_id, ad.doc_id) AS cluster_id
+         |  FROM ad LEFT JOIN cl USING (doc_id)),
+         |sp AS (SELECT doc_id,
+         |    ${graft.text.Splits.assignSql("cluster_id", SplitLayout)}
+         |      AS split
+         |  FROM alld),
+         |counts AS (SELECT split AS key, COUNT(*) AS n
+         |  FROM sp GROUP BY split),
+         |leak AS (SELECT 'cross_pairs' AS key, COUNT(*) AS n
+         |  FROM ver v
+         |  JOIN sp sa ON sa.doc_id = v.a
+         |  JOIN sp sb ON sb.doc_id = v.b
+         |  WHERE sa.split <> sb.split)
+         |SELECT key, CAST(n AS BIGINT) AS n
+         |FROM (SELECT * FROM counts UNION ALL SELECT * FROM leak)
+         |ORDER BY key""".stripMargin),
 
     "ic1_incremental_dedup" ->
       s"""WITH nd AS (

@@ -23,7 +23,7 @@ class VectorRegistrySpec extends SparkSpec {
 
   test("lifecycle/code-vector probes contain zero featurizer stages") {
     Seq("e2e2_search_pipeline", "sbc1_search_by_context",
-        "cv1_code_vectors").foreach { name =>
+        "swc1_search_with_context", "cv1_code_vectors").foreach { name =>
       val p = planString(name)
       assert(!p.contains("md5"),
         s"$name: portable-hash featurizer found in the probe plan")
