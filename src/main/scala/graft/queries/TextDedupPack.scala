@@ -847,6 +847,37 @@ object TextDedupPack {
       chars.join(toks, Seq("lang")).orderBy(col("lang"))
     }),
 
+    // Retention-targeted cutoff calibration (qt1): "keep the best 30%
+    // per source" turned into the exact per-group score cutoff (k-th
+    // highest by (score desc, id)) plus the tie-inclusive kept count —
+    // how a quality threshold is actually tuned. One group-partitioned
+    // window + group rollups; integer-exact on the integral score.
+    "qt1_retention_cutoffs" -> ((s, d) => {
+      graft.text.Profiling.retentionCutoffs(
+          Tables.documents(s, d), "source", "n_chars", "doc_id", 30)
+        .orderBy(col("source"))
+    }),
+
+    // Embedding sanity QC (eq1): dimension check, NaN components, zero
+    // vectors, L2 norm — the pre-ANN hygiene pass a vector store runs
+    // at ingest (one bad row poisons cosine top-k heaps). Fixture
+    // plants a zero vector (%97), a NaN component (%89) and a
+    // truncated 32-dim vector (%83); one codegen projection, the
+    // squared-norm fold sequential in both engines.
+    "eq1_embedding_qc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.select(col("vec_id"),
+        when(col("vec_id") % 97 === 0,
+            transform(col("embedding"), _ => lit(0.0f)))
+          .when(col("vec_id") % 89 === 0,
+            concat(array(lit(Float.NaN)), slice(col("embedding"), 2, 63)))
+          .when(col("vec_id") % 83 === 0, slice(col("embedding"), 1, 32))
+          .otherwise(col("embedding")).as("embedding"))
+      graft.ann.VectorQc.screen(planted, "vec_id", "embedding", 64)
+        .orderBy(col("vec_id"))
+    }),
+
     // Dup-cluster resolution: connected components of the LSH near-dup
     // pair graph (jaccard ≥ 0.6 verified pairs) by min-label
     // propagation; cluster id = smallest member, is_canonical marks the
@@ -1843,6 +1874,53 @@ object TextDedupPack {
 
   def oracles: Map[String, String] = Map(
     "sdw1_soft_dedup_weights" -> sdwOracle,
+
+    "qt1_retention_cutoffs" ->
+      """WITH ranked AS (SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |stats AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(ceil(COUNT(*) * 30 / 100.0) AS BIGINT) AS k_target
+        |  FROM documents GROUP BY source),
+        |cut AS (SELECT r.source, r.n_chars AS cutoff
+        |  FROM ranked r JOIN stats s USING (source)
+        |  WHERE r.rk = s.k_target),
+        |kept AS (SELECT d.source, COUNT(*) AS n_kept
+        |  FROM documents d JOIN cut c USING (source)
+        |  WHERE d.n_chars >= c.cutoff GROUP BY d.source)
+        |SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs, s.k_target,
+        |  CAST(c.cutoff AS BIGINT) AS cutoff,
+        |  CAST(k.n_kept AS BIGINT) AS n_kept
+        |FROM stats s JOIN cut c USING (source) JOIN kept k USING (source)
+        |ORDER BY source""".stripMargin,
+
+    "eq1_embedding_qc" ->
+      """WITH planted AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 97 = 0
+        |        THEN list_transform(embedding, x -> 0.0::FLOAT)
+        |      WHEN vec_id % 89 = 0
+        |        THEN ['NaN'::FLOAT] || embedding[2:64]
+        |      WHEN vec_id % 83 = 0 THEN embedding[1:32]
+        |      ELSE embedding END AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, len(v) AS dim,
+        |    len(list_filter(v, x -> isnan(x))) AS n_nan,
+        |    list_aggregate(list_transform(v,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq
+        |  FROM planted),
+        |n AS (SELECT vec_id, dim, n_nan,
+        |    CASE WHEN n_nan > 0 THEN -1::BIGINT
+        |      ELSE CAST(round(sqrt(sq) * 1000000) AS BIGINT) END
+        |      AS norm_micro
+        |  FROM m)
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+        |  CAST(n_nan AS INTEGER) AS n_nan, norm_micro,
+        |  CASE WHEN dim <> 64 THEN 'bad_dim'
+        |    WHEN n_nan > 0 THEN 'nan'
+        |    WHEN norm_micro = 0 THEN 'zero'
+        |    ELSE 'keep' END AS verdict
+        |FROM n ORDER BY vec_id""".stripMargin,
 
     "t1_token_stats" ->
       s"""SELECT doc_id,
