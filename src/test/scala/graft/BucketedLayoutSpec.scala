@@ -51,6 +51,34 @@ class BucketedLayoutSpec extends SparkSpec {
     }
   }
 
+  test("corpus-vector registry scan feeds groupBy(id) without an Exchange") {
+    // the lifecycle's per-doc best-variant aggregate groups on the
+    // bucket column right after the (broadcast) crossJoin with the
+    // query vectors — the bucketed layout must carry its partitioning
+    // through so the corpus side never reshuffles per query
+    import graft.functions.VectorFunctions
+    val vecs = graft.embed.HashEmbedder.embed(docs, "doc_id", "text")
+    val abs = new java.io.File("target/test_vecs_audit").getAbsolutePath
+    vecs.repartition(4, col("id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "id").sortBy("id")
+      .option("path", abs).saveAsTable("test_vecs_audit")
+    val corpus = spark.table("test_vecs_audit")
+    val qvecs = Seq(
+        Tuple1(graft.embed.HashEmbedder.embedLocal("fast table")),
+        Tuple1(graft.embed.HashEmbedder.embedLocal("merge scan")))
+      .toDF("qvec")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sims = corpus.crossJoin(broadcast(qvecs))
+        .select(col("id"),
+          VectorFunctions.cosine(col("vector"), col("qvec")).as("sim"))
+        .groupBy(col("id")).agg(max(col("sim")).as("sim"))
+      assert(shufflesOverBucketedScan(sims.queryExecution.executedPlan) == 0,
+        "groupBy(id) over the bucketed vector scan should not reshuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bm25 probe joins read postings/doc_stats without an Exchange") {
     val idx0 = Bm25.buildIndex(
       Bm25.postings(docs, "doc_id", TextFunctions.tokens(col("text"))))
