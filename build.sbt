@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver TAIL-captures `sbt runMain graft.Bench` stdout and
+// json-parses the last line. Two sbt behaviors broke that for three
+// rounds ("parsed": null): the forked process's output is re-logged
+// with an "[info] " prefix, and a "[success] Total time" banner prints
+// after the program's last line. Route forked output straight to
+// stdout and drop the banner so the bench's final JSON line IS the
+// final line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -60,7 +60,16 @@ object Bench {
       // postings, IVF layouts) build lazily on first touch, and that
       // one-time ingest work must not contaminate the timed probe runs.
       // SPARK_GRAFT_WARMUP_RUNS=0 disables.
-      if (!sys.env.get("SPARK_GRAFT_WARMUP_RUNS").contains("0")) once(fn)
+      val warmErr: Option[String] =
+        if (!sys.env.get("SPARK_GRAFT_WARMUP_RUNS").contains("0"))
+          once(fn)._2
+        else None
+      // a warmup-only failure (first-touch registry/seed build crash)
+      // must be VISIBLE: the timed runs may then measure or reuse
+      // partial state — log it and carry it into the errors map even
+      // when the timed runs succeed (ADVICE r8)
+      warmErr.foreach(e =>
+        System.err.println(s"[bench] $name WARMUP FAILED: $e"))
       val runs = Seq(once(fn), once(fn), once(fn))
       val median = runs.map(_._1).sorted.apply(1)
       // the min distinguishes host-load contamination (median >> min)
@@ -68,6 +77,7 @@ object Bench {
       // of load-skewed driver numbers motivated recording it
       val minT = runs.map(_._1).min
       val err = runs.flatMap(_._2).headOption
+        .orElse(warmErr.map("warmup-only: " + _))
       err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
       (name, median, minT, err)
     }
@@ -82,32 +92,46 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // Scale-stress recording (SPARK_GRAFT_STRESS=0 disables): the seven
+    // Scale-stress recording (SPARK_GRAFT_STRESS=0 disables): the
     // heaviest operator families at two sizes 10× apart, so the round
     // artifact captures wall-time GROWTH, not just absolute speed.
     // Kept OUT of "total"/"queries" — it measures scaling, not the
     // per-query baseline comparison.
-    val stress =
+    //
+    // Runs in a FRESH CHILD JVM by default (SPARK_GRAFT_STRESS_FORK=0
+    // falls back in-process): round 8 recorded x3_d3 6× / an x3>x30
+    // inversion with stress code UNCHANGED — the 224-gate bench's
+    // accumulated heap/GC/codegen state contaminated the first stress
+    // points even under warmup + min-of-2. A child JVM (same flags,
+    // same classpath, inherited env) measures stress from a clean heap.
+    val stressPairs: Either[String, Seq[(String, Double)]] =
       if (sys.env.get("SPARK_GRAFT_STRESS").contains("0"))
-        """{"skipped":"SPARK_GRAFT_STRESS=0"}"""
-      else if (only.nonEmpty) """{"skipped":"SPARK_GRAFT_ONLY set"}"""
+        Left("SPARK_GRAFT_STRESS=0")
+      else if (only.nonEmpty) Left("SPARK_GRAFT_ONLY set")
+      else if (!sys.env.get("SPARK_GRAFT_STRESS_FORK").contains("0"))
+        Stress.forkJson(Seq("--json"))
       else {
         // drop the gate queries' persisted caches (dedup/IVF/ancestry
         // indexes) first: stress builds its own corpora, and measuring
         // it against a memory-starved session inflates variance
         spark.catalog.clearCache()
-        // a stress failure must be VISIBLE in the artifact — an empty
-        // {} here once read as "stress silently not recorded" in a
-        // committed round artifact
-        try Stress.runDefault(spark)
-          .map { case (k, v) => "\"" + k + "\":" + j3(v) }
-          .mkString("{", ",", "}")
+        try Right(Stress.runDefault(spark))
         catch { case e: Throwable =>
-          val msg = e.toString.replaceAll("\\s+", " ").take(160)
-          System.err.println(s"[bench] stress failed: $msg")
-          s"""{"error":${jstr(msg)}}"""
+          Left(e.toString.replaceAll("\\s+", " ").take(160))
         }
       }
+    // a stress failure must be VISIBLE in the artifact — an empty {}
+    // here once read as "stress silently not recorded" in a committed
+    // round artifact
+    stressPairs.left.foreach(msg =>
+      System.err.println(s"[bench] stress not recorded: $msg"))
+    val stress = stressPairs match {
+      case Right(ps) => ps.map { case (k, v) => "\"" + k + "\":" + j3(v) }
+        .mkString("{", ",", "}")
+      case Left(msg) if msg.startsWith("SPARK_GRAFT") =>
+        s"""{"skipped":${jstr(msg)}}"""
+      case Left(msg) => s"""{"error":${jstr(msg)}}"""
+    }
 
     // Per-gate regression guard against the COMMITTED snapshot
     // (BENCH_SNAPSHOT.json, sum-of-min per gate): a gate whose min grew
@@ -123,7 +147,12 @@ object Bench {
         "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    val regressions = results.flatMap { case (k, _, m, _) =>
+    // gate mins AND stress rows both face the guard (r8's blind spot:
+    // three stress rows regressed 3-6× and nothing flagged it)
+    val guarded: Seq[(String, Double)] =
+      results.map { case (k, _, m, _) => (k, m) } ++
+        stressPairs.getOrElse(Seq.empty)
+    val regressions = guarded.flatMap { case (k, m) =>
       snapshot.get(k).collect {
         case prev if prev > 0 && m > prev * 1.5 && m > prev + 0.3 =>
           (k, prev, m)
@@ -143,25 +172,28 @@ object Bench {
     // SPARK_GRAFT_WRITE_SNAPSHOT=1, full (non-filtered) runs only
     if (sys.env.get("SPARK_GRAFT_WRITE_SNAPSHOT").contains("1") &&
         only.isEmpty) {
-      val snap = results.map { case (k, _, m, _) => "\"" + k + "\":" + j3(m) }
+      val snap = guarded.map { case (k, m) => "\"" + k + "\":" + j3(m) }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(snapPath),
         (snap + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] wrote snapshot ${results.size} gates -> $snapPath")
+      System.err.println(
+        s"[bench] wrote snapshot ${guarded.size} rows -> $snapPath")
     }
 
     val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"sf":"$sfDir"}"""
-    // The driver TAIL-captures the bench log, so only the END of the
-    // output reliably survives; a >8 KB full line with the compact
-    // recap before it still lost its head in rounds 6 AND 7
-    // ("parsed": null, mid-map tail). Print the compact recap BOTH
-    // before and after the full line — whichever direction the capture
-    // truncates, a complete parseable headline line survives — and
-    // keep the full maps in BENCH_LOCAL.json regardless.
+    // The driver TAIL-captures the last ~2 KB of the bench log, then
+    // tries to json-parse a line — so the LAST stdout line must be (a)
+    // pure JSON from column 0 (r8's "parsed": null: sbt's forked-run
+    // logger prefixed every line with "[info] " — killed in build.sbt
+    // via outputStrategy/showSuccess), (b) short enough to survive the
+    // window whole, and (c) shaped like the driver contract
+    // ("metric":"total" with a "queries" map — truncated to the top
+    // 30, flagged, full maps in BENCH_LOCAL.json). Printed before AND
+    // after the full line so either truncation direction keeps one.
     val slow = results.sortBy(-_._2).take(30)
       .map { case (k, v, _, _) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"total_compact","value":${j3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"top30":$slow,"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"sf":"$sfDir"}"""
     println(compactLine)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(

@@ -192,16 +192,16 @@ object Stress {
     }
   }
 
-  /** ep1 family: chunk→doc mean pooling — posexplode ×64 dims, one
-    * map-side-combinable (group, dim) integer aggregate, per-doc
-    * assembly bounded by the dimension.
+  /** ep1 family: chunk→doc mean pooling — 64 per-dim aggregate columns
+    * in ONE group-keyed map-side-combinable aggregate (no row
+    * explosion, single Exchange).
     */
   def poolStress(spark: SparkSession, n: Long): (Double, Long) = {
     val groups = math.max(1L, n / 12L)
     val emb = synthEmbeddings(spark, n)
       .select((col("vec_id") % groups).as("doc"), col("embedding"))
     timed {
-      graft.embed.Pooling.meanPool(emb, "doc", "embedding").count()
+      graft.embed.Pooling.meanPool(emb, "doc", "embedding", 64).count()
     }
   }
 
@@ -395,8 +395,55 @@ object Stress {
     * working set: 5k docs / 2k embeddings / 10k graph nodes / 2k chunks
     * per unit factor). Returns flat metric → seconds.
     */
-  /** Manual runner: `runMain graft.Stress [factors...]`. */
+  /** Launch the stress harness in a FRESH child JVM (same flags, same
+    * classpath, inherited env) and parse its `[stress-json]` line.
+    * Bench uses this so stress measurements start from a clean heap —
+    * round 8 recorded x3_d3 6× / an x3>x30 inversion with stress code
+    * unchanged, pure contamination from the 224-gate bench's
+    * accumulated heap/GC/codegen state.
+    */
+  def forkJson(args: Seq[String]): Either[String, Seq[(String, Double)]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Stress") ++
+        args
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      // drain stdout fully BEFORE waitFor (pipe-buffer deadlock)
+      val out = scala.io.Source
+        .fromInputStream(p.getInputStream, "UTF-8").getLines().toList
+      val rc = p.waitFor()
+      out.find(_.startsWith("[stress-json] ")) match {
+        case Some(line) if rc == 0 =>
+          Right("\"([^\"]+)\":(-?[0-9.]+)".r
+            .findAllMatchIn(line.stripPrefix("[stress-json] "))
+            .map(m => m.group(1) -> m.group(2).toDouble).toSeq)
+        case _ => Left(s"stress child rc=$rc, no [stress-json] line")
+      }
+    } catch { case e: Throwable =>
+      Left(("stress fork failed: " +
+        e.toString.replaceAll("\\s+", " ")).take(160))
+    }
+
+  /** Manual runner: `runMain graft.Stress [--json] [factors...]`.
+    * `--json` additionally prints one machine-readable line
+    * (`[stress-json] {...}`) — the contract Bench's fresh-JVM stress
+    * fork parses. `--fork-smoke` exercises the fork machinery itself
+    * at factor 1 and prints the parsed result.
+    */
   def main(args: Array[String]): Unit = {
+    if (args.contains("--fork-smoke")) {
+      println("[fork-smoke] " + forkJson(Seq("--json", "1")))
+      return
+    }
+    val json = args.contains("--json")
+    val factors = args.filterNot(_ == "--json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -407,9 +454,16 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val res =
-      if (args.nonEmpty) run(spark, args.toSeq.map(_.toInt))
+      if (factors.nonEmpty) run(spark, factors.toSeq.map(_.toInt))
       else runDefault(spark)
     res.foreach { case (k, v) => println(f"[stress] $k%-22s $v%8.2f s") }
+    if (json) {
+      def j3(v: Double): String =
+        "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      println("[stress-json] " + res
+        .map { case (k, v) => "\"" + k + "\":" + j3(v) }
+        .mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 

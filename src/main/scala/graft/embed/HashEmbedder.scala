@@ -133,9 +133,17 @@ object HashEmbedder {
       graft.index.IndexStore.overwriteSafe(spark, newRows, cachePath)
     // after the swap every requested row is a cache hit; serve the result
     // from the fresh listing — a pre-swap `hits` plan would hold the old
-    // (deleted) file list
+    // (deleted) file list. Defensive dedup (ADVICE r8): append mode no
+    // longer carries the staging+swap uniqueness guarantee, so a failed/
+    // retried or concurrent run can leave duplicate shas in the store —
+    // and every stored vector for one sha is identical (deterministic
+    // featurizer of the text the sha names), so any-per-id is exact,
+    // not a choice among variants. Dedup the REQUEST-sized join output
+    // by id — never the corpus-sized cache (that would be a full-cache
+    // shuffle on every serve).
     spark.catalog.refreshByPath(cachePath)
     keyed.join(spark.read.parquet(cachePath), Seq("content_sha"))
       .select(col("id"), col("vector"))
+      .dropDuplicates("id")
   }
 }

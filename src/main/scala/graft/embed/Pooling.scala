@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   * from exact integers, so the pooled vector is bit-identical to the
   * DuckDB mirror.
   *
-  * Scale shape (100 TB): one map-side-combinable aggregate keyed by
-  * (group, dim) — rows explode ×dim but carry two longs each, partial
-  * aggregation collapses them before the shuffle, and no join is
-  * needed (the chunk count rides along as count(*) inside the same
-  * group). The final per-group assembly groups dim rows per doc —
-  * bounded by the dimension, never by corpus size.
+  * Scale shape (100 TB): ONE map-side-combinable aggregate keyed by
+  * the group alone — `dim` per-component `sum` columns (the same
+  * shape as the minhash signature aggregate: 64 aggregate columns, no
+  * row explosion), so each input row contributes dim longs to its
+  * partition-local partial and exactly one combined row per group
+  * crosses the single Exchange. No posexplode (×dim row blow-up), no
+  * second shuffle for re-assembly — the pooled array is built from
+  * the aggregate columns in the same projection.
   */
 object Pooling {
 
@@ -30,20 +32,24 @@ object Pooling {
 
   /** One row per group: (grp, n_chunks, embedding float[dim]) where
     * embedding[i] = float(sum(floor(e_i * 1e6)) / (n_chunks * 1e6)).
+    * `dim` is the fixed vector width (vectors shorter than `dim` would
+    * contribute nulls and are a caller error — VectorQc gates width
+    * upstream).
     */
-  def meanPool(chunks: DataFrame, groupCol: String, vecCol: String): DataFrame =
+  def meanPool(chunks: DataFrame, groupCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    val sumCols = (0 until dim).map { i =>
+      sum(floor(element_at(col(vecCol), i + 1).cast("double") * QuantScale)
+        .cast("long")).as(s"s$i")
+    }
     chunks
-      .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "e")))
-      .withColumn("q",
-        floor(col("e").cast("double") * QuantScale).cast("long"))
-      .groupBy(col("grp"), col("pos"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n_chunks"))
-      .withColumn("v",
-        (col("sq").cast("double") / (col("n_chunks") * QuantScale)).cast("float"))
-      .groupBy(col("grp"), col("n_chunks"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("embedding"))
-      .select(col("grp"), col("n_chunks"), col("embedding"))
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_chunks"), sumCols: _*)
+      .select(col("grp"), col("n_chunks"),
+        array((0 until dim).map(i =>
+          (col(s"s$i").cast("double") / (col("n_chunks") * QuantScale))
+            .cast("float")): _*).as("embedding"))
+  }
 
   /** DuckDB mirror of `meanPool` as a CTE chain ending in
     * `pooled(grp, n_chunks, embedding)`. `src` must provide (grp,

@@ -1156,7 +1156,7 @@ object TextDedupPack {
     "ep1_doc_pooling" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select((col("vec_id") % PoolGroups).as("doc"), col("embedding"))
-      val pooled = graft.embed.Pooling.meanPool(emb, "doc", "embedding").cache()
+      val pooled = graft.embed.Pooling.meanPool(emb, "doc", "embedding", 64).cache()
       val q = pooled.filter(col("grp").isin(0L, 1L, 2L))
         .select(col("grp").as("qid"), col("embedding").as("qvec"))
       Knn.bruteForceTopK(pooled, "grp", "embedding", q, "qid", "qvec", 10)

@@ -14,7 +14,7 @@ class PoolingSpec extends SparkSpec {
   ).toDF("doc", "embedding")
 
   test("mean pool averages components and counts chunks") {
-    val got = Pooling.meanPool(chunks, "doc", "embedding").collect()
+    val got = Pooling.meanPool(chunks, "doc", "embedding", 3).collect()
       .map(r => r.getAs[Long]("grp") ->
         ((r.getAs[Long]("n_chunks"),
           r.getSeq[Float](r.fieldIndex("embedding")).toSeq))).toMap
@@ -27,12 +27,22 @@ class PoolingSpec extends SparkSpec {
   }
 
   test("pooled vector is independent of row order and partitioning") {
-    val base = Pooling.meanPool(chunks, "doc", "embedding")
+    val base = Pooling.meanPool(chunks, "doc", "embedding", 3)
       .orderBy("grp").collect().toSeq
     val shuffled = Pooling.meanPool(
-        chunks.orderBy(rand(7)).repartition(13), "doc", "embedding")
+        chunks.orderBy(rand(7)).repartition(13), "doc", "embedding", 3)
       .orderBy("grp").collect().toSeq
     assert(base == shuffled)
+  }
+
+  test("meanPool plan: no row explosion, single group-keyed exchange") {
+    // the scale contract (VERDICT r8 #1): per-dim aggregate columns in
+    // ONE groupBy — no posexplode Generate node, exactly one shuffle
+    val plan = Pooling.meanPool(chunks, "doc", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
   test("quantization floors toward negative infinity like the oracle") {
@@ -40,7 +50,7 @@ class PoolingSpec extends SparkSpec {
     // -300000 or -300001 depending on the float's true value — assert
     // the engine agrees with itself under a 1-chunk group (mean = q/1e6)
     val one = Seq((9L, Seq(-0.3f))).toDF("doc", "embedding")
-    val v = Pooling.meanPool(one, "doc", "embedding")
+    val v = Pooling.meanPool(one, "doc", "embedding", 1)
       .select(element_at(col("embedding"), 1)).as[Float].head()
     val q = math.floor((-0.3f).toDouble * 1e6)
     assert(v == (q / 1e6).toFloat)

@@ -62,6 +62,65 @@ class SemanticRouteSpec extends SparkSpec {
     assert(flagged(viaIvf) === flagged(viaBroadcast))
   }
 
+  test("route override and benchCount hint drive the route (ADVICE r8)") {
+    val bench = (0L until 40L).map(i =>
+      (i, Array(1.0f + i * 0.01f, 0.2f * (i % 3), 0.5f, 0.1f)))
+      .toDF("bid", "bvec")
+    val corpus = (100L until 160L).map(j =>
+      (j, Array(1.0f + (j % 40) * 0.01f, 0.2f * (j % 3), 0.5f, 0.1f)))
+      .toDF("cid", "cvec")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    // exact FORCED below a zero limit: no cluster probe in the plan —
+    // the explicit way to demand exactness without raising the limit
+    val exact = Decontaminate.semanticContaminated(
+      corpus, "cid", "cvec", bench, "bid", "bvec", tau = 0.999,
+      benchBroadcastLimit = 0L, route = "exact")
+    assert(!planOf(exact).contains("cluster_id"))
+    // ivf FORCED on a tiny bench: cluster probe present
+    val ivf = Decontaminate.semanticContaminated(
+      corpus, "cid", "cvec", bench, "bid", "bvec", tau = 0.999,
+      route = "ivf")
+    assert(planOf(ivf).contains("cluster_id"))
+    // auto + benchCount hint: the hint (not an executed count job)
+    // drives the choice — a huge claimed bench routes to IVF even
+    // though the actual bench is 40 rows
+    val hinted = Decontaminate.semanticContaminated(
+      corpus, "cid", "cvec", bench, "bid", "bvec", tau = 0.999,
+      benchCount = Some(Decontaminate.BenchBroadcastLimit + 1))
+    assert(planOf(hinted).contains("cluster_id"))
+    // one contract: all routes agree on the degenerate 1-cluster bench
+    assert(flagged(exact).nonEmpty)
+    assert(flagged(exact) === flagged(ivf))
+    assert(flagged(exact) === flagged(hinted))
+    intercept[IllegalArgumentException] {
+      Decontaminate.semanticContaminated(
+        corpus, "cid", "cvec", bench, "bid", "bvec", tau = 0.999,
+        route = "bogus")
+    }
+  }
+
+  test("auto-route bench count is memoized per bench plan (VERDICT r8 #6)") {
+    Decontaminate.benchCountMemoClear()
+    val bench = (0L until 10L).map(i =>
+      (i, Array(1.0f, 0.0f, 0.0f, 0.1f * i))).toDF("bid", "bvec")
+    val corpus = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    Decontaminate.semanticContaminated(
+      corpus, "cid", "cvec", bench, "bid", "bvec", tau = 0.999).collect()
+    assert(Decontaminate.benchCountMemoSize === 1)
+    // second call over the SAME bench: no new memo entry (stable route,
+    // no second sizing job)
+    Decontaminate.semanticContaminated(
+      corpus, "cid", "cvec", bench, "bid", "bvec", tau = 0.9).collect()
+    assert(Decontaminate.benchCountMemoSize === 1)
+    // a DIFFERENT bench gets its own entry
+    Decontaminate.semanticContaminated(
+      corpus, "cid", "cvec", bench.limit(5), "bid", "bvec",
+      tau = 0.9).collect()
+    assert(Decontaminate.benchCountMemoSize === 2)
+  }
+
   test("an injected (persisted-style) index forces the IVF route") {
     val bench = (0L until 30L).map(i =>
       (i, Array((i % 5).toFloat, 1.0f, 0.0f, 0.0f))).toDF("bid", "bvec")
