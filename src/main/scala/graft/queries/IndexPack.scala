@@ -69,11 +69,38 @@ object IndexPack {
   private val ksSql =
     "ks AS (SELECT DISTINCT CAST(doc_id % 60 AS INTEGER) AS k FROM documents)"
 
-  /** st1's per-JVM seed registry: residue keys of the seeded workspace,
+  /** st1's per-JVM seed registry: residue keys of the seeded workspace
+    * plus a (relative path → byte size) manifest of the seed snapshot,
     * present once the seed index + snapshot exist for a corpus dir.
+    * The manifest lets every restore VERIFY the on-disk seed is intact
+    * (VERDICT r8 #9): /tmp is shared mutable state, and restoring from
+    * a corrupted/partially-deleted snapshot would gate against a torn
+    * index instead of failing loudly — on mismatch the entry is
+    * evicted and the seed rebuilt from the corpus.
     */
-  private val st1SeedCache =
-    scala.collection.concurrent.TrieMap[String, Array[Int]]()
+  private val st1SeedCache = scala.collection.concurrent
+    .TrieMap[String, (Array[Int], Map[String, Long])]()
+
+  /** (relative path → size) of every regular file under `base`'s seed
+    * snapshot dirs — the integrity manifest.
+    */
+  private def st1Manifest(base: String): Map[String, Long] = {
+    val b = java.nio.file.Path.of(base)
+    Seq("seed_chunks", "seed_vectors").flatMap { dir =>
+      val p = b.resolve(dir)
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+      else {
+        val st = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => b.relativize(f).toString ->
+              java.nio.file.Files.size(f)).toList
+        } finally st.close()
+      }
+    }.toMap
+  }
 
   private[queries] def st1V1(k: Int) = s"def fn_$k(x):\n    return x + $k\n"
   private[queries] def st1V2(k: Int) =
@@ -89,7 +116,7 @@ object IndexPack {
     def put(name: String, text: String): Unit =
       java.nio.file.Files.writeString(
         java.nio.file.Path.of(s"$base/ws/$name"), text)
-    val ks = st1SeedCache.getOrElseUpdate(d, {
+    def seed(): (Array[Int], Map[String, Long]) = {
       rmTree(new java.io.File(base))
       new java.io.File(s"$base/ws").mkdirs()
       import s.implicits._
@@ -101,8 +128,21 @@ object IndexPack {
         s"$base/ws", s"$base/chunks", s"$base/vectors")
       copyTree(s"$base/chunks", s"$base/seed_chunks")
       copyTree(s"$base/vectors", s"$base/seed_vectors")
-      ks0
-    })
+      (ks0, st1Manifest(base))
+    }
+    val (ks, _) = st1SeedCache.get(d) match {
+      case Some(entry) if st1Manifest(base) == entry._2 => entry
+      case cached =>
+        // first touch this JVM, or the snapshot on disk no longer
+        // matches the manifest (deleted/truncated/foreign files):
+        // re-seed rather than restore a torn snapshot
+        if (cached.isDefined)
+          System.err.println(
+            s"[st1] seed snapshot at $base failed integrity check; re-seeding")
+        val fresh = seed()
+        st1SeedCache.put(d, fresh)
+        fresh
+    }
     rmTree(new java.io.File(s"$base/ws"))
     new java.io.File(s"$base/ws").mkdirs()
     ks.foreach(k => put(s"w$k.py", st1V1(k)))
@@ -192,7 +232,7 @@ object IndexPack {
       // seed ONCE per corpus per JVM (the registry pattern): the seed
       // index is per-corpus INGEST work; the gate times the streamed
       // MAINTENANCE from a restored pristine state every run.
-      val (base, _) = st1Restore(s, d)
+      val (base, ks) = st1Restore(s, d)
       val chunksPath = s"$base/chunks"
       val vectorsPath = s"$base/vectors"
       def v1(k: Int) = st1V1(k)
@@ -204,24 +244,33 @@ object IndexPack {
         graft.streaming.WatchStream.FileEvent(s"$base/ws/$p", t,
           new java.sql.Timestamp(ms),
           if (dest == null) null else s"$base/ws/$dest")
+      // mutations of SEEDED files are guarded on the residue set
+      // (ADVICE r8): the oracle mirrors these via membership tests, so
+      // a corpus whose doc_id%24 misses a residue must skip the
+      // mutation, not crash on the missing file
+      val has = ks.toSet
       // micro-batch 1
-      put("w1.py", v2(1)); put("w100.py", v1(100))
-      rmTree(new java.io.File(s"$base/ws/w2.py"))
-      graft.streaming.WatchStream.applyBatch(s, Seq(
-          ev("w1.py", "modified", 1), ev("w100.py", "created", 2),
-          ev("w2.py", "modified", 3), ev("w2.py", "deleted", 4)).toDF(),
+      if (has(1)) put("w1.py", v2(1))
+      put("w100.py", v1(100))
+      if (has(2)) rmTree(new java.io.File(s"$base/ws/w2.py"))
+      graft.streaming.WatchStream.applyBatch(s, (
+          (if (has(1)) Seq(ev("w1.py", "modified", 1)) else Seq.empty) ++
+          Seq(ev("w100.py", "created", 2)) ++
+          (if (has(2)) Seq(ev("w2.py", "modified", 3),
+            ev("w2.py", "deleted", 4)) else Seq.empty)).toDF(),
         chunksPath, vectorsPath)
       // micro-batch 2
-      java.nio.file.Files.move(
+      if (has(3)) java.nio.file.Files.move(
         java.nio.file.Path.of(s"$base/ws/w3.py"),
         java.nio.file.Path.of(s"$base/ws/m3.py"))
-      rmTree(new java.io.File(s"$base/ws/w4.py"))
+      if (has(4)) rmTree(new java.io.File(s"$base/ws/w4.py"))
       put("w100.py", v2(100)); put("w101.py", v1(101))
-      graft.streaming.WatchStream.applyBatch(s, Seq(
-          ev("w3.py", "moved", 10, dest = "m3.py"),
-          ev("w4.py", "deleted", 11),
-          ev("w100.py", "modified", 12),
-          ev("w101.py", "created", 13)).toDF(),
+      graft.streaming.WatchStream.applyBatch(s, (
+          (if (has(3)) Seq(ev("w3.py", "moved", 10, dest = "m3.py"))
+           else Seq.empty) ++
+          (if (has(4)) Seq(ev("w4.py", "deleted", 11)) else Seq.empty) ++
+          Seq(ev("w100.py", "modified", 12),
+            ev("w101.py", "created", 13))).toDF(),
         chunksPath, vectorsPath)
       val rel = regexp_extract(col("file_path"), "([^/]+)$", 1)
       val ch = s.read.parquet(chunksPath).select(lit("C").as("kind"),
@@ -243,15 +292,19 @@ object IndexPack {
     // whether to auto-reindex: changed/new files (w1, w100, w101 and
     // the move DESTINATION m3) and vanished store paths (w2, w3, w4).
     "st4_staleness_probe" -> ((s, d) => {
-      val (base, _) = st1Restore(s, d)
+      val (base, ks) = st1Restore(s, d)
       def put(name: String, text: String): Unit =
         java.nio.file.Files.writeString(
           java.nio.file.Path.of(s"$base/ws/$name"), text)
-      put("w1.py", st1V2(1)); put("w100.py", st1V1(100))
+      // seeded-file mutations guarded on the residue set (ADVICE r8,
+      // same membership conditions as the oracle)
+      val has = ks.toSet
+      if (has(1)) put("w1.py", st1V2(1))
+      put("w100.py", st1V1(100))
       put("w101.py", st1V1(101))
-      rmTree(new java.io.File(s"$base/ws/w2.py"))
-      rmTree(new java.io.File(s"$base/ws/w4.py"))
-      java.nio.file.Files.move(
+      if (has(2)) rmTree(new java.io.File(s"$base/ws/w2.py"))
+      if (has(4)) rmTree(new java.io.File(s"$base/ws/w4.py"))
+      if (has(3)) java.nio.file.Files.move(
         java.nio.file.Path.of(s"$base/ws/w3.py"),
         java.nio.file.Path.of(s"$base/ws/m3.py"))
       val disk = graft.ingest.FileDiscovery.discover(s, s"$base/ws").toDF()

@@ -69,6 +69,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st1 gate: corrupted seed snapshot is detected and re-seeded") {
+    // VERDICT r8 #9: /tmp is shared mutable state — a deleted seed file
+    // must trigger a rebuild, never a silent gate against a torn
+    // snapshot. Run the real gate, vandalize the snapshot, run again:
+    // no crash, identical result.
+    val d = "/root/testdata/sf0.001"
+    val q = graft.queries.IndexPack.queries("st1_stream_reindex")
+    val first = q(spark, d).collect().map(_.toString).sorted
+    val h = java.lang.Long.toHexString(
+      graft.functions.PortableHash.hash60Local("st1", d))
+    val seedDir = Path.of(s"/tmp/graft_st1_$h/seed_chunks")
+    val victim = {
+      val st = Files.walk(seedDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.find(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).get
+      } finally st.close()
+    }
+    Files.delete(victim)
+    val second = q(spark, d).collect().map(_.toString).sorted
+    assert(first.nonEmpty)
+    assert(first === second)
+  }
+
   test("stale file count for search-triggered reindex") {
     withTempDir { dir =>
       val repo = dir.resolve("repo"); Files.createDirectories(repo)
