@@ -657,14 +657,39 @@ object Chunker {
     * by every decl-based language family: comment lines and dangling
     * `)`/`]` continuation closers never close a scope.
     */
+  /** Keywords that end in a bare `:` but are control flow, not labels
+    * (a python `else:`/`except:` at module indent legitimately closes a
+    * def scope; a C `done:` goto label inside a function must not).
+    */
+  private val NotLabels = Set("else", "try", "except", "finally",
+    "case", "default", "match", "do")
+  private val LabelLine = """^[A-Za-z_]\w*:$""".r
+
   private def dropFunctionNested(lines: Array[String], decls: Seq[Decl],
       isComment: String => Boolean): Seq[Decl] = {
     val declAt = decls.map(d => d.line -> d).toMap
     var open = List.empty[Decl]
     val nested = scala.collection.mutable.Set[Int]()
+    // unclosed (/[ balance carried across lines: a line INSIDE a paren
+    // continuation (wrapped arg lists, multi-line signatures, callback
+    // arguments) is expression interior — it must neither close an
+    // open scope nor register a decl, whatever its column (ADVICE r8:
+    // column-0 continuation args were ending scopes early). Strings /
+    // regex literals can fake an unclosed paren, so the skip is capped
+    // — a phantom continuation surrenders after 50 lines instead of
+    // suppressing scope tracking for the rest of the file.
+    def bal(s: String) =
+      s.count(c => c == '(' || c == '[') - s.count(c => c == ')' || c == ']')
+    var contOpen = 0
+    var contLines = 0
     lines.zipWithIndex.foreach { case (l, i) =>
       val t = l.trim
-      if (t.nonEmpty && !isComment(t) &&
+      val inContinuation = contOpen > 0 && contLines < 50
+      // a goto/switch-style label (`done:`) is function INTERIOR even
+      // at column 0 — it never closes a scope (ADVICE r8)
+      val isLabel =
+        LabelLine.matches(t) && !NotLabels.contains(t.dropRight(1))
+      if (t.nonEmpty && !isComment(t) && !inContinuation && !isLabel &&
           !t.startsWith(")") && !t.startsWith("]")) {
         val ind = declAt.get(i).map(_.indent)
           .getOrElse(l.takeWhile(_.isWhitespace).length)
@@ -673,6 +698,14 @@ object Chunker {
           if (open.exists(_.kind == "function")) nested += i
           open = d :: open
         }
+      } else if (inContinuation && declAt.contains(i))
+        // a decl-looking line INSIDE a continuation is a function
+        // expression in argument position — the reference only
+        // extracts declaration/declarator forms, never call arguments
+        nested += i
+      if (!isComment(t)) {
+        contOpen = math.max(0, contOpen + bal(l))
+        contLines = if (contOpen == 0) 0 else contLines + 1
       }
     }
     decls.filterNot(d => nested.contains(d.line))

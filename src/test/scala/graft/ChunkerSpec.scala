@@ -40,6 +40,128 @@ class ChunkerSpec extends AnyFunSuite {
     assert(byName("Widget").chunk_type == "class")
   }
 
+  test("js: reference Counter fixture — arrows in expressions and " +
+      "callback-nested decls are not chunks (tests/test_js_parser.py)") {
+    // ported from the reference's JS parser suite: `increment` (an
+    // arrow nested inside Counter) and the `item => ...` callback are
+    // never chunks — the traversal extracts Counter/fetchData/
+    // calculateArea/DataProcessor(+methods) and does not recurse into
+    // extracted functions (javascript.py:171-174, 249-256: anonymous
+    // arrows return [] and still stop recursion)
+    val f = rec("/repo/counter.js", "javascript", Seq(
+      "function Counter(props) {",
+      "    const [count, setCount] = useState(0);",
+      "",
+      "    const increment = () => {",
+      "        setCount(count + 1);",
+      "    };",
+      "",
+      "    return count;",
+      "}",
+      "",
+      "class DataProcessor {",
+      "    addItem(item) {",
+      "        this.data.push(item);",
+      "    }",
+      "    processAll() {",
+      "        return this.data.map(item => item.toString().toUpperCase());",
+      "    }",
+      "}",
+      "",
+      "const calculateArea = (radius) => {",
+      "    return Math.PI * radius * radius;",
+      "};",
+      "",
+      "async function fetchData(url) {",
+      "    return await fetch(url);",
+      "}",
+      "").mkString("\n"))
+    val names = Chunker.chunkFile(f).map(_.name).toSet
+    assert(names == Set("Counter", "DataProcessor", "addItem",
+      "processAll", "calculateArea", "fetchData"))
+  }
+
+  test("js: decls in argument position / callback bodies are suppressed") {
+    // expression interior: a function expression passed as a call
+    // argument, and a named function declared inside a multi-line
+    // callback, are both unreachable to the reference's traversal
+    val f = rec("/repo/cb.js", "javascript", Seq(
+      "function outer() {",
+      "  register(",
+      "    function helper() { return 1; }",  // argument position
+      "  );",
+      "}",
+      "",
+      "items.forEach((item) => {",
+      "  function inner(x) {",                // inside callback body
+      "    return x;",
+      "  }",
+      "  inner(item);",
+      "});",
+      "",
+      "function after() { return 2; }",
+      "").mkString("\n"))
+    val names = Chunker.chunkFile(f).map(_.name).toSet
+    assert(names == Set("outer", "after"))
+  }
+
+  test("c-style: goto labels and column-0 continuation args do not end " +
+      "an open function scope") {
+    // ADVICE r8: a column-0 label/continuation line inside a function
+    // body must not close the scope — decls after it are still nested
+    val f = rec("/repo/s.scala", "scala", Seq(
+      "def process(a: Int,",
+      "b: Int): Int = {",                // column-0 continuation arg
+      "  def helper(x: Int) = x + 1",    // nested -> dropped
+      "  helper(a) + b",
+      "}",
+      "",
+      "def standalone(): Int = 7",
+      "").mkString("\n"))
+    val names = Chunker.chunkFile(f).map(_.name).toSet
+    assert(names == Set("process", "standalone"))
+  }
+
+  test("python: lambda assignments are not function chunks") {
+    // the reference only extracts function_definition nodes — a lambda
+    // in an assignment (or any expression) never chunks
+    val f = rec("/repo/lam.py", "python", Seq(
+      "square = lambda x: x * x",
+      "",
+      "def real():",
+      "    return square(2)",
+      "").mkString("\n"))
+    val chunks = Chunker.chunkFile(f)
+    // the assignment statement lands in the module chunk (the
+    // reference's ModuleExtractor emits one for module-level code);
+    // the lambda itself must never be a function chunk
+    assert(chunks.filter(_.chunk_type == "function").map(_.name) ==
+      Seq("real"))
+    assert(!chunks.exists(_.name == "square"))
+  }
+
+  test("python: decorator-wrapped nested def stays inside its function") {
+    // decorated_definition is a plain container to the traversal: a
+    // decorated def nested in a function is still unreachable (the
+    // function never recurses); a decorated module-level def chunks
+    val f = rec("/repo/deco.py", "python", Seq(
+      "def outer():",
+      "    @functools.cache",
+      "    def cached(x):",               // nested (decorated) -> dropped
+      "        return x",
+      "    return cached(1)",
+      "",
+      "@app.route(",
+      "    '/health',",                   // multi-line decorator args
+      ")",
+      "def health():",                    // module-level decorated -> kept
+      "    return 'ok'",
+      "").mkString("\n"))
+    val byName = Chunker.chunkFile(f).map(c => c.name -> c).toMap
+    assert(byName.keySet == Set("outer", "health"))
+    assert(byName("health").chunk_type == "function")
+  }
+
   test("python: indented module-level defs after a function are kept") {
     // a def inside `if TYPE_CHECKING:` / `try:` is module-scope to the
     // tree-sitter traversal even though it is indented and FOLLOWS a
