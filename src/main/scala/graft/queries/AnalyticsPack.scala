@@ -401,7 +401,46 @@ object AnalyticsPack {
         .select(col("dir"), col("file_count"), col("total_chunks"),
           col("depth"), size(map_keys(col("languages"))).as("n_languages"))
         .orderBy(col("dir"))
+    }),
+
+    // viz1: the visualize-command export (graph_builder.py:334-730) —
+    // directory/file/chunk nodes with treemap rollups and quality
+    // metrics, plus containment/hierarchy links, in one uniform frame.
+    // Fixture plants every smell class (Long Method k%9∈{7,8}, God
+    // Class k=6, Too Many Parameters k%8∈{6,7}, Deep Nesting k%6=5,
+    // Complex Method k%13∈{11,12}), the LOC/5 complexity fallback
+    // (k%5=0), class→method hierarchies (k≥30, k%3=0 → parent k-30 in
+    // the same file), and quality-less 'code' chunks (k%3=1).
+    "viz1_graph_export" -> ((s, d) => {
+      graft.analyze.Visualize.graphExport(vizChunks(s, d))
+        .orderBy(col("kind"), col("id"), col("source"), col("target"))
     }))
+
+  /** viz1 fixture: one synthetic chunk per doc_id%60 residue in a
+    * two-level directory tree (k and k+30 share a file, so hierarchy
+    * links resolve in-file).
+    */
+  private def vizChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select((col("doc_id") % 60).cast("int").as("k")).distinct()
+      .select(
+        concat(lit("src/m"), col("k") % 5, lit("/sub"), col("k") % 3,
+          lit("/f"), col("k") % 6, lit(".py")).as("file_path"),
+        concat(lit("t"), col("k")).as("name"),
+        when(col("k") % 3 === 0,
+          when(col("k") < 30, "class").otherwise("method"))
+          .when(col("k") % 3 === 1, "code")
+          .otherwise("function").as("chunk_type"),
+        when(col("k") >= 30 && col("k") % 3 === 0,
+          concat(lit("t"), col("k") - 30)).otherwise("").as("parent_name"),
+        (lit(1) + col("k") % 4).as("start_line"),
+        (lit(1) + col("k") % 4 +
+          when(col("k") === 6, lit(520))
+            .otherwise(lit(5) + (col("k") % 9) * 7) - 1).as("end_line"),
+        when(col("k") % 5 === 0, 0).otherwise(col("k") % 13)
+          .as("complexity"),
+        (col("k") % 8).as("n_params"),
+        (col("k") % 6).as("nesting_depth"))
 
   def oracles: Map[String, String] = Map(
     "a9_halstead" ->
@@ -678,5 +717,174 @@ object AnalyticsPack {
         |  CAST(COUNT(*) AS BIGINT) AS total_chunks,
         |  CAST(len(string_split(dir, '/')) AS INTEGER) AS depth,
         |  CAST(COUNT(DISTINCT language) AS INTEGER) AS n_languages
-        |FROM e GROUP BY dir ORDER BY dir""".stripMargin)
+        |FROM e GROUP BY dir ORDER BY dir""".stripMargin,
+
+    "viz1_graph_export" ->
+      """WITH ks AS (
+        |  SELECT DISTINCT CAST(doc_id % 60 AS INTEGER) AS k FROM documents),
+        |ch AS (SELECT k,
+        |    'src/m' || (k % 5) || '/sub' || (k % 3) || '/f' || (k % 6)
+        |      || '.py' AS file_path,
+        |    't' || k AS name,
+        |    CASE WHEN k % 3 = 0 THEN
+        |        (CASE WHEN k < 30 THEN 'class' ELSE 'method' END)
+        |      WHEN k % 3 = 1 THEN 'code' ELSE 'function' END AS chunk_type,
+        |    CASE WHEN k >= 30 AND k % 3 = 0 THEN 't' || (k - 30)
+        |      ELSE '' END AS parent_name,
+        |    1 + (k % 4) AS start_line,
+        |    CASE WHEN k = 6 THEN 520 ELSE 5 + (k % 9) * 7 END AS loc,
+        |    CASE WHEN k % 5 = 0 THEN 0 ELSE k % 13 END AS complexity,
+        |    k % 8 AS n_params, k % 6 AS nesting_depth
+        |  FROM ks),
+        |chm AS (SELECT *,
+        |    start_line + loc - 1 AS end_line,
+        |    CASE WHEN complexity = 0
+        |      THEN GREATEST(1.0::DOUBLE, loc / 5.0::DOUBLE)
+        |      ELSE CAST(complexity AS DOUBLE) END AS eff,
+        |    list_filter([
+        |      CASE WHEN loc > 50 THEN 'Long Method' END,
+        |      CASE WHEN n_params > 5 THEN 'Too Many Parameters' END,
+        |      CASE WHEN nesting_depth > 4 THEN 'Deep Nesting' END,
+        |      CASE WHEN complexity > 10 THEN 'Complex Method' END,
+        |      CASE WHEN chunk_type = 'class' AND loc > 500
+        |        THEN 'God Class' END], x -> x IS NOT NULL) AS smell_list
+        |  FROM ch),
+        |pfx AS (SELECT file_path, loc,
+        |    array_to_string((string_split(file_path, '/'))[1:i], '/') AS dir
+        |  FROM chm,
+        |    unnest(generate_series(1,
+        |      len(string_split(file_path, '/')) - 1)) AS t(i)),
+        |dirs AS (SELECT dir,
+        |    CAST(COUNT(DISTINCT file_path) AS BIGINT) AS file_count,
+        |    CAST(COUNT(*) AS BIGINT) AS total_chunks,
+        |    CAST(SUM(loc) AS BIGINT) AS total_loc
+        |  FROM pfx GROUP BY dir),
+        |files AS (SELECT file_path,
+        |    CAST(COUNT(*) AS BIGINT) AS chunk_count,
+        |    CAST(SUM(loc) AS BIGINT) AS total_loc
+        |  FROM chm GROUP BY file_path),
+        |dnodes AS (SELECT 'N' AS kind, 'dir:' || dir AS id,
+        |    (string_split(dir, '/'))[-1] AS name,
+        |    'directory' AS node_type,
+        |    CASE WHEN len(string_split(dir, '/')) > 1
+        |      THEN 'dir:' || array_to_string(
+        |        (string_split(dir, '/'))[1:len(string_split(dir, '/')) - 1],
+        |        '/') END AS parent_id,
+        |    dir AS file_path,
+        |    CAST(len(string_split(dir, '/')) AS INTEGER) AS depth,
+        |    CAST(NULL AS INTEGER) AS start_line,
+        |    CAST(NULL AS INTEGER) AS end_line,
+        |    CAST(NULL AS BIGINT) AS lines_of_code,
+        |    CAST(NULL AS DOUBLE) AS complexity,
+        |    CAST(NULL AS DOUBLE) AS quality_score,
+        |    CAST(NULL AS VARCHAR) AS complexity_grade,
+        |    CAST(NULL AS INTEGER) AS smell_count,
+        |    CAST(NULL AS VARCHAR) AS smells,
+        |    CAST(NULL AS BIGINT) AS chunk_count,
+        |    file_count, total_chunks, total_loc,
+        |    CAST(NULL AS VARCHAR) AS source,
+        |    CAST(NULL AS VARCHAR) AS target,
+        |    CAST(NULL AS VARCHAR) AS link_type
+        |  FROM dirs),
+        |fnodes AS (SELECT 'N' AS kind, 'file:' || file_path AS id,
+        |    (string_split(file_path, '/'))[-1] AS name,
+        |    'file' AS node_type,
+        |    'dir:' || array_to_string((string_split(file_path, '/'))
+        |      [1:len(string_split(file_path, '/')) - 1], '/') AS parent_id,
+        |    file_path,
+        |    CAST(len(string_split(file_path, '/')) - 1 AS INTEGER) AS depth,
+        |    CAST(NULL AS INTEGER) AS start_line,
+        |    CAST(NULL AS INTEGER) AS end_line,
+        |    CAST(NULL AS BIGINT) AS lines_of_code,
+        |    CAST(NULL AS DOUBLE) AS complexity,
+        |    CAST(NULL AS DOUBLE) AS quality_score,
+        |    CAST(NULL AS VARCHAR) AS complexity_grade,
+        |    CAST(NULL AS INTEGER) AS smell_count,
+        |    CAST(NULL AS VARCHAR) AS smells,
+        |    chunk_count,
+        |    CAST(NULL AS BIGINT) AS file_count,
+        |    CAST(NULL AS BIGINT) AS total_chunks, total_loc,
+        |    CAST(NULL AS VARCHAR) AS source,
+        |    CAST(NULL AS VARCHAR) AS target,
+        |    CAST(NULL AS VARCHAR) AS link_type
+        |  FROM files),
+        |cnodes AS (SELECT 'N' AS kind,
+        |    'chunk:' || file_path || ':' || name AS id,
+        |    name, chunk_type AS node_type,
+        |    CASE WHEN parent_name <> ''
+        |      THEN 'chunk:' || file_path || ':' || parent_name
+        |      ELSE 'file:' || file_path END AS parent_id,
+        |    file_path,
+        |    CASE WHEN parent_name <> '' THEN 2 ELSE 1 END AS depth,
+        |    start_line, end_line,
+        |    CAST(loc AS BIGINT) AS lines_of_code,
+        |    CASE WHEN chunk_type IN ('function', 'method', 'class')
+        |      THEN round(eff, 4) END AS complexity,
+        |    CASE WHEN chunk_type IN ('function', 'method', 'class')
+        |      THEN round(GREATEST(0.0::DOUBLE,
+        |        GREATEST(0.0::DOUBLE,
+        |          1.0::DOUBLE - LEAST(eff / 50.0::DOUBLE, 1.0::DOUBLE))
+        |        - len(smell_list) * 0.1::DOUBLE), 4) END AS quality_score,
+        |    CASE WHEN chunk_type IN ('function', 'method', 'class') THEN
+        |      (CASE WHEN eff <= 5 THEN 'A' WHEN eff <= 10 THEN 'B'
+        |        WHEN eff <= 20 THEN 'C' WHEN eff <= 50 THEN 'D'
+        |        ELSE 'F' END) END AS complexity_grade,
+        |    CASE WHEN chunk_type IN ('function', 'method', 'class')
+        |      THEN CAST(len(smell_list) AS INTEGER) END AS smell_count,
+        |    CASE WHEN chunk_type IN ('function', 'method', 'class')
+        |      AND len(smell_list) > 0
+        |      THEN array_to_string(smell_list, ',') END AS smells,
+        |    CAST(NULL AS BIGINT) AS chunk_count,
+        |    CAST(NULL AS BIGINT) AS file_count,
+        |    CAST(NULL AS BIGINT) AS total_chunks,
+        |    CAST(NULL AS BIGINT) AS total_loc,
+        |    CAST(NULL AS VARCHAR) AS source,
+        |    CAST(NULL AS VARCHAR) AS target,
+        |    CAST(NULL AS VARCHAR) AS link_type
+        |  FROM chm),
+        |links AS (
+        |  SELECT 'dir:' || array_to_string((string_split(dir, '/'))
+        |      [1:len(string_split(dir, '/')) - 1], '/') AS source,
+        |    'dir:' || dir AS target, 'dir_containment' AS link_type
+        |  FROM dirs WHERE len(string_split(dir, '/')) > 1
+        |  UNION ALL
+        |  SELECT 'dir:' || array_to_string((string_split(file_path, '/'))
+        |      [1:len(string_split(file_path, '/')) - 1], '/') AS source,
+        |    'file:' || file_path AS target, 'dir_containment' AS link_type
+        |  FROM files
+        |  UNION ALL
+        |  SELECT 'file:' || file_path AS source,
+        |    'chunk:' || file_path || ':' || name AS target,
+        |    'file_containment' AS link_type
+        |  FROM chm WHERE parent_name = ''
+        |  UNION ALL
+        |  SELECT 'chunk:' || c.file_path || ':' || c.parent_name AS source,
+        |    'chunk:' || c.file_path || ':' || c.name AS target,
+        |    'chunk_hierarchy' AS link_type
+        |  FROM chm c WHERE c.parent_name <> '' AND EXISTS (
+        |    SELECT 1 FROM chm p
+        |    WHERE p.file_path = c.file_path AND p.name = c.parent_name)),
+        |lrows AS (SELECT 'L' AS kind, CAST(NULL AS VARCHAR) AS id,
+        |    CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS node_type,
+        |    CAST(NULL AS VARCHAR) AS parent_id,
+        |    CAST(NULL AS VARCHAR) AS file_path,
+        |    CAST(NULL AS INTEGER) AS depth,
+        |    CAST(NULL AS INTEGER) AS start_line,
+        |    CAST(NULL AS INTEGER) AS end_line,
+        |    CAST(NULL AS BIGINT) AS lines_of_code,
+        |    CAST(NULL AS DOUBLE) AS complexity,
+        |    CAST(NULL AS DOUBLE) AS quality_score,
+        |    CAST(NULL AS VARCHAR) AS complexity_grade,
+        |    CAST(NULL AS INTEGER) AS smell_count,
+        |    CAST(NULL AS VARCHAR) AS smells,
+        |    CAST(NULL AS BIGINT) AS chunk_count,
+        |    CAST(NULL AS BIGINT) AS file_count,
+        |    CAST(NULL AS BIGINT) AS total_chunks,
+        |    CAST(NULL AS BIGINT) AS total_loc,
+        |    source, target, link_type
+        |  FROM links)
+        |SELECT * FROM (
+        |  SELECT * FROM dnodes UNION ALL SELECT * FROM fnodes
+        |  UNION ALL SELECT * FROM cnodes UNION ALL SELECT * FROM lrows)
+        |ORDER BY kind, id, source, target""".stripMargin)
 }

@@ -121,6 +121,8 @@ object Tools {
     ToolSpec("embed_chunks", "embed indexed chunks' context text",
       Seq(Param("limit", "int"))),
     ToolSpec("analyze_project", "complexity grade distribution", Nil),
+    ToolSpec("visualize_export",
+      "chunk-graph + directory-treemap export (nodes and links)", Nil),
     ToolSpec("analyze_file", "per-chunk metrics for one file",
       Seq(Param("file_path", "string", required = true))),
     ToolSpec("find_smells", "code-smell findings", Nil),
@@ -290,6 +292,16 @@ object Tools {
           "chunk_id", "ctx"))
       case "analyze_project" =>
         Right(Analytics.gradeDistribution(chunks(p)))
+      case "visualize_export" =>
+        // the visualize command's data side (graph_builder.py:334-730):
+        // directory/file/chunk nodes + containment/hierarchy links —
+        // the JSON/HTML exporters are presentation over these rows
+        Right(graft.analyze.Visualize.graphExport(
+          chunks(p).select(col("file_path"), col("name"),
+            col("chunk_type"), col("start_line"), col("end_line"),
+            col("complexity"), size(col("parameters")).as("n_params"),
+            col("nesting_depth"), col("parent_name")))
+          .orderBy(col("kind"), col("id"), col("source"), col("target")))
       case "analyze_file" =>
         Right(chunks(p)
           .filter(col("file_path") === str(args, "file_path").get)

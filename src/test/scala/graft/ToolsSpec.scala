@@ -38,11 +38,12 @@ class ToolsSpec extends SparkSpec {
       "kg_build", "kg_stats", "kg_query", "kg_ontology", "kg_ia",
       "trace_execution_flow", "kg_history", "kg_callers_at_commit",
       "story_generate")
-    // the five engine-extra search modes ride the same dispatch
+    // the five engine-extra search modes ride the same dispatch, plus
+    // the visualize command's export surface (cli/commands/visualize/)
     val extras = Set("search_bm25f", "search_phrase", "search_proximity",
-      "search_boolean", "autocomplete")
+      "search_boolean", "autocomplete", "visualize_export")
     assert(Tools.specs.map(_.name).toSet == expected ++ extras)
-    assert(Tools.specs.size == 32)
+    assert(Tools.specs.size == 33)
   }
 
   test("engine-extra search modes dispatch against the indexed repo") {
@@ -122,6 +123,21 @@ class ToolsSpec extends SparkSpec {
     val perFile = Tools.dispatch(project, "analyze_file",
       Map("file_path" -> anyFile)).toOption.get.collect()
     assert(perFile.nonEmpty)
+    // visualize_export: one frame of nodes + links over the real index
+    val viz = Tools.dispatch(project, "visualize_export").toOption.get
+    val kinds = viz.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.getOrElse("N", 0L) > 0 && kinds.getOrElse("L", 0L) > 0)
+    val types = viz.filter(col("kind") === "N")
+      .select("node_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types.contains("directory") && types.contains("file"))
+    // every link endpoint resolves to a node id (referential integrity)
+    val ids = viz.filter(col("kind") === "N").select(col("id"))
+    val dangling = viz.filter(col("kind") === "L")
+      .select(col("source").as("id")).union(
+        viz.filter(col("kind") === "L").select(col("target").as("id")))
+      .distinct().join(ids, Seq("id"), "left_anti").count()
+    assert(dangling == 0L)
   }
 
   test("llm-seam tools return their evidence data plane") {
@@ -176,7 +192,7 @@ class ToolsSpec extends SparkSpec {
       Map("query" -> "fast", "limit" -> "3",
         "focus_areas" -> Seq("a", "b")))
     val listing = ServeMain.handle(project, "list")
-    assert(listing.size == 32)
+    assert(listing.size == 33)
     assert(listing.exists(_.startsWith("search_code(query*, limit)")))
     assert(listing.exists(l => l.startsWith("review_repository") &&
       l.contains("[llm-seam]")))
