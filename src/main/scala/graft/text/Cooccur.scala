@@ -96,7 +96,10 @@ object Cooccur {
       .filter(col("w") =!= col("p"))
       .groupBy(col("p"), col("w"))
       .agg(sum(col("xp") * col("x")).as("dot"))
-      .join(norms.select(col("w").as("p"), col("n2").as("n2p")), Seq("p"))
+      // probe-side norms are |probes| rows — broadcast them instead of
+      // shuffling the vocabulary-scale norms table for the p join
+      .join(broadcast(norms.filter(col("w").isin(probes: _*))
+        .select(col("w").as("p"), col("n2").as("n2p"))), Seq("p"))
       .join(norms.select(col("w"), col("n2").as("n2w")), Seq("w"))
       .withColumn("cosr", col("dot").cast("double") /
         (sqrt(col("n2p").cast("double")) * sqrt(col("n2w").cast("double"))))

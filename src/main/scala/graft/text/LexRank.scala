@@ -43,7 +43,11 @@ object LexRank {
             .cast("int")),
           i => slice(col("toks"), (i - 1) * sentLen + 1, lit(sentLen))))
           .as(Seq("sid", "stoks")))
-      .localCheckpoint(true) // feeds tokens, nodes, and the final text
+      // feeds tokens, nodes, and the final text — lazy cache, not an
+      // eager localCheckpoint: each eager checkpoint is a scheduling
+      // barrier (~0.2 s at the job floor), and four of them serialized
+      // dominated this operator's wall time at sf0.1
+      .cache()
     val st = sent.select(col("doc_id"), col("sid"),
       explode(array_distinct(col("stoks"))).as("t"))
     val fwd = st.select(col("doc_id"), col("sid").as("a"), col("t"))
@@ -56,12 +60,14 @@ object LexRank {
       .select(col("doc_id"), col("a"), col("b"))
     val e = fwd.unionByName(
         fwd.select(col("doc_id"), col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+      // the quadratic pair join feeds outdeg + every iteration — cache
+      // (lazy) so it computes once without a barrier job
+      .cache()
     val outdeg = e.groupBy(col("doc_id"), col("a"))
       .agg(count(lit(1)).as("outdeg"))
     val nodes = sent.select(col("doc_id"), col("sid"))
     var pr = nodes.withColumn("pr", lit(1000000L))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { it =>
       val contrib = e
         .join(outdeg, Seq("doc_id", "a"))
         .join(pr.select(col("doc_id"), col("sid").as("a"), col("pr")),
@@ -73,7 +79,10 @@ object LexRank {
         .select(col("doc_id"), col("sid"),
           expr("cast(150000 + (85 * coalesce(s, cast(0 as bigint)))" +
             " div 100 as bigint)").as("pr"))
-        .localCheckpoint(true)
+      // lineage only needs cutting when iterations stack deep — a
+      // barrier every 3rd round, not every round (the iters=2 default
+      // pays zero barriers; long runs stay plan-bounded)
+      if (it % 3 == 0 && it < iters) pr = pr.localCheckpoint(true)
     }
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("pr").desc, col("sid"))
