@@ -132,6 +132,43 @@ object Bench {
         s"""{"skipped":${jstr(msg)}}"""
       case Left(msg) => s"""{"error":${jstr(msg)}}"""
     }
+    // Per-family growth ratios (large-factor time / small-factor time)
+    // and small>large inversions, computed INTO the artifact: the
+    // sublinear-growth claim is the 100 TB argument, so the artifact
+    // should state it, not leave the division to the reader — and an
+    // inversion (like r8's x3_sa1 > x30_sa1) must be loud.
+    val stressFam = "^x(\\d+)_(.+)$".r
+    val growth = stressPairs.getOrElse(Seq.empty)
+      .flatMap { case (k, v) =>
+        stressFam.findFirstMatchIn(k).map(m =>
+          (m.group(2), m.group(1).toInt, v))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (fam, rows) =>
+        val sorted = rows.sortBy(_._2)
+        if (sorted.size < 2) None
+        else {
+          val (_, fs, vs) = sorted.head
+          val (_, fb, vb) = sorted.last
+          Some((fam, fs, vs, fb, vb,
+            if (vs > 0) vb / vs else Double.NaN))
+        }
+      }
+    val inversions = growth.filter { case (_, _, vs, _, vb, _) =>
+      vs > vb + 0.2
+    }
+    inversions.foreach { case (fam, fs, vs, fb, vb, _) =>
+      System.err.println(
+        "[bench] STRESS INVERSION %-18s x%d %.2fs > x%d %.2fs"
+          .formatLocal(java.util.Locale.ROOT, fam, fs, vs, fb, vb))
+    }
+    val growthJson = growth.map { case (fam, _, _, _, _, r) =>
+      "\"" + fam + "\":" + j3(r)
+    }.mkString("{", ",", "}")
+    val invJson = inversions.map { case (fam, fs, vs, fb, vb, _) =>
+      "\"" + fam + "\":\"x" + fs + " " + j3(vs) + "s > x" + fb + " " +
+        j3(vb) + "s\""
+    }.mkString("{", ",", "}")
 
     // Per-gate regression guard against the COMMITTED snapshot
     // (BENCH_SNAPSHOT.json, sum-of-min per gate): a gate whose min grew
@@ -180,7 +217,7 @@ object Bench {
         s"[bench] wrote snapshot ${guarded.size} rows -> $snapPath")
     }
 
-    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"stress_growth":$growthJson,"stress_inversions":$invJson,"sf":"$sfDir"}"""
     // The driver TAIL-captures the last ~2 KB of the bench log, then
     // tries to json-parse a line — so the LAST stdout line must be (a)
     // pure JSON from column 0 (r8's "parsed": null: sbt's forked-run
@@ -193,7 +230,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(30)
       .map { case (k, v, _, _) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"sf":"$sfDir"}"""
     println(compactLine)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(

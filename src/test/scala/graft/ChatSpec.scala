@@ -27,7 +27,7 @@ class ChatSpec extends SparkSpec {
     val llm = new ChatLlm {
       def chatWithTools(ms: Seq[ChatMessage],
           tools: Seq[Tools.ToolSpec]): LlmTurn = {
-        assert(tools.size == 32)
+        assert(tools.size == 33)
         val toolMsgs = ms.filter(_.role == "tool")
         if (toolMsgs.isEmpty)
           ToolTurn(Seq(ToolCall("search_code",
