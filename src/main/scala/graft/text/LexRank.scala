@@ -63,13 +63,17 @@ object LexRank {
       // the quadratic pair join feeds outdeg + every iteration — cache
       // (lazy) so it computes once without a barrier job
       .cache()
-    val outdeg = e.groupBy(col("doc_id"), col("a"))
-      .agg(count(lit(1)).as("outdeg"))
+    // outdeg is iteration-invariant — attach it to the edge relation
+    // ONCE (a doc-partitioned window over the cached edges, no extra
+    // join inside the loop); each iteration then pays exactly one join
+    // (edges × current pr) and one aggregate
+    val eDeg = e.withColumn("outdeg",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("a"))))
+      .cache()
     val nodes = sent.select(col("doc_id"), col("sid"))
     var pr = nodes.withColumn("pr", lit(1000000L))
     (1 to iters).foreach { it =>
-      val contrib = e
-        .join(outdeg, Seq("doc_id", "a"))
+      val contrib = eDeg
         .join(pr.select(col("doc_id"), col("sid").as("a"), col("pr")),
           Seq("doc_id", "a"))
         .select(col("doc_id"), col("b").as("sid"),
