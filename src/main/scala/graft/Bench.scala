@@ -189,9 +189,27 @@ object Bench {
     val guarded: Seq[(String, Double)] =
       results.map { case (k, _, m, _) => (k, m) } ++
         stressPairs.getOrElse(Seq.empty)
+    // Host-drift normalization (r9 measured a clean run where EVERY
+    // gate ran a uniform ~1.2× slower than the snapshot's host state,
+    // and six job-floor-bound gates crossed the raw 1.5× line with no
+    // code change): the median min/prev ratio across all snapshotted
+    // gates estimates the day's drift; thresholds scale by it (clamped
+    // to [1.0, 2.0] so a fast day never hides a real regression and a
+    // catastrophically slow day still flags). Reported in the artifact.
+    val ratios = results.flatMap { case (k, _, m, _) =>
+      snapshot.get(k).collect { case prev if prev > 0.05 => m / prev }
+    }.sorted
+    val drift =
+      if (ratios.size < 20) 1.0
+      else math.min(2.0, math.max(1.0, ratios(ratios.size / 2)))
+    if (drift > 1.0)
+      System.err.println(
+        "[bench] host drift vs snapshot: median ratio %.2f — thresholds scaled"
+          .formatLocal(java.util.Locale.ROOT, drift))
     val regressions = guarded.flatMap { case (k, m) =>
       snapshot.get(k).collect {
-        case prev if prev > 0 && m > prev * 1.5 && m > prev + 0.3 =>
+        case prev if prev > 0 && m > prev * 1.5 * drift &&
+            m > prev * drift + 0.3 =>
           (k, prev, m)
       }
     }.sortBy { case (_, p, m) => -(m / p) }.take(10)
@@ -217,7 +235,7 @@ object Bench {
         s"[bench] wrote snapshot ${guarded.size} rows -> $snapPath")
     }
 
-    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"stress_growth":$growthJson,"stress_inversions":$invJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"stress_growth":$growthJson,"stress_inversions":$invJson,"drift":${j3(drift)},"sf":"$sfDir"}"""
     // The driver TAIL-captures the last ~2 KB of the bench log, then
     // tries to json-parse a line — so the LAST stdout line must be (a)
     // pure JSON from column 0 (r8's "parsed": null: sbt's forked-run
@@ -230,7 +248,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(30)
       .map { case (k, v, _, _) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"drift":${j3(drift)},"sf":"$sfDir"}"""
     println(compactLine)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
