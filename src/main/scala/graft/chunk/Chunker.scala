@@ -272,13 +272,13 @@ object Chunker {
   // methods, TS interface/type/enum, JSDoc-above docstrings, @decorators.
 
   private val JsFunction =
-    """^(\s*)(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*\(([^)]*)""".r
+    """^(\s*)(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s*\*?\s*(\w+)\s*(?:<[^>]*>)?\s*\(([^)]*)""".r
   private val JsClass =
     ("""^(\s*)(?:export\s+)?(?:default\s+)?(?:abstract\s+)?class\s+(\w+)""" +
       """(?:<[^>]*>)?(?:\s+extends\s+([\w.]+))?(?:\s+implements\s+([\w.,\s]+))?""").r
   private val JsArrow =
     ("""^(\s*)(?:export\s+)?(?:const|let|var)\s+(\w+)(?:\s*:\s*[^=]+)?\s*=\s*""" +
-      """(?:async\s*)?(?:\(([^)]*)\)|\w+)\s*(?::\s*[\w<>\[\]., |&]+)?\s*=>""").r
+      """(?:async\s*)?(?:<[^>]*>\s*)?(?:\(([^)]*)\)|\w+)\s*(?::\s*[\w<>\[\]., |&]+)?\s*=>""").r
   private val JsFuncExpr =
     """^(\s*)(?:export\s+)?(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?function\s*\*?\s*\(([^)]*)""".r
   private val TsInterface =

@@ -81,6 +81,54 @@ class ChunkerSpec extends AnyFunSuite {
       "processAll", "calculateArea", "fetchData"))
   }
 
+  test("ts: reference TypeScript fixture — interfaces, generic " +
+      "functions, methods with class context (tests/test_js_parser.py)") {
+    val f = rec("/repo/svc.ts", "typescript", Seq(
+      "interface User {",
+      "    id: number;",
+      "    name: string;",
+      "}",
+      "",
+      "class UserService {",
+      "    private users: User[] = [];",
+      "",
+      "    addUser(user: User): void {",
+      "        this.users.push(user);",
+      "    }",
+      "",
+      "    findById(id: number): User | undefined {",
+      "        return this.users.find(user => user.id === id);",
+      "    }",
+      "}",
+      "",
+      "interface ApiResponse<T> {",
+      "    data: T;",
+      "}",
+      "",
+      "async function fetchUser(id: number): Promise<ApiResponse<User>> {",
+      "    return (await fetch(`/api/users/${id}`)).json();",
+      "}",
+      "",
+      "type UserCallback = (user: User) => void;",
+      "",
+      "function processUsers<T extends User>(users: T[], cb: UserCallback): void {",
+      "    users.forEach(cb);",
+      "}",
+      "").mkString("\n"))
+    val chunks = Chunker.chunkFile(f)
+    val byName = chunks.map(c => c.name -> c).toMap
+    // generic function declarations chunk (the tree-sitter traversal
+    // extracts function_declaration regardless of type parameters)
+    assert(byName.contains("processUsers"))
+    assert(byName.contains("fetchUser"))
+    assert(byName("findById").parent_name == "UserService")
+    assert(byName.contains("User") && byName.contains("ApiResponse"))
+    // the `user => user.id === id` callback and the type alias are
+    // expression/type constructs, never chunks
+    assert(!byName.contains("UserCallback"))
+    assert(chunks.map(_.name).count(_ == "user") == 0)
+  }
+
   test("js: decls in argument position / callback bodies are suppressed") {
     // expression interior: a function expression passed as a call
     // argument, and a named function declared inside a multi-line
