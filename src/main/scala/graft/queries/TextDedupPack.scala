@@ -1478,6 +1478,27 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // DoReMi domain reweighting (drm1, arXiv:2305.10429): upweight the
+    // domains with the largest proxy-over-reference excess loss — the
+    // mixture-optimization step between curation (mx1/mx2) and
+    // sampling (ir1/ws1). Proxy/reference losses are deterministic
+    // portable-hash micro-units (the model seam carries real losses);
+    // the exponentiated-gradient step runs in its linearized
+    // integer-exact form (the lshp1 no-libm trade). The corpus pays
+    // one aggregation; iterations run on the 8-row domain table with
+    // broadcast totals.
+    "drm1_doremi_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        (col("doc_id") % 8).as("domain"),
+        greatest(lit(0L),
+          pmod(graft.functions.PortableHash.hash60(col("text"), 11),
+            lit(1000000L)) -
+          pmod(graft.functions.PortableHash.hash60(col("text"), 13),
+            lit(1000000L))).as("excess_micro"))
+      graft.text.Doremi.domainWeights(docs, "domain", "excess_micro")
+        .orderBy(col("domain"))
+    }),
+
     // DSIR importance weights (arXiv:2302.03169): hashed unigram+bigram
     // log ratios, target = English docs, micro-nat integer sums.
     "ir1_dsir_weights" -> ((s, d) => {
@@ -3459,6 +3480,36 @@ object TextDedupPack {
          |  END AS dup_fraction
          |FROM base b LEFT JOIN cov c USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
+
+    "drm1_doremi_weights" ->
+      s"""WITH e AS (SELECT doc_id % 8 AS domain,
+         |    GREATEST(0,
+         |      (${PortableHash.hash60Sql("11", "text")} % 1000000) -
+         |      (${PortableHash.hash60Sql("13", "text")} % 1000000))
+         |      AS excess
+         |  FROM documents),
+         |a AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(excess) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         |      AS avg_excess_micro
+         |  FROM e GROUP BY domain),
+         |w0 AS (SELECT a.*,
+         |    1000000 // (SELECT COUNT(*) FROM a) AS weight FROM a),
+         |r1 AS (SELECT *, weight
+         |    + (((weight * 100000) // 1000000) * avg_excess_micro)
+         |      // 1000000 AS w_raw FROM w0),
+         |w1 AS (SELECT domain, n_docs, avg_excess_micro,
+         |    (w_raw * 1000000) // (SELECT SUM(w_raw) FROM r1) AS weight
+         |  FROM r1),
+         |r2 AS (SELECT *, weight
+         |    + (((weight * 100000) // 1000000) * avg_excess_micro)
+         |      // 1000000 AS w_raw FROM w1),
+         |w2 AS (SELECT domain, n_docs, avg_excess_micro,
+         |    (w_raw * 1000000) // (SELECT SUM(w_raw) FROM r2) AS weight
+         |  FROM r2)
+         |SELECT CAST(domain AS BIGINT) AS domain, n_docs,
+         |  avg_excess_micro,
+         |  CAST(weight AS BIGINT) AS weight_micro
+         |FROM w2 ORDER BY domain""".stripMargin,
 
     "ir1_dsir_weights" -> {
       val b = DsirBuckets
