@@ -1508,6 +1508,20 @@ object TextDedupPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Length-grouped batching (lb1, the trainer `group_by_length`
+    // option): sort by token length via the shared two-pass prefix
+    // sum, cut fixed-count batches, measure per-batch padding waste —
+    // the quantity the op exists to minimize. LengthBatchesSpec proves
+    // the waste reduction vs shuffle-order batching; the gate proves
+    // the batch statistics bit-exactly.
+    "lb1_length_batches" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      graft.text.LengthBatches.lengthBatches(docs, "doc_id", "n_tokens",
+        batchSize = 32)
+        .orderBy(col("batch_id"))
+    }),
+
     // Token-balanced shard assignment in shuffle order: the trainer-
     // facing output cut, pure arithmetic over the distributed prefix
     // sum (window mirror in the oracle).
@@ -3480,6 +3494,23 @@ object TextDedupPack {
          |  END AS dup_fraction
          |FROM base b LEFT JOIN cov c USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
+
+    "lb1_length_batches" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    CAST(len(${TextFunctions.tokensSql("text")}) AS INTEGER)
+         |      AS n_tokens
+         |  FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens, doc_id)
+         |      AS BIGINT) AS cum
+         |  FROM tok)
+         |SELECT CAST((cum - 1) // 32 AS BIGINT) AS batch_id,
+         |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+         |  MAX(n_tokens) AS max_len,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(CAST(MAX(n_tokens) AS BIGINT) * COUNT(*)
+         |    - SUM(n_tokens) AS BIGINT) AS pad_waste
+         |FROM p GROUP BY 1 ORDER BY batch_id""".stripMargin,
 
     "drm1_doremi_weights" ->
       s"""WITH e AS (SELECT doc_id % 8 AS domain,
