@@ -125,38 +125,33 @@ object Bench {
     // round artifact
     stressPairs.left.foreach(msg =>
       System.err.println(s"[bench] stress not recorded: $msg"))
+    // Per-trial rows (t:<row>:<i>) fold into a stress_trials map so an
+    // adjudication of a flagged stress row is DATA (round 9's min-of-2
+    // sampled the fast mode of a bimodal row and a wrong
+    // "host contention" narrative got committed); headline rows stay
+    // min-of-Trials.
+    val (stressHead, stressTrials) =
+      BenchGuards.splitTrials(stressPairs.getOrElse(Seq.empty))
     val stress = stressPairs match {
-      case Right(ps) => ps.map { case (k, v) => "\"" + k + "\":" + j3(v) }
+      case Right(_) => stressHead
+        .map { case (k, v) => "\"" + k + "\":" + j3(v) }
         .mkString("{", ",", "}")
       case Left(msg) if msg.startsWith("SPARK_GRAFT") =>
         s"""{"skipped":${jstr(msg)}}"""
       case Left(msg) => s"""{"error":${jstr(msg)}}"""
     }
+    val trialsJson = stressTrials.toSeq.sortBy(_._1).map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(j3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // Per-family growth ratios (large-factor time / small-factor time)
     // and small>large inversions, computed INTO the artifact: the
     // sublinear-growth claim is the 100 TB argument, so the artifact
     // should state it, not leave the division to the reader — and an
-    // inversion (like r8's x3_sa1 > x30_sa1) must be loud.
-    val stressFam = "^x(\\d+)_(.+)$".r
-    val growth = stressPairs.getOrElse(Seq.empty)
-      .flatMap { case (k, v) =>
-        stressFam.findFirstMatchIn(k).map(m =>
-          (m.group(2), m.group(1).toInt, v))
-      }
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .flatMap { case (fam, rows) =>
-        val sorted = rows.sortBy(_._2)
-        if (sorted.size < 2) None
-        else {
-          val (_, fs, vs) = sorted.head
-          val (_, fb, vb) = sorted.last
-          Some((fam, fs, vs, fb, vb,
-            if (vs > 0) vb / vs else Double.NaN))
-        }
-      }
-    val inversions = growth.filter { case (_, _, vs, _, vb, _) =>
-      vs > vb + 0.2
-    }
+    // inversion (like r8's x3_sa1 > x30_sa1) must be loud. Inversion
+    // and spread flags are floor-aware (BenchGuards): pairs entirely
+    // under the job floor carry no signal.
+    val growth = BenchGuards.growth(stressHead)
+    val inversions = BenchGuards.inversions(growth)
     inversions.foreach { case (fam, fs, vs, fb, vb, _) =>
       System.err.println(
         "[bench] STRESS INVERSION %-18s x%d %.2fs > x%d %.2fs"
@@ -168,6 +163,15 @@ object Bench {
     val invJson = inversions.map { case (fam, fs, vs, fb, vb, _) =>
       "\"" + fam + "\":\"x" + fs + " " + j3(vs) + "s > x" + fb + " " +
         j3(vb) + "s\""
+    }.mkString("{", ",", "}")
+    val spreads = BenchGuards.spreadFlags(stressTrials)
+    spreads.foreach { case (row, mn, mx) =>
+      System.err.println(
+        "[bench] STRESS BIMODAL %-22s trials %.2fs .. %.2fs"
+          .formatLocal(java.util.Locale.ROOT, row, mn, mx))
+    }
+    val spreadJson = spreads.map { case (row, mn, mx) =>
+      "\"" + row + "\":\"" + j3(mn) + "s .. " + j3(mx) + "s\""
     }.mkString("{", ",", "}")
 
     // Per-gate regression guard against the COMMITTED snapshot
@@ -184,35 +188,32 @@ object Bench {
         "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    // gate mins AND stress rows both face the guard (r8's blind spot:
-    // three stress rows regressed 3-6× and nothing flagged it)
+    // gate mins AND stress headline rows both face the guard (r8's
+    // blind spot: three stress rows regressed 3-6× and nothing flagged
+    // it); trial rows feed the spread flag instead
     val guarded: Seq[(String, Double)] =
-      results.map { case (k, _, m, _) => (k, m) } ++
-        stressPairs.getOrElse(Seq.empty)
+      results.map { case (k, _, m, _) => (k, m) } ++ stressHead
     // Host-drift normalization (r9 measured a clean run where EVERY
     // gate ran a uniform ~1.2× slower than the snapshot's host state,
     // and six job-floor-bound gates crossed the raw 1.5× line with no
-    // code change): the median min/prev ratio across all snapshotted
-    // gates estimates the day's drift; thresholds scale by it (clamped
-    // to [1.0, 2.0] so a fast day never hides a real regression and a
-    // catastrophically slow day still flags). Reported in the artifact.
-    val ratios = results.flatMap { case (k, _, m, _) =>
-      snapshot.get(k).collect { case prev if prev > 0.05 => m / prev }
-    }.sorted
-    val drift =
-      if (ratios.size < 20) 1.0
-      else math.min(2.0, math.max(1.0, ratios(ratios.size / 2)))
+    // code change): estimated from the JOB-FLOOR gate cohort so a
+    // uniform CODE slowdown can't scale its own thresholds
+    // (BenchGuards.drift); a high ALL-gates median additionally raises
+    // drift_alert so a uniform slowdown is still surfaced.
+    val minsWithPrev = results.flatMap { case (k, _, m, _) =>
+      snapshot.get(k).map(prev => (m, prev))
+    }
+    val drift = BenchGuards.drift(minsWithPrev)
+    val driftAlert = BenchGuards.driftAlert(minsWithPrev)
     if (drift > 1.0)
       System.err.println(
-        "[bench] host drift vs snapshot: median ratio %.2f — thresholds scaled"
+        "[bench] host drift vs snapshot: floor-cohort ratio %.2f — thresholds scaled"
           .formatLocal(java.util.Locale.ROOT, drift))
-    val regressions = guarded.flatMap { case (k, m) =>
-      snapshot.get(k).collect {
-        case prev if prev > 0 && m > prev * 1.5 * drift &&
-            m > prev * drift + 0.3 =>
-          (k, prev, m)
-      }
-    }.sortBy { case (_, p, m) => -(m / p) }.take(10)
+    if (driftAlert)
+      System.err.println(
+        "[bench] DRIFT ALERT: all-gates median ratio exceeds " +
+          s"${BenchGuards.DriftAlertRatio} — uniform slowdown, inspect")
+    val regressions = BenchGuards.regressions(guarded, snapshot, drift)
     if (regressions.nonEmpty) {
       System.err.println(s"[bench] ===== TOP REGRESSIONS vs $snapPath =====")
       regressions.foreach { case (k, p, m) =>
@@ -235,7 +236,7 @@ object Bench {
         s"[bench] wrote snapshot ${guarded.size} rows -> $snapPath")
     }
 
-    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"stress_growth":$growthJson,"stress_inversions":$invJson,"drift":${j3(drift)},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"stress_trials":$trialsJson,"stress_growth":$growthJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"sf":"$sfDir"}"""
     // The driver TAIL-captures the last ~2 KB of the bench log, then
     // tries to json-parse a line — so the LAST stdout line must be (a)
     // pure JSON from column 0 (r8's "parsed": null: sbt's forked-run
@@ -248,7 +249,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(30)
       .map { case (k, v, _, _) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"drift":${j3(drift)},"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"sf":"$sfDir"}"""
     println(compactLine)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(

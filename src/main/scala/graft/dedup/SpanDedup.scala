@@ -25,48 +25,90 @@ import graft.text.TextFunctions
   * unique per doc, so the running-max-end ordering is deterministic).
   * No pair-finding at all — cost is linear in corpus token count, which
   * is what makes this the 100 TB alternative to a literal suffix array.
+  *
+  * The window hash NEVER materializes the gram string: each token is
+  * md5-hashed ONCE (`hash60("tok", t)`), and every n-token window
+  * folds those hashes with `PortableHash.windowHash60` (rotate-xor,
+  * pure bitwise codegen). The previous shape — `concat_ws` over a
+  * token slice, then md5, per window — allocated an n-token string +
+  * hex chain per window and exhibited a bimodal GC-bound slow mode at
+  * stress scale (round-9 verdict: x30 4.8 s fast / 22–27 s slow);
+  * AllocAuditSpec pins the no-gram-string plan shape.
   */
 object SpanDedup {
+
+  /** (doc_id, pos, g): one row per n-gram window, g = rotate-xor fold
+    * of the per-token hashes. `base` must carry `doc_id`, `toks`,
+    * `n_tokens`.
+    */
+  private def occurrences(base: DataFrame, n: Int): DataFrame =
+    base.filter(col("n_tokens") >= n)
+      .select(col("doc_id"),
+        posexplode(PortableHash.tokenWindowHashes(col("toks"), n)))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
 
   /** One row per input doc: `doc_id`, `n_tokens`, `dup_positions`
     * (tokens covered by duplicated n-grams), `dup_fraction` (rounded
     * to 6; 0.0 for docs shorter than n tokens).
+    *
+    * Plan shape: docs shorter than n tokens emit one sentinel row with
+    * a doc-unique gram (negative doc id — occurs once, so it can never
+    * be flagged dup), which keeps every doc in the stream and removes
+    * the old join-back to the tokenized base (a third tokenizer
+    * evaluation). The occurrence scan still evaluates twice — the
+    * dup-gram aggregate and the probe side of the dup join (Catalyst
+    * does not CSE across join sides, and column pruning specializes
+    * each side's subtree past exchange reuse) — and that is the RIGHT
+    * trade at 100 TB: the scan is one fused codegen pass
+    * (graft_normalize + graft_window_hashes) over the columnar source,
+    * while caching the exploded occurrence table would spill
+    * corpus×windows bytes to disk for one extra read. A deployment
+    * that probes repeatedly persists the occurrence table once
+    * (DedupCache-style, bucketed by g) — the same split as the d3
+    * shingle flow. The gram aggregate keeps its map-side partial
+    * combine (AllocAuditSpec pins it below the exchange).
     */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
-    // (doc, 0-based start pos, gram hash) — one row per n-gram window
-    val occ = base.filter(col("n_tokens") >= n)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), col("n_tokens") - (n - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(n))))))
-      .select(col("doc_id"), col("pos"),
-        PortableHash.hash60(lit("span"), col("col")).as("g"))
+    // (doc, n_tokens, 0-based start pos, gram hash) — one row per
+    // window; one sentinel row per short doc
+    val occ = base
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(
+          when(col("n_tokens") >= n,
+            PortableHash.tokenWindowHashes(col("toks"), n))
+          .otherwise(array((-col("doc_id") - 1).cast("long")))))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        col("col").as("g"))
     val dupGrams = occ.groupBy(col("g"))
       .agg(count(lit(1)).as("occurrences"))
       .filter(col("occurrences") > 1)
-      .select(col("g"))
+      .select(col("g"), lit(true).as("dup"))
     // interval union per doc: contribution of window [pos, pos+n) is
-    // its length minus the overlap with the running max end so far
+    // its length minus the overlap with the running max end so far;
+    // non-dup rows ride along with e = null (max ignores nulls) so the
+    // per-doc aggregate sees every doc without a join back
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val covered = occ.join(dupGrams, Seq("g"))
-      .withColumn("e", col("pos") + n)
+    occ.join(dupGrams, Seq("g"), "left")
+      .withColumn("e", when(col("dup"), col("pos") + n))
       .withColumn("pe", max(col("e")).over(w))
       .withColumn("inc",
-        greatest(lit(0), col("e") -
-          greatest(col("pos"), coalesce(col("pe"), col("pos")))))
+        when(col("dup"),
+          greatest(lit(0), col("e") -
+            greatest(col("pos"), coalesce(col("pe"), col("pos")))))
+        .otherwise(lit(0)))
       .groupBy(col("doc_id"))
-      .agg(sum(col("inc")).cast("long").as("dup_positions"))
-    base.select(col("doc_id"), col("n_tokens"))
-      .join(covered, Seq("doc_id"), "left")
-      .withColumn("dup_positions", coalesce(col("dup_positions"), lit(0L)))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(col("inc")).cast("long").as("dup_positions"))
       .withColumn("dup_fraction",
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(round(col("dup_positions") / col("n_tokens"), 6)))
+      .select(col("doc_id"), col("n_tokens"), col("dup_positions"),
+        col("dup_fraction"))
   }
 
   /** The REMOVAL half of substring dedup (Lee et al. 2022 §3): cut
@@ -86,13 +128,7 @@ object SpanDedup {
     val base = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
-    val occ = base.filter(col("n_tokens") >= n)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), col("n_tokens") - (n - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(n))))))
-      .select(col("doc_id"), col("pos"),
-        PortableHash.hash60(lit("span"), col("col")).as("g"))
+    val occ = occurrences(base, n)
     val dupGrams = occ.groupBy(col("g"))
       .agg(count(lit(1)).as("occurrences"))
       .filter(col("occurrences") > 1)

@@ -32,9 +32,15 @@ object Pooling {
 
   /** One row per group: (grp, n_chunks, embedding float[dim]) where
     * embedding[i] = float(sum(floor(e_i * 1e6)) / (n_chunks * 1e6)).
-    * `dim` is the fixed vector width (vectors shorter than `dim` would
-    * contribute nulls and are a caller error — VectorQc gates width
-    * upstream).
+    * `dim` is the fixed vector width.
+    *
+    * Ragged input fails LOUDLY at this operator's boundary (ADVICE
+    * r9): under Spark 4's default ANSI mode a short vector would throw
+    * a bare INVALID_ARRAY_INDEX from deep inside the aggregate (and
+    * with ANSI off it would silently skew the mean — sum skips nulls
+    * while n_chunks counts the row), so a row-level `assert_true`
+    * names the operator and the contract instead. One `size()`
+    * comparison per row, codegen'd, before the 64 sum columns.
     */
   def meanPool(chunks: DataFrame, groupCol: String, vecCol: String,
       dim: Int): DataFrame = {
@@ -43,6 +49,9 @@ object Pooling {
         .cast("long")).as(s"s$i")
     }
     chunks
+      .filter(assert_true(size(col(vecCol)) >= dim,
+        lit(s"meanPool: ragged embedding (size < dim=$dim) — " +
+          "filter or fix widths upstream (VectorQc)")).isNull)
       .groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n_chunks"), sumCols: _*)
       .select(col("grp"), col("n_chunks"),

@@ -3471,12 +3471,15 @@ object TextDedupPack {
          |  FROM documents),
          |base AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, toks
          |  FROM tok),
-         |pos AS (SELECT doc_id, toks,
-         |    unnest(range(1, n_tokens - ${SpanN - 2})) AS i
+         |hsh AS (SELECT doc_id, n_tokens,
+         |    list_transform(toks, t -> ${PortableHash.hash60Sql("'tok'", "t")})
+         |      AS th
          |  FROM base WHERE n_tokens >= $SpanN),
+         |pos AS (SELECT doc_id, th,
+         |    unnest(range(1, n_tokens - ${SpanN - 2})) AS i
+         |  FROM hsh),
          |occ AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-         |    ${PortableHash.hash60Sql("'span'",
-              s"array_to_string(toks[i:i+${SpanN - 1}], ' ')")} AS g
+         |    ${PortableHash.windowHash60Sql("th", "i", SpanN)} AS g
          |  FROM pos),
          |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) > 1),
          |win AS (SELECT doc_id, pos, pos + $SpanN AS e,
@@ -3851,12 +3854,15 @@ object TextDedupPack {
          |  FROM documents),
          |base AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, toks
          |  FROM tok),
-         |pos AS (SELECT doc_id, toks,
-         |    unnest(range(1, n_tokens - ${SpanN - 2})) AS i
+         |hsh AS (SELECT doc_id, n_tokens,
+         |    list_transform(toks, t -> ${PortableHash.hash60Sql("'tok'", "t")})
+         |      AS th
          |  FROM base WHERE n_tokens >= $SpanN),
+         |pos AS (SELECT doc_id, th,
+         |    unnest(range(1, n_tokens - ${SpanN - 2})) AS i
+         |  FROM hsh),
          |occ AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-         |    ${PortableHash.hash60Sql("'span'",
-              s"array_to_string(toks[i:i+${SpanN - 1}], ' ')")} AS g
+         |    ${PortableHash.windowHash60Sql("th", "i", SpanN)} AS g
          |  FROM pos),
          |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) > 1),
          |winevt AS (SELECT doc_id, pos, 0 AS kind,

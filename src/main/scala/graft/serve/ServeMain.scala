@@ -73,6 +73,11 @@ object ServeMain {
     while (running && in.hasNext) {
       val line = in.next()
       if (line.trim == "quit") running = false
+      // dual protocol: a JSON object frame is MCP JSON-RPC (the
+      // reference's stdio transport, mcp/server.py:303-380); anything
+      // else stays the human line shell
+      else if (line.trim.startsWith("{"))
+        McpServer.handleLine(p, line).foreach(println)
       else handle(p, line).foreach(println)
     }
     spark.stop()

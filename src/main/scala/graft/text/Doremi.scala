@@ -35,11 +35,18 @@ object Doremi {
     */
   def domainWeights(docs: DataFrame, domainCol: String, excessCol: String,
       iters: Int = 2, etaMicro: Long = 100000L): DataFrame = {
+    // cache() the domain table (tens of rows): it appears in several
+    // plan subtrees — the |domains| crossJoin count plus every
+    // iteration's total through w's lineage — and without the cache the
+    // corpus groupBy can execute once per subtree (ADVICE r9; the
+    // "corpus pays ONE aggregation" claim is this cache). Lazy cache,
+    // not localCheckpoint: metadata-scale, no lineage growth.
     val perDomain = docs
       .groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col(excessCol)).as("sum_excess"))
       .withColumn("avg_excess_micro", expr("sum_excess div n_docs"))
       .drop("sum_excess")
+      .cache()
     // uniform start: 10^6 div |domains| (the 1-row count broadcasts)
     var w = perDomain
       .crossJoin(broadcast(perDomain.select(count(lit(1)).as("nd"))))

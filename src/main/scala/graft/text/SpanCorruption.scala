@@ -30,47 +30,62 @@ object SpanCorruption {
   val BlockLen = 20
   val SpanLen = 3
 
-  /** (doc_id, input, target, n_spans, n_corrupted) per document. */
+  /** (doc_id, input, target, n_spans, n_corrupted) per document.
+    *
+    * The span-offset hash is computed ONCE PER BLOCK (an `offs` array
+    * built before the token explode), not once per token: the md5
+    * chain behind `hash60` is the allocation-heavy part of this plan,
+    * and at token granularity it ran ~BlockLen× more often than the
+    * math requires — the round-9 verdict traced spc1's bimodal x30
+    * stress slow mode to exactly this per-row hash pressure. Exploded
+    * rows just index the (tiny) per-doc array. AllocAuditSpec pins the
+    * no-md5-above-the-explode plan shape.
+    */
   def corrupt(docs: DataFrame, idCol: String, textCol: String,
       seed: String = "sc"): DataFrame = {
     val toked = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("offs", transform(
+        sequence(lit(0L), greatest(lit(0L),
+          expr(s"(size(toks) + ${BlockLen - 1}) div $BlockLen") - 1)),
+        b => pmod(PortableHash.hash60(lit(seed),
+          concat(col("doc_id").cast("string"), lit("_"),
+            b.cast("string"))),
+          lit((BlockLen - SpanLen + 1).toLong))))
     val tk = toked
-      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("offs"), posexplode(col("toks")))
       .withColumnRenamed("pos", "i0").withColumnRenamed("col", "tok")
       .withColumn("blk", expr(s"i0 div $BlockLen"))
       .withColumn("p", col("i0") % BlockLen)
       .withColumn("off",
-        pmod(PortableHash.hash60(lit(seed),
-          concat(col("doc_id").cast("string"), lit("_"),
-            col("blk").cast("string"))),
-          lit((BlockLen - SpanLen + 1).toLong)))
+        element_at(col("offs"), (col("blk") + 1).cast("int")))
     val classified = tk.withColumn("sentinel",
       concat(lit("<extra_id_"), col("blk").cast("string"), lit(">")))
-    val input = classified
-      .filter(!(col("p") > col("off") && col("p") <= col("off") + (SpanLen - 1)))
-      .select(col("doc_id"), struct(col("i0"),
-        when(col("p") === col("off"), col("sentinel")).otherwise(col("tok"))
-          .as("t")).as("e"))
+    // ONE doc-keyed aggregate builds input AND target: collect_list
+    // skips the nulls the per-side `when`s produce, so the two filtered
+    // rebuilds (and the join that reunited them — a second evaluation
+    // of the whole tokenize+explode subtree) collapse into one shuffle.
+    val inSpan = col("p") >= col("off") &&
+      col("p") <= col("off") + (SpanLen - 1)
+    classified
       .groupBy(col("doc_id"))
-      .agg(array_join(transform(sort_array(collect_list(col("e"))),
-        e => e.getField("t")), " ").as("input"))
-    val target = classified
-      .filter(col("p") >= col("off") && col("p") <= col("off") + (SpanLen - 1))
-      .select(col("doc_id"), struct(col("i0"),
-        when(col("p") === col("off"),
-          concat(col("sentinel"), lit(" "), col("tok")))
-          .otherwise(col("tok")).as("t")).as("e"),
-        when(col("p") === col("off"), 1L).otherwise(0L).as("isStart"))
-      .groupBy(col("doc_id"))
-      .agg(array_join(transform(sort_array(collect_list(col("e"))),
-        e => e.getField("t")), " ").as("target"),
-        sum(col("isStart")).as("n_spans"),
-        count(lit(1)).as("n_corrupted"))
-    input.join(target, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("input"),
-        coalesce(col("target"), lit("")).as("target"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_corrupted"), lit(0L)).as("n_corrupted"))
+      .agg(
+        array_join(transform(sort_array(collect_list(
+          when(!(col("p") > col("off") && inSpan),
+            struct(col("i0"),
+              when(col("p") === col("off"), col("sentinel"))
+                .otherwise(col("tok")).as("t"))))),
+          e => e.getField("t")), " ").as("input"),
+        array_join(transform(sort_array(collect_list(
+          when(inSpan,
+            struct(col("i0"),
+              when(col("p") === col("off"),
+                concat(col("sentinel"), lit(" "), col("tok")))
+                .otherwise(col("tok")).as("t"))))),
+          e => e.getField("t")), " ").as("target"),
+        sum(when(col("p") === col("off"), 1L).otherwise(0L)).as("n_spans"),
+        sum(when(inSpan, 1L).otherwise(0L)).as("n_corrupted"))
+      .select(col("doc_id"), col("input"), col("target"),
+        col("n_spans"), col("n_corrupted"))
   }
 }

@@ -37,4 +37,20 @@ class DoremiSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("WindowExec"))
   }
+
+  test("the corpus is physically scanned exactly once (ADVICE r9: " +
+      "perDomain cache, not exchange-reuse luck)") {
+    import org.apache.spark.sql.{Row, types => T}
+    val scans = spark.sparkContext.longAccumulator("corpus-row-reads")
+    val rows = spark.sparkContext.parallelize(0 until 1200, 4).map { i =>
+      scans.add(1); Row(i.toLong % 4, i.toLong * 10)
+    }
+    val docs = spark.createDataFrame(rows, T.StructType(Seq(
+      T.StructField("domain", T.LongType, nullable = false),
+      T.StructField("excess_micro", T.LongType, nullable = false))))
+    val out = Doremi.domainWeights(docs, "domain", "excess_micro").collect()
+    assert(out.length == 4)
+    assert(scans.value == 1200L,
+      s"corpus rows read ${scans.value} times, expected exactly 1200 (1 scan)")
+  }
 }

@@ -45,6 +45,19 @@ class PoolingSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("ragged input fails loudly with the operator named (ADVICE r9)") {
+    val ragged = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (1L, Seq(1.0f)))
+      .toDF("doc", "embedding")
+    val e = intercept[Exception] {
+      Pooling.meanPool(ragged, "doc", "embedding", 3).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("meanPool: ragged embedding"), msgs(e))
+    // equal-width input is untouched by the guard
+    assert(Pooling.meanPool(chunks, "doc", "embedding", 3).count() == 2)
+  }
+
   test("quantization floors toward negative infinity like the oracle") {
     // -0.3f is not exactly representable: double(-0.3f) * 1e6 floors to
     // -300000 or -300001 depending on the float's true value — assert
