@@ -73,17 +73,24 @@ object BenchGuards {
       vs > vb + 0.2 && math.max(vs, vb) >= FloorSec
     }
 
-  /** Bimodality tripwire: rows whose trial spread (max/min) exceeds
-    * [[SpreadRatio]] with the slow trial above the floor. Returns
-    * (row, min, max).
+  /** Bimodality/contention tripwire: rows whose WARM-trial spread
+    * (max/min over trials 2..n) exceeds [[SpreadRatio]] with the slow
+    * trial above the floor. The FIRST trial is excluded — it absorbs
+    * the scale-specific JIT/codegen warmup inside the fresh stress JVM
+    * (measured r10: trial 1 ran 1.5–4.5× slow on EVERY family, which
+    * would make the flag cry wolf on every clean run), while a real
+    * mode flip or mid-run contention event still lands in trials 2..n
+    * often enough to flag — and the adjudication is then the recorded
+    * trials array itself. Returns (row, warm min, warm max).
     */
   def spreadFlags(trials: Map[String, Seq[Double]])
       : Seq[(String, Double, Double)] =
     trials.toSeq.sortBy(_._1).flatMap { case (row, ts) =>
-      if (ts.size < 2) None
+      val warm = ts.drop(1)
+      if (warm.size < 2) None
       else {
-        val mn = ts.min
-        val mx = ts.max
+        val mn = warm.min
+        val mx = warm.max
         if (mx >= FloorSec && mn > 0 && mx / mn > SpreadRatio)
           Some((row, mn, mx))
         else None

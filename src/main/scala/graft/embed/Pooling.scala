@@ -35,25 +35,26 @@ object Pooling {
     * `dim` is the fixed vector width.
     *
     * Ragged input fails LOUDLY at this operator's boundary (ADVICE
-    * r9): under Spark 4's default ANSI mode a short vector would throw
-    * a bare INVALID_ARRAY_INDEX from deep inside the aggregate (and
-    * with ANSI off it would silently skew the mean — sum skips nulls
-    * while n_chunks counts the row), so a row-level `assert_true`
-    * names the operator and the contract instead. One `size()`
-    * comparison per row, codegen'd, before the 64 sum columns.
+    * r9): components read through null-safe `get()` (no bare ANSI
+    * INVALID_ARRAY_INDEX from inside the aggregate), a `min(size)`
+    * rides the SAME aggregate, and the output projection asserts it —
+    * so the per-row hot path stays one fused codegen stage (a per-row
+    * pre-agg filter measured +70% on the x100 pooling stress) while a
+    * short vector still fails the job with the operator and contract
+    * named, never a silently skewed mean.
     */
   def meanPool(chunks: DataFrame, groupCol: String, vecCol: String,
       dim: Int): DataFrame = {
     val sumCols = (0 until dim).map { i =>
-      sum(floor(element_at(col(vecCol), i + 1).cast("double") * QuantScale)
+      sum(floor(get(col(vecCol), lit(i)).cast("double") * QuantScale)
         .cast("long")).as(s"s$i")
-    }
+    } :+ min(size(col(vecCol))).as("_min_sz")
     chunks
-      .filter(assert_true(size(col(vecCol)) >= dim,
-        lit(s"meanPool: ragged embedding (size < dim=$dim) — " +
-          "filter or fix widths upstream (VectorQc)")).isNull)
       .groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n_chunks"), sumCols: _*)
+      .filter(assert_true(col("_min_sz") >= dim,
+        lit(s"meanPool: ragged embedding (size < dim=$dim) — " +
+          "filter or fix widths upstream (VectorQc)")).isNull)
       .select(col("grp"), col("n_chunks"),
         array((0 until dim).map(i =>
           (col(s"s$i").cast("double") / (col("n_chunks") * QuantScale))

@@ -37,14 +37,18 @@ class BenchGuardsSpec extends AnyFunSuite {
     assert(g.map(x => (x._1, x._6)) == Seq(("sa1", 4.0)))
   }
 
-  test("spread flags the r9 bimodal shape, not tight or floor rows") {
+  test("spread flags mode flips among WARM trials; JIT-slow first " +
+      "trials and floor rows stay quiet") {
     val trials = Map(
-      "x30_sa1" -> Seq(4.8, 22.7, 26.4),   // the r9 bimodal row → flag
-      "x30_d3" -> Seq(15.0, 16.1, 15.5),   // tight → no flag
-      "x10_ph1" -> Seq(0.2, 0.9, 0.3))     // wide but under floor → no flag
+      "x30_sa1" -> Seq(22.7, 4.8, 26.4),   // bimodal in warm trials → flag
+      "x30_d3" -> Seq(28.9, 7.2, 7.4),     // slow FIRST trial only → quiet
+      "x30_pd1" -> Seq(2.9, 2.6, 7.6),     // contention spike at t3 → flag
+      "x30_ok" -> Seq(15.0, 16.1, 15.5),   // tight → quiet
+      "x10_ph1" -> Seq(1.8, 0.9, 0.3))     // wide but warm-max under floor
     val f = BenchGuards.spreadFlags(trials)
-    assert(f.map(_._1) == Seq("x30_sa1"))
-    assert(f.head._2 == 4.8 && f.head._3 == 26.4)
+    assert(f.map(_._1) == Seq("x30_pd1", "x30_sa1"))
+    val sa1 = f.find(_._1 == "x30_sa1").get
+    assert(sa1._2 == 4.8 && sa1._3 == 26.4)
   }
 
   test("drift comes from the floor cohort; a uniform code slowdown " +
