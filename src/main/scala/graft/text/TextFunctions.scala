@@ -55,11 +55,23 @@ object TextFunctions {
 
   def tokensSql(e: String): String = s"string_split(${normalizeSql(e)}, ' ')"
 
-  /** Distinct word k-shingles (space-joined k-grams of tokens). Callers must
-    * pre-filter docs with fewer than k tokens (Spark's `sequence` would
-    * otherwise generate a descending range).
+  /** Distinct word k-shingles (space-joined k-grams of tokens), via the
+    * fused native [[graft.functions.TokenKGrams]] pass (the HOF chain —
+    * transform + slice + concat_ws + array_distinct — runs interpreted
+    * per element; see AsciiNormalizeSpec for the pinned parity).
+    * Arrays shorter than k yield an empty array.
     */
-  def shingles(toks: Column, k: Int): Column =
+  def shingles(toks: Column, k: Int): Column = {
+    graft.functions.GraftFunctions.ensure(s"graft_kgrams_$k",
+      exprs => graft.functions.TokenKGrams(exprs.head, k))
+    call_function(s"graft_kgrams_$k", toks)
+  }
+
+  /** The HOF reference implementation of [[shingles]] (parity tests
+    * only). Callers must pre-filter docs with fewer than k tokens
+    * (Spark's `sequence` would otherwise generate a descending range).
+    */
+  def shinglesHof(toks: Column, k: Int): Column =
     array_distinct(transform(
       sequence(lit(1), size(toks) - (k - 1)),
       i => concat_ws(" ", slice(toks, i, lit(k)))))

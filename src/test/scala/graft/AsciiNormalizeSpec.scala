@@ -95,6 +95,25 @@ class AsciiNormalizeSpec extends SparkSpec {
       Seq("a", "b", "c").map(t => PortableHash.hash60Local("tok", t))))
   }
 
+  test("native TokenKGrams ≡ HOF shingles (values, order, distinct)") {
+    val rows = Seq(
+      Seq("a", "b", "c", "d", "a", "b", "c", "d"),  // repeats → distinct
+      Seq("x", "y", "z"),                            // exactly k
+      Seq("solo", "pair", "tri", "quad"),
+      Seq("t1", "t1", "t1", "t1", "t1"))             // all-equal grams
+    val df = rows.toDF("toks").filter(size(col("toks")) >= 3)
+      .select(TextFunctions.shingles(col("toks"), 3).as("native"),
+        TextFunctions.shinglesHof(col("toks"), 3).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+    // shorter than k → empty (the native form is total)
+    val short = Seq(Seq("a", "b")).toDF("toks")
+      .select(size(TextFunctions.shingles(col("toks"), 3))).head().getInt(0)
+    assert(short == 0)
+  }
+
   test("windowHash60 column fold ≡ windowHash60Local") {
     val toks = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
     val th = toks.map(t => PortableHash.hash60Local("tok", t))
