@@ -214,6 +214,15 @@ object Bench {
         "[bench] DRIFT ALERT: all-gates median ratio exceeds " +
           s"${BenchGuards.DriftAlertRatio} — uniform slowdown, inspect")
     val regressions = BenchGuards.regressions(guarded, snapshot, drift)
+    // recall rows guard in the OPPOSITE direction: flag drops
+    val recallDrops = BenchGuards.recallDrops(guarded, snapshot)
+    recallDrops.foreach { case (k, p, v) =>
+      System.err.println("[bench] RECALL DROP %-24s %.3f -> %.3f"
+        .formatLocal(java.util.Locale.ROOT, k, p, v))
+    }
+    val recallJson = recallDrops.map { case (k, p, v) =>
+      "\"" + k + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(v) + "}"
+    }.mkString("{", ",", "}")
     if (regressions.nonEmpty) {
       System.err.println(s"[bench] ===== TOP REGRESSIONS vs $snapPath =====")
       regressions.foreach { case (k, p, m) =>
@@ -236,7 +245,7 @@ object Bench {
         s"[bench] wrote snapshot ${guarded.size} rows -> $snapPath")
     }
 
-    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"stress_trials":$trialsJson,"stress_growth":$growthJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"stress_trials":$trialsJson,"stress_growth":$growthJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"recall_drops":$recallJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"sf":"$sfDir"}"""
     // The driver TAIL-captures the last ~2 KB of the bench log, then
     // tries to json-parse a line — so the LAST stdout line must be (a)
     // pure JSON from column 0 (r8's "parsed": null: sbt's forked-run
@@ -249,7 +258,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(30)
       .map { case (k, v, _, _) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"recall_drops":$recallJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"sf":"$sfDir"}"""
     println(compactLine)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(

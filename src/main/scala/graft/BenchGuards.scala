@@ -140,16 +140,32 @@ object BenchGuards {
   }
 
   /** Per-gate regression guard vs the committed snapshot: min grew past
-    * 1.5×·drift AND +0.3 s. Returns worst-first, capped at 10.
+    * 1.5×·drift AND +0.3 s. Returns worst-first, capped at 10. Quality
+    * rows (`*_recall`) are excluded — their guard direction is
+    * inverted ([[recallDrops]]).
     */
   def regressions(guarded: Seq[(String, Double)],
       snapshot: Map[String, Double], drift: Double)
       : Seq[(String, Double, Double)] =
-    guarded.flatMap { case (k, m) =>
+    guarded.filterNot(_._1.endsWith("_recall")).flatMap { case (k, m) =>
       snapshot.get(k).collect {
         case prev if prev > 0 && m > prev * 1.5 * drift &&
             m > prev * drift + 0.3 =>
           (k, prev, m)
       }
     }.sortBy { case (_, p, m) => -(m / p) }.take(10)
+
+  /** Quality-row guard, direction INVERTED from the timing guard: a
+    * `*_recall` stress row that DROPS more than 0.05 below its
+    * snapshot flags (a recall collapse would otherwise be invisible —
+    * the timing guard only fires on increases, and recall values sit
+    * under every floor). Returns (row, prev, now).
+    */
+  def recallDrops(guarded: Seq[(String, Double)],
+      snapshot: Map[String, Double]): Seq[(String, Double, Double)] =
+    guarded.filter(_._1.endsWith("_recall")).flatMap { case (k, v) =>
+      snapshot.get(k).collect { case prev if v < prev - 0.05 =>
+        (k, prev, v)
+      }
+    }.sortBy { case (_, p, v) => v - p }
 }

@@ -718,19 +718,32 @@ object Chunker {
     * dedented decl-looking one, the reference fallback's known
     * divergence class (`parsers/base.py:301-383`) — never registers or
     * closes a scope.
+    *
+    * While OUTSIDE a triple string the scan is comment- and
+    * string-aware: a `#` ends the line's code (an odd count of
+    * triple-quotes in a comment like `# delimited with \"\"\"` must not
+    * flip the state and swallow the rest of the file), and triple
+    * markers inside ordinary single-line `'...'`/`"..."` literals are
+    * content, not delimiters.
     */
   private def advanceTriple(line: String, state: Char): Char = {
     var st = state
+    var q: Char = 0 // line-local ordinary-string state (dies at EOL)
     var i = 0
-    while (i < line.length) {
-      if (st == 0) {
-        if (line.startsWith("\"\"\"", i)) { st = '"'; i += 3 }
-        else if (line.startsWith("'''", i)) { st = '\''; i += 3 }
-        else i += 1
-      } else {
+    val n = line.length
+    while (i < n) {
+      val c = line(i)
+      if (st != 0) {
         val d = if (st == '"') "\"\"\"" else "'''"
         if (line.startsWith(d, i)) { st = 0; i += 3 } else i += 1
-      }
+      } else if (q != 0) {
+        if (c == '\\') i += 2
+        else { if (c == q) q = 0; i += 1 }
+      } else if (line.startsWith("\"\"\"", i)) { st = '"'; i += 3 }
+      else if (line.startsWith("'''", i)) { st = '\''; i += 3 }
+      else if (c == '"' || c == '\'') { q = c; i += 1 }
+      else if (c == '#') i = n
+      else i += 1
     }
     st
   }

@@ -52,8 +52,12 @@ object SpanDedup {
     * to 6; 0.0 for docs shorter than n tokens).
     *
     * Plan shape: docs shorter than n tokens emit one sentinel row with
-    * a doc-unique gram (negative doc id — occurs once, so it can never
-    * be flagged dup), which keeps every doc in the stream and removes
+    * a doc-unique gram (hash of the doc id with bit 62 set — real
+    * window hashes live in [0, 2^60), so a sentinel can never match
+    * one, occurs once per doc, and needs no arithmetic on the id
+    * column, so string ids work; two short docs colliding is the same
+    * 2^-60 birthday class as the gram hashes themselves), which keeps
+    * every doc in the stream and removes
     * the old join-back to the tokenized base (a third tokenizer
     * evaluation). The occurrence scan still evaluates twice — the
     * dup-gram aggregate and the probe side of the dup join (Catalyst
@@ -80,7 +84,8 @@ object SpanDedup {
         posexplode(
           when(col("n_tokens") >= n,
             PortableHash.tokenWindowHashes(col("toks"), n))
-          .otherwise(array((-col("doc_id") - 1).cast("long")))))
+          .otherwise(array(PortableHash.hash60(lit("sdshort"),
+            col("doc_id").cast("string")).bitwiseOR(lit(1L << 62))))))
       .select(col("doc_id"), col("n_tokens"), col("pos"),
         col("col").as("g"))
     val dupGrams = occ.groupBy(col("g"))

@@ -36,8 +36,10 @@ object Pooling {
     *
     * Ragged input fails LOUDLY at this operator's boundary (ADVICE
     * r9): components read through null-safe `get()` (no bare ANSI
-    * INVALID_ARRAY_INDEX from inside the aggregate), a `min(size)`
-    * rides the SAME aggregate, and the output projection asserts it —
+    * INVALID_ARRAY_INDEX from inside the aggregate), a
+    * `min(coalesce(size, -1))` rides the SAME aggregate (the coalesce
+    * catches NULL vectors, which `min` alone would skip while
+    * n_chunks counted the row), and the output projection asserts it —
     * so the per-row hot path stays one fused codegen stage (a per-row
     * pre-agg filter measured +70% on the x100 pooling stress) while a
     * short vector still fails the job with the operator and contract
@@ -48,7 +50,7 @@ object Pooling {
     val sumCols = (0 until dim).map { i =>
       sum(floor(get(col(vecCol), lit(i)).cast("double") * QuantScale)
         .cast("long")).as(s"s$i")
-    } :+ min(size(col(vecCol))).as("_min_sz")
+    } :+ min(coalesce(size(col(vecCol)), lit(-1))).as("_min_sz")
     chunks
       .groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n_chunks"), sumCols: _*)

@@ -39,7 +39,15 @@ object PortableHash {
     s"CAST(md5_number_lower(concat(CAST($seedExpr AS VARCHAR), ':', $valueExpr)) " +
       s"% 1152921504606846976::UBIGINT AS BIGINT)"
 
-  private val Mask53 = (1L << 53) - 1
+  private[functions] val Mask53 = (1L << 53) - 1
+
+  /** The local form of ONE rotate-xor combine step — the single source
+    * of truth for the fold recipe; the Column ([[combine60]]), SQL
+    * ([[windowHash60Sql]]) and native ([[TokenWindows.hashes]]) forms
+    * must all stay bit-identical to this.
+    */
+  def combine60Local(h: Long, t: Long): Long =
+    ((((h & Mask53) << 7) | (h >>> 53)) ^ t) & Mask60
 
   /** One order-sensitive combine step over ALREADY-hashed 60-bit
     * values: rotate-left-7 within 60 bits, then XOR the next hash in.
@@ -87,8 +95,7 @@ object PortableHash {
 
   /** Driver-side mirror of [[windowHash60]] for tests. */
   def windowHash60Local(hashes: Seq[Long]): Long =
-    hashes.foldLeft(0L)((h, t) =>
-      ((((h & Mask53) << 7) | (h >>> 53)) ^ t) & Mask60)
+    hashes.foldLeft(0L)(combine60Local)
 
   /** Driver-side Scala mirror of hash60 — for plan-time constants
     * (e.g. LSH hyperplanes) and tests. Must stay bit-identical to the

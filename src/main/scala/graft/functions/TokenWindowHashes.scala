@@ -55,7 +55,6 @@ case class TokenWindowHashes(child: Expression, n: Int)
   */
 object TokenWindows {
   private val TokSeed = "tok:".getBytes("UTF-8")
-  private val Mask53 = (1L << 53) - 1
 
   def hashes(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
@@ -76,7 +75,7 @@ object TokenWindows {
       var j = s
       while (j < s + n) {
         if (nul(j)) anyNull = true
-        h = (((h & Mask53) << 7) | (h >>> 53)) ^ th(j)
+        h = PortableHash.combine60Local(h, th(j))
         j += 1
       }
       out(s) = if (anyNull) null else h

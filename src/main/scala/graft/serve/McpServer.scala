@@ -87,12 +87,19 @@ object McpServer {
           .filter(_.isObject).map(toArgs).getOrElse(Map.empty[String, Any])
         val r = M.createObjectNode()
         val content = r.putArray("content")
-        Tools.dispatch(p, name, args) match {
+        // the Spark ACTION runs here, not in dispatch (which only
+        // catches plan-construction failures) — an execution-time
+        // error (missing store, ANSI cast, lost executor) must become
+        // an isError CallToolResult, never kill the serve loop
+        Tools.dispatch(p, name, args).flatMap { df =>
+          try Right(df.toJSON.take(maxRows))
+          catch { case e: Exception =>
+            Left(s"tool $name failed: ${e.getMessage}") }
+        } match {
           case Left(err) =>
             content.addObject().put("type", "text").put("text", err)
             r.put("isError", true)
-          case Right(df) =>
-            val rows = df.toJSON.take(maxRows)
+          case Right(rows) =>
             content.addObject().put("type", "text")
               .put("text", rows.mkString("[", ",", "]"))
             r.put("isError", false)

@@ -71,6 +71,21 @@ class BenchGuardsSpec extends AnyFunSuite {
     assert(!BenchGuards.driftAlert(host))
   }
 
+  test("recall rows guard in the inverted direction: drops flag, " +
+      "timing logic never sees them") {
+    val snap = Map("x10_a3ivf_recall" -> 1.0, "x10_a3ivf_probe" -> 0.6)
+    // a recall collapse flags as a drop...
+    val drops = BenchGuards.recallDrops(
+      Seq("x10_a3ivf_recall" -> 0.3, "x10_a3ivf_probe" -> 0.6), snap)
+    assert(drops == Seq(("x10_a3ivf_recall", 1.0, 0.3)))
+    // ...and never as a timing regression even if it rose (excluded)
+    assert(BenchGuards.regressions(
+      Seq("x10_a3ivf_recall" -> 2.0), snap, 1.0).isEmpty)
+    // small jitter under 0.05 stays quiet
+    assert(BenchGuards.recallDrops(
+      Seq("x10_a3ivf_recall" -> 0.96), snap).isEmpty)
+  }
+
   test("regression guard flags 1.5x+0.3s growth, worst first, scaled by drift") {
     val snap = Map("a" -> 1.0, "b" -> 0.2, "c" -> 2.0)
     val now = Seq("a" -> 1.2, "b" -> 0.9, "c" -> 7.0)

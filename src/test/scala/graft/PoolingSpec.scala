@@ -54,6 +54,14 @@ class PoolingSpec extends SparkSpec {
     def msgs(t: Throwable): String =
       if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
     assert(msgs(e).contains("meanPool: ragged embedding"), msgs(e))
+    // a NULL vector row must trip the same guard (min(size) alone
+    // would skip the null while n_chunks counts the row)
+    val withNull = Seq((1L, Some(Seq(1.0f, 2.0f, 3.0f))), (1L, None))
+      .toDF("doc", "embedding")
+    val e2 = intercept[Exception] {
+      Pooling.meanPool(withNull, "doc", "embedding", 3).collect()
+    }
+    assert(msgs(e2).contains("meanPool: ragged embedding"), msgs(e2))
     // equal-width input is untouched by the guard
     assert(Pooling.meanPool(chunks, "doc", "embedding", 3).count() == 2)
   }

@@ -77,6 +77,24 @@ class StringLiteralChunkSpec extends SparkSpec {
     assert(got == Set("outer", "after"), got)
   }
 
+  test("triple-quote markers inside comments or ordinary strings do " +
+      "not flip the string state") {
+    val src =
+      "# python docstrings are delimited with \"\"\"\n" +
+      "DELIM = 'contains \"\"\" inside a normal string'\n" +
+      "\n" +
+      "def alpha():\n" +
+      "    return 1\n" +
+      "\n" +
+      "def beta():  # trailing ''' in a comment\n" +
+      "    return 2\n" +
+      "\n" +
+      "def gamma():\n" +
+      "    return 3\n"
+    val got = names("/r/g.py", "python", src)
+    assert(Set("alpha", "beta", "gamma").subsetOf(got), got)
+  }
+
   test("brackets inside JS string literals and trailing comments are " +
       "ignored by the continuation tracker") {
     val src =
