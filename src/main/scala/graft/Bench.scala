@@ -258,7 +258,23 @@ object Bench {
     val slow = results.sortBy(-_._2).take(30)
       .map { case (k, v, _, _) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"recall_drops":$recallJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"sf":"$sfDir"}"""
+    // Trials for FLAGGED rows only (r10 verdict #2): the 2 KB tail
+    // window cuts the full stress_trials map and BENCH_FULL is the
+    // builder's run, not the driver's — so the driver's own flags were
+    // not self-adjudicating (the judge had to re-measure x10_j11 to
+    // call it transient). A handful of flagged rows × Trials floats is
+    // bounded and survives the tail window.
+    val flaggedKeys: Set[String] =
+      regressions.map(_._1).toSet ++
+        inversions.flatMap { case (fam, fs, _, fb, _, _) =>
+          Seq(s"x${fs}_$fam", s"x${fb}_$fam") } ++
+        spreads.map(_._1)
+    val flaggedTrialsJson = stressTrials.view
+      .filterKeys(flaggedKeys).toSeq.sortBy(_._1)
+      .map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(j3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"recall_drops":$recallJson,"flagged_trials":$flaggedTrialsJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"sf":"$sfDir"}"""
     println(compactLine)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(

@@ -139,15 +139,27 @@ object BenchGuards {
     rs.size >= MinDriftCohort && rs(rs.size / 2) > DriftAlertRatio
   }
 
+  /** A STRESS-section quality row: `x<factor>_..._recall`. Only these
+    * carry recall VALUES and guard in the inverted direction. Gate
+    * timings whose names merely end in `_recall` (ar1_ann_recall,
+    * dre1_dedup_recall — they TIME a recall-measuring query) are
+    * ordinary timings: the round-10 suffix-only routing excluded them
+    * from the timing guard and shipped a 0.16 s timing IMPROVEMENT as a
+    * `recall_drops` false alarm in BENCH_r10.json (r10 verdict #1).
+    */
+  private[graft] def isQualityRow(k: String): Boolean =
+    k.matches("x\\d+_.*_recall")
+
   /** Per-gate regression guard vs the committed snapshot: min grew past
-    * 1.5×·drift AND +0.3 s. Returns worst-first, capped at 10. Quality
-    * rows (`*_recall`) are excluded — their guard direction is
-    * inverted ([[recallDrops]]).
+    * 1.5×·drift AND +0.3 s. Returns worst-first, capped at 10. Stress
+    * quality rows ([[isQualityRow]]) are excluded — their guard
+    * direction is inverted ([[recallDrops]]); gate timings face this
+    * guard regardless of name.
     */
   def regressions(guarded: Seq[(String, Double)],
       snapshot: Map[String, Double], drift: Double)
       : Seq[(String, Double, Double)] =
-    guarded.filterNot(_._1.endsWith("_recall")).flatMap { case (k, m) =>
+    guarded.filterNot(r => isQualityRow(r._1)).flatMap { case (k, m) =>
       snapshot.get(k).collect {
         case prev if prev > 0 && m > prev * 1.5 * drift &&
             m > prev * drift + 0.3 =>
@@ -156,14 +168,14 @@ object BenchGuards {
     }.sortBy { case (_, p, m) => -(m / p) }.take(10)
 
   /** Quality-row guard, direction INVERTED from the timing guard: a
-    * `*_recall` stress row that DROPS more than 0.05 below its
+    * stress `x*_..._recall` row that DROPS more than 0.05 below its
     * snapshot flags (a recall collapse would otherwise be invisible —
     * the timing guard only fires on increases, and recall values sit
     * under every floor). Returns (row, prev, now).
     */
   def recallDrops(guarded: Seq[(String, Double)],
       snapshot: Map[String, Double]): Seq[(String, Double, Double)] =
-    guarded.filter(_._1.endsWith("_recall")).flatMap { case (k, v) =>
+    guarded.filter(r => isQualityRow(r._1)).flatMap { case (k, v) =>
       snapshot.get(k).collect { case prev if v < prev - 0.05 =>
         (k, prev, v)
       }

@@ -86,6 +86,27 @@ class BenchGuardsSpec extends AnyFunSuite {
       Seq("x10_a3ivf_recall" -> 0.96), snap).isEmpty)
   }
 
+  test("GATE timings named *_recall are timings, not quality rows " +
+      "(r10 name-collision): they face the regression guard and never " +
+      "reach recallDrops") {
+    val snap = Map("dre1_dedup_recall" -> 0.843, "ar1_ann_recall" -> 0.4)
+    // a timing IMPROVEMENT on a gate named *_recall is NOT a recall
+    // drop (the BENCH_r10.json false alarm: 0.843 -> 0.683 s)
+    assert(BenchGuards.recallDrops(
+      Seq("dre1_dedup_recall" -> 0.683), snap).isEmpty)
+    // a real 10x slowdown on such a gate MUST flag as a regression
+    // (the r10 blind spot)
+    val r = BenchGuards.regressions(
+      Seq("dre1_dedup_recall" -> 8.4, "ar1_ann_recall" -> 0.41), snap, 1.0)
+    assert(r.map(_._1) == Seq("dre1_dedup_recall"))
+    // stress quality rows keep the inverted routing
+    assert(BenchGuards.isQualityRow("x10_a3ivf_recall"))
+    assert(BenchGuards.isQualityRow("x100_dre1_recall"))
+    assert(!BenchGuards.isQualityRow("dre1_dedup_recall"))
+    assert(!BenchGuards.isQualityRow("ar1_ann_recall"))
+    assert(!BenchGuards.isQualityRow("x10_a3ivf_probe"))
+  }
+
   test("regression guard flags 1.5x+0.3s growth, worst first, scaled by drift") {
     val snap = Map("a" -> 1.0, "b" -> 0.2, "c" -> 2.0)
     val now = Seq("a" -> 1.2, "b" -> 0.9, "c" -> 7.0)
