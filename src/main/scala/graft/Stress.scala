@@ -118,26 +118,38 @@ object Stress {
     val emb = synthEmbeddings(spark, n)
     val vocab = math.max(1000L, 10L * n)
     timed {
-      val idx = Bm25.buildIndex(
-        Bm25.postings(docs, "doc_id", split(col("text"), " ")))
-      // 10 queries × 3 terms drawn from the same vocab distribution
-      val qterms = (0 until 10).flatMap { q =>
-        (0 until 3).map { j =>
-          val t = "t" + java.lang.Math.floorMod(
-            scala.util.hashing.MurmurHash3.stringHash(s"q$q-$j").toLong, vocab)
-          (q.toLong, t, 1)
-        }
-      }.toDF("qid", "term", "qtf")
-      val kw = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("id"))
-      val kRanks = Bm25.scoreBatchIndexed(idx, qterms)
-        .withColumn("rank", row_number().over(kw))
-        .filter(col("rank") <= 50).select("qid", "id", "rank")
-      val qs = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val vRanks = graft.ann.Knn.bruteForceTopK(emb, "vec_id", "embedding",
-        qs, "qid", "qvec", 50).select("qid", "id", "rank")
-      Fusion.rrfBatch(vRanks, kRanks, alpha = 0.7).count()
+      // cache the postings table like the real flow (the gate registry
+      // persists the whole index via writeIndexBucketed): the index
+      // derivations (doc_stats, corpus, idf) and the scoring probe all
+      // consume postings, and without the cache the docs→explode→
+      // groupBy subtree re-runs once per consumer — r11 measured FIVE
+      // full re-derivations per scoring action (idf's two df passes,
+      // doc_stats, corpus, the probe side), ~19 s of the x100 row's
+      // cost that the deployment shape never pays. Mirrors
+      // dedupStress's shingle cache.
+      val post = Bm25.postings(docs, "doc_id", split(col("text"), " "))
+        .cache()
+      val idx = Bm25.buildIndex(post)
+      try {
+        // 10 queries × 3 terms drawn from the same vocab distribution
+        val qterms = (0 until 10).flatMap { q =>
+          (0 until 3).map { j =>
+            val t = "t" + java.lang.Math.floorMod(
+              scala.util.hashing.MurmurHash3.stringHash(s"q$q-$j").toLong, vocab)
+            (q.toLong, t, 1)
+          }
+        }.toDF("qid", "term", "qtf")
+        val kw = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("id"))
+        val kRanks = Bm25.scoreBatchIndexed(idx, qterms)
+          .withColumn("rank", row_number().over(kw))
+          .filter(col("rank") <= 50).select("qid", "id", "rank")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val vRanks = graft.ann.Knn.bruteForceTopK(emb, "vec_id", "embedding",
+          qs, "qid", "qvec", 50).select("qid", "id", "rank")
+        Fusion.rrfBatch(vRanks, kRanks, alpha = 0.7).count()
+      } finally post.unpersist(blocking = false)
     }
   }
 

@@ -25,12 +25,26 @@ object Bm25 {
   val B = 0.75
   val Epsilon = 0.25
 
-  /** postings: (id, term, tf) from an (id, tokens) input. */
-  def postings(docs: DataFrame, idCol: String, toksCol: Column): DataFrame =
+  /** postings: (id, term, tf) from an (id, tokens) input.
+    *
+    * r11 shape: term counts are computed INSIDE each document's row by
+    * the native [[graft.functions.TokenTf]] expression and then
+    * exploded — tf is a per-document fact, so the former corpus-wide
+    * `groupBy(id, term)` Exchange (~|occurrences| rows — 15M on the
+    * x100 stress corpus, the heaviest leg of the hb1 index build)
+    * shuffled data only to bring together rows that already lived in
+    * the same source row (guide §2.4). Row-for-row identical to the
+    * groupBy form for unique-id inputs (every corpus table here;
+    * Bm25Spec pins the equivalence).
+    */
+  def postings(docs: DataFrame, idCol: String, toksCol: Column): DataFrame = {
+    graft.functions.GraftFunctions.ensure("graft_term_tf",
+      exprs => graft.functions.TokenTf(exprs.head))
     docs
-      .select(col(idCol).as("id"), explode(toksCol).as("term"))
-      .groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol).as("id"),
+        explode(call_function("graft_term_tf", toksCol)).as("kv"))
+      .select(col("id"), col("kv.term").as("term"), col("kv.tf").as("tf"))
+  }
 
   /** doc_stats: (id, dl) — document length in tokens. */
   def docStats(postings: DataFrame): DataFrame =
@@ -150,6 +164,21 @@ object Bm25 {
       spark.read.parquet(s"$path/corpus"),
       spark.read.parquet(s"$path/idf"))
 
+  /** The idf rows for a query's terms, for broadcasting (r11): the idf
+    * table is VOCABULARY-scale — broadcasting it whole collects the
+    * entire vocabulary to the driver and ships it to every task
+    * (measured: 5.2M rows / tens of seconds on the x100 stress corpus,
+    * where vocab ∝ corpus — the dominant leg of hb1's 4.2× growth).
+    * Every scoring join only ever consumes the query's own terms, so
+    * semi-joining idf down to them first (query table broadcast, idf
+    * streamed) bounds the collected relation by |query terms| — the
+    * guide §3.2 "reduce before shipping" shape, and the repo's own
+    * "vocab joins hash-partitioned, never broadcast" rule. Inner join
+    * on the same key the scoring join uses ⇒ bit-identical results.
+    */
+  private def idfForTerms(idx: Bm25Index, q: DataFrame): DataFrame =
+    idx.idf.join(broadcast(q.select(col("term")).distinct()), Seq("term"))
+
   /** Score a tokenized query against a prebuilt index (multiset: duplicate
     * query terms count twice, as in rank_bm25). Output: (id, score).
     */
@@ -160,7 +189,7 @@ object Bm25 {
       .toSeq.toDF("term", "qtf")
     idx.postings
       .join(broadcast(q), Seq("term"))
-      .join(broadcast(idx.idf), Seq("term"))
+      .join(broadcast(idfForTerms(idx, q)), Seq("term"))
       .join(idx.docStats, Seq("id"))
       .crossJoin(broadcast(idx.corpus))
       .withColumn("contrib",
@@ -191,7 +220,7 @@ object Bm25 {
     }.toDF("variant", "term", "qtf")
     idx.postings
       .join(broadcast(q), Seq("term"))
-      .join(broadcast(idx.idf), Seq("term"))
+      .join(broadcast(idfForTerms(idx, q)), Seq("term"))
       .join(idx.docStats, Seq("id"))
       .crossJoin(broadcast(idx.corpus))
       .withColumn("contrib",
@@ -217,7 +246,7 @@ object Bm25 {
   def scoreBatchIndexed(idx: Bm25Index, queryTerms: DataFrame): DataFrame =
     idx.postings
       .join(broadcast(queryTerms), Seq("term"))
-      .join(broadcast(idx.idf), Seq("term"))
+      .join(broadcast(idfForTerms(idx, queryTerms)), Seq("term"))
       .join(idx.docStats, Seq("id"))
       .crossJoin(broadcast(idx.corpus))
       .withColumn("contrib",

@@ -21,6 +21,29 @@ class BatchSearchSpec extends SparkSpec {
   private lazy val idx =
     Bm25.buildIndex(Bm25.postings(docs, "id", col("toks")))
 
+  test("native TokenTf postings equal the groupBy(id, term) form " +
+      "(r11: the corpus-wide tf Exchange is gone, rows must not change)") {
+    val fixture = Seq(
+      (1L, Seq("a", "b", "a", "a")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("b")),
+      (4L, Seq("c", "c", "b", "a", "c"))
+    ).toDF("id", "toks")
+    val native = Bm25.postings(fixture, "id", col("toks"))
+      .orderBy("id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val viaGroupBy = fixture
+      .select(col("id"), explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy("id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(native.toSeq == viaGroupBy.toSeq)
+    // schema contract downstream consumers rely on
+    assert(Bm25.postings(fixture, "id", col("toks")).schema.map(f =>
+      (f.name, f.dataType.simpleString)) ==
+      Seq(("id", "bigint"), ("term", "string"), ("tf", "bigint")))
+  }
+
   test("scoreBatchIndexed with one query equals scoreIndexed") {
     val q = Seq("table", "scan", "table")
     val single = Bm25.scoreIndexed(spark, idx, q)
