@@ -215,7 +215,21 @@ object Kg {
     // jobs.
     val deep = maxHops >= 3
     val e0 = edges.select(col(from).as("walk_from"), col(to).as("walk_to"))
-    val e = if (deep) e0.localCheckpoint(eager = true) else e0
+    // Deep walks: pre-partition the static edge relation by its join
+    // key BEFORE checkpointing — LogicalRDD preserves the checkpointed
+    // plan's outputPartitioning, so every hop's equi-join sees the edge
+    // side already hash-partitioned and only the (usually smaller)
+    // frontier side moves (guide §2.4: operations keyed the same way
+    // share one exchange). The r10 shape re-shuffled AND re-sorted the
+    // full edge relation once per hop — 8 hops × |E| rows of exchange
+    // for a relation that never changes.
+    // explicit partition count (the session's shuffle-partition
+    // setting): a count-less repartition is AQE-coalescible, and a
+    // coalesced edge layout would stop matching the hop joins' required
+    // distribution, silently re-introducing the per-hop edge shuffle
+    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = if (deep) e0.repartition(nShuffle, col("walk_from"))
+      .localCheckpoint(eager = true) else e0
     // the seed derivation can itself be a multi-join plan (a13 roots the
     // walk at the EntryPoints detector output): left unmaterialized it is
     // re-derived by EVERY hop's anti-join against acc — checkpoint it once
@@ -225,10 +239,24 @@ object Kg {
     var hop = 1
     var growing = true
     while (growing && hop <= maxHops) {
-      val next = e.join(frontier, e("walk_from") === frontier("id"))
-        .select(col("walk_to").as("id"), lit(hop).as("dist"))
+      // distinct on id ALONE (dist is a per-hop constant — attached
+      // after) so the aggregate's output partitioning is hash(id) and
+      // the anti-join's left side needs no further exchange. DEEP walks
+      // additionally hint shuffle_hash: their frontiers grow toward
+      // corpus scale (checkpointed RDDs carry no size stats, so the
+      // planner would fall back to sort-merge and re-sort every hop);
+      // SHALLOW walks stay hint-free — their seed-scale frontiers get
+      // planner-chosen broadcast joins, which the hint would override
+      // with a needless shuffle (g3's plan is the regression witness).
+      val frontierSide = if (deep) frontier.hint("shuffle_hash") else frontier
+      val accSide =
+        if (deep) acc.select("id").hint("shuffle_hash") else acc.select("id")
+      val next = e.join(frontierSide,
+          e("walk_from") === frontierSide("id"))
+        .select(col("walk_to").as("id"))
         .distinct()
-        .join(acc.select("id"), Seq("id"), "left_anti")
+        .join(accSide, Seq("id"), "left_anti")
+        .select(col("id"), lit(hop).as("dist"))
       if (deep) {
         val p = next.localCheckpoint(eager = true)
         growing = p.limit(1).count() > 0
