@@ -52,12 +52,25 @@ object Quantize {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, refine: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r11: decode + squared norm are corpus-side facts — computed ONCE
+    // per corpus row in a pre-join projection instead of once per
+    // (corpus × query) pair inside the cross join (the old shape paid
+    // |queries|× the interpreted decode transform and 2 of the 3 dot
+    // folds per pair; guide §1.2 per-task work). cosinePre over the
+    // same float values is arithmetically identical to cosine (same
+    // FloatDot folds, same double ops), so ranks and the a4 oracle
+    // hash are unchanged.
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
-    val approx = encoded
+      .withColumn("qn2",
+        graft.functions.VectorFunctions.norm2(col("qvec")))
+    val dec = encoded.withColumn("dvec",
+      decode(col("codes"), col("qmin"), col("qscale")))
+      .withColumn("dn2", graft.functions.VectorFunctions.norm2(col("dvec")))
+    val approx = dec
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("qid"))
-      .withColumn("asim", graft.functions.VectorFunctions.cosine(
-        decode(col("codes"), col("qmin"), col("qscale")), col("qvec")))
+      .withColumn("asim", graft.functions.VectorFunctions.cosinePre(
+        col("dvec"), col("qvec"), col("dn2"), col("qn2")))
     val wA = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col(idCol).asc)
     val cands = approx
       .withColumn("arank", row_number().over(wA))
