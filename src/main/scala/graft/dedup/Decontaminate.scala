@@ -178,9 +178,13 @@ object Decontaminate {
 
   private def memoizedCount(b0: DataFrame): Long = {
     if (benchCountMemo.size > 64) benchCountMemo.clear()
+    // NonFatal only: swallowing an OutOfMemoryError/linkage error here
+    // would silently fall back to a file-less memo key that can serve a
+    // stale count for a grown bench — the exact failure the key
+    // extension prevents (ADVICE r10)
     val files =
       try b0.inputFiles.toSeq.sorted
-      catch { case _: Throwable => Seq.empty[String] }
+      catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
     benchCountMemo.getOrElseUpdate(
       (b0.queryExecution.analyzed.canonicalized, files), b0.count())
   }

@@ -61,7 +61,16 @@ object Doremi {
         .withColumn("weight_micro", expr("(w_raw * 1000000) div tot"))
         .drop("w_raw", "tot")
     }
-    w.select(col("domain"), col("n_docs"), col("avg_excess_micro"),
-      col("weight_micro"))
+    // Materialize the metadata-scale result (tens of rows) so the
+    // cached domain table can be released before returning: repeated
+    // domainWeights calls in a long-lived session (ServeMain/MCP)
+    // would otherwise accumulate cached frames in the block manager
+    // (ADVICE r10). localCheckpoint also truncates the 2·iters-deep
+    // crossJoin lineage the caller would re-optimize per action.
+    val out = w.select(col("domain"), col("n_docs"),
+      col("avg_excess_micro"), col("weight_micro"))
+      .localCheckpoint(eager = true)
+    perDomain.unpersist(blocking = false)
+    out
   }
 }
