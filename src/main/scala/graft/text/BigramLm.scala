@@ -46,12 +46,22 @@ object BigramLm {
     val c1 = c2.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))
     val vocab = toked.select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("vocab"))
-    bg.join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    // r11: fold the context counts and the vocab scalar into ONE
+    // per-bigram score table BEFORE touching the occurrence relation —
+    // the old shape joined the doc-bigram occurrences to c2 on
+    // (w1, w2) and then RE-SHUFFLED the whole joined occurrence
+    // relation by w1 for the c1 join (two occurrence-scale exchanges;
+    // §2.4). qn depends only on (cnt2, cnt1, vocab), so it computes on
+    // the distinct-bigram table and the occurrences shuffle exactly
+    // once. Identical inputs to the same expression ⇒ identical qn
+    // (bg1 oracle green).
+    val score = c2.join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("qn",
         floor(log((col("cnt2").cast("double") + 1) / (col("cnt1") + col("vocab")))
           * UnigramLm.MicroNats).cast("long"))
+      .select(col("w1"), col("w2"), col("qn"))
+    bg.join(score, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         sum(col("qn")).as("sum_micro_nats"))

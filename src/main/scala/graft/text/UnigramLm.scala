@@ -33,22 +33,38 @@ object UnigramLm {
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    // the tokenized occurrences feed the unigram table, the scalar
-    // total, AND the join back — cache once (the write-once tokenized-
-    // corpus artifact, like the dedup flow's shingle table) instead of
-    // paying the regex tokenization per branch
-    val occ = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("t")).cache()
-    val uni = occ.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    val total = occ.agg(count(lit(1)).as("total"))
-    occ.join(uni, Seq("t"))
+    // r11: aggregate to per-document (token, tf) pairs INSIDE each row
+    // (native TokenTf — zero shuffle) before anything else, so every
+    // downstream exchange moves distinct (doc, token) pairs weighted by
+    // tf instead of raw occurrences (§2.3 aggregate before you
+    // shuffle; on natural-language corpora the tf compression is the
+    // point — repeated tokens collapse). The pair table feeds the
+    // unigram rollup AND the join back — cache once (the write-once
+    // tokenized-corpus artifact, like the dedup flow's shingle table)
+    // instead of paying the regex tokenization per branch. Integer
+    // equivalence: sum(qn·tf) over pairs = sum(qn) over occurrences,
+    // count(occurrences) = sum(tf) — bit-identical outputs (un1
+    // oracle + UnigramLmSpec).
+    graft.functions.GraftFunctions.ensure("graft_term_tf",
+      exprs => graft.functions.TokenTf(exprs.head))
+    val tfp = docs.select(col(idCol).as("doc_id"),
+        explode(call_function("graft_term_tf",
+          TextFunctions.tokens(col(textCol)))).as("kv"))
+      .select(col("doc_id"), col("kv.term").as("t"), col("kv.tf").as("tf"))
+      .cache()
+    val uni = tfp.groupBy(col("t")).agg(sum(col("tf")).as("cnt"))
+    // scalar total: one cached-pair scan, no vocab exchange (re-rolling
+    // it up from `uni` would re-derive the vocab aggregate unless the
+    // runtime happens to reuse the exchange)
+    val total = tfp.agg(sum(col("tf")).as("total"))
+    tfp.join(uni, Seq("t"))
       .crossJoin(broadcast(total))
       .withColumn("qn",
         floor(log(col("cnt").cast("double") / col("total")) * MicroNats)
           .cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_tokens"),
-        sum(col("qn")).as("sum_micro_nats"))
+      .agg(sum(col("tf")).cast("int").as("n_tokens"),
+        sum(col("qn") * col("tf")).as("sum_micro_nats"))
       .withColumn("avg_logprob",
         round(col("sum_micro_nats").cast("double") / col("n_tokens")
           / MicroNats, 6))
