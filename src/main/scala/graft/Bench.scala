@@ -20,8 +20,29 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r11: the driver's bench died with executor-heartbeat RPC timeouts
+      // under 6-20% hypervisor-steal bursts — in local mode a missed 10s
+      // heartbeat kills the only executor there is. Raise both well past
+      // the burst length (VERDICT r11 #1a).
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Wall-clock budget (VERDICT r11 #1b): BOTH driver bench runs in r11
+    // were killed at the driver's time limit (rc 124) before the compact
+    // JSON line printed, so an optimization round recorded ZERO numbers.
+    // The harness now tracks elapsed wall time against a soft budget
+    // (env-overridable) and degrades HONESTLY rather than losing
+    // everything: past 45% of the budget remaining gates run
+    // warmup + 1 timed run (instead of +3); past 70% a single timed run
+    // with no warmup; stress is skipped if under 25% of the budget
+    // remains, and the fork is hard-killed at the budget edge. Every cut
+    // is named in a "degraded" field (the no-silent-caps rule). Gates
+    // are NEVER skipped — the driver treats a missing query as dropped.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    val tStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
 
     // warmup: touch every input table + exercise codegen/shuffle machinery
     graft.tables.Tables.names.foreach { t =>
@@ -53,15 +74,24 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.findFirstIn(n).isDefined)
     }
+    // budget degradation bookkeeping: which gates ran with fewer
+    // executions than the 1-warmup+3-timed contract, and why
+    val reducedGates = scala.collection.mutable.ArrayBuffer.empty[String]
+    val singleRunGates = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
+      // budget mode for THIS gate, decided at its start
+      val frac = elapsedS / budgetS
+      val mode = if (frac > 0.70) 2 else if (frac > 0.45) 1 else 0
+      if (mode == 2) singleRunGates += name
+      else if (mode == 1) reducedGates += name
       // one UNTIMED warmup run first (standard steady-state harness
       // practice — JMH/TPC, and the reference's own numbers are warm):
       // per-corpus persisted registries (corpus vectors, BM25/F, phrase
       // postings, IVF layouts) build lazily on first touch, and that
       // one-time ingest work must not contaminate the timed probe runs.
-      // SPARK_GRAFT_WARMUP_RUNS=0 disables.
+      // SPARK_GRAFT_WARMUP_RUNS=0 disables; budget mode 2 drops it too.
       val warmErr: Option[String] =
-        if (!sys.env.get("SPARK_GRAFT_WARMUP_RUNS").contains("0"))
+        if (mode < 2 && !sys.env.get("SPARK_GRAFT_WARMUP_RUNS").contains("0"))
           once(fn)._2
         else None
       // a warmup-only failure (first-touch registry/seed build crash)
@@ -70,8 +100,10 @@ object Bench {
       // when the timed runs succeed (ADVICE r8)
       warmErr.foreach(e =>
         System.err.println(s"[bench] $name WARMUP FAILED: $e"))
-      val runs = Seq(once(fn), once(fn), once(fn))
-      val median = runs.map(_._1).sorted.apply(1)
+      val runs =
+        if (mode == 0) Seq(once(fn), once(fn), once(fn))
+        else Seq(once(fn))
+      val median = runs.map(_._1).sorted.apply(runs.size / 2)
       // the min distinguishes host-load contamination (median >> min)
       // from a real regression (median ≈ min, both high) — three rounds
       // of load-skewed driver numbers motivated recording it
@@ -81,6 +113,11 @@ object Bench {
       err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
       (name, median, minT, err)
     }
+    if (reducedGates.nonEmpty || singleRunGates.nonEmpty)
+      System.err.println(
+        "[bench] BUDGET DEGRADATION: %d gates at warmup+1run, %d at 1run-only (budget %.0fs, elapsed %.0fs)"
+          .formatLocal(java.util.Locale.ROOT, reducedGates.size,
+            singleRunGates.size, budgetS, elapsedS))
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
     def j3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -104,13 +141,28 @@ object Bench {
     // accumulated heap/GC/codegen state contaminated the first stress
     // points even under warmup + min-of-2. A child JVM (same flags,
     // same classpath, inherited env) measures stress from a clean heap.
+    // budget: remaining wall time for the stress phase, minus a grace
+    // window so the guard/JSON emission after it always fits. A hung or
+    // slow child is hard-killed at this deadline (forkJson timeout) —
+    // losing stress rows honestly beats losing the whole artifact.
+    val stressBudgetS = budgetS - elapsedS - 45.0
+    // stressCut: what the budget removed from the stress section (None
+    // when the section ran whole) — lands in the `degraded` field
+    var stressCut: Option[String] = None
     val stressPairs: Either[String, Seq[(String, Double)]] =
       if (sys.env.get("SPARK_GRAFT_STRESS").contains("0"))
         Left("SPARK_GRAFT_STRESS=0")
       else if (only.nonEmpty) Left("SPARK_GRAFT_ONLY set")
-      else if (!sys.env.get("SPARK_GRAFT_STRESS_FORK").contains("0"))
-        Stress.forkJson(Seq("--json"))
-      else {
+      else if (elapsedS > 0.75 * budgetS || stressBudgetS < 90.0) {
+        val msg = "budget: %.0fs of %.0fs elapsed before stress"
+          .formatLocal(java.util.Locale.ROOT, elapsedS, budgetS)
+        stressCut = Some(msg)
+        Left(msg)
+      } else if (!sys.env.get("SPARK_GRAFT_STRESS_FORK").contains("0")) {
+        val fork = Stress.forkJson(Seq("--json"), timeoutS = stressBudgetS)
+        stressCut = fork.cut
+        fork.rows
+      } else {
         // drop the gate queries' persisted caches (dedup/IVF/ancestry
         // indexes) first: stress builds its own corpora, and measuring
         // it against a memory-starved session inflates variance
@@ -245,7 +297,18 @@ object Bench {
         s"[bench] wrote snapshot ${guarded.size} rows -> $snapPath")
     }
 
-    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"stress_trials":$trialsJson,"stress_growth":$growthJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"recall_drops":$recallJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"sf":"$sfDir"}"""
+    // "degraded": exactly what the wall-clock budget cut, or null when
+    // nothing was (the normal case). Compact variant carries counts (the
+    // driver tail window is ~2 KB); the full artifact names every gate.
+    def namesJson(xs: Seq[String]): String =
+      xs.map(jstr).mkString("[", ",", "]")
+    val degradedFull: String =
+      if (reducedGates.isEmpty && singleRunGates.isEmpty && stressCut.isEmpty) "null"
+      else s"""{"budget_s":${j3(budgetS)},"gates_warmup_plus_1run":${namesJson(reducedGates.toSeq)},"gates_1run_only":${namesJson(singleRunGates.toSeq)},"stress_cut":${stressCut.map(jstr).getOrElse("null")}}"""
+    val degradedCompact: String =
+      if (degradedFull == "null") "null"
+      else s"""{"budget_s":${j3(budgetS)},"n_gates_warmup_plus_1run":${reducedGates.size},"n_gates_1run_only":${singleRunGates.size},"stress_cut":${stressCut.map(jstr).getOrElse("null")}}"""
+    val fullLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"queries_min":$qmins,"errors":$errs,"regressions":$regJson,"stress":$stress,"stress_trials":$trialsJson,"stress_growth":$growthJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"recall_drops":$recallJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"degraded":$degradedFull,"sf":"$sfDir"}"""
     // The driver TAIL-captures the last ~2 KB of the bench log, then
     // tries to json-parse a line — so the LAST stdout line must be (a)
     // pure JSON from column 0 (r8's "parsed": null: sbt's forked-run
@@ -274,7 +337,7 @@ object Bench {
       .map { case (k, ts) =>
         "\"" + k + "\":[" + ts.map(j3).mkString(",") + "]"
       }.mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"recall_drops":$recallJson,"flagged_trials":$flaggedTrialsJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$slow,"queries_truncated_to_top30":true,"n_queries":${results.size},"n_errors":${results.count(_._4.nonEmpty)},"regressions":$regJson,"stress_inversions":$invJson,"stress_spread":$spreadJson,"recall_drops":$recallJson,"flagged_trials":$flaggedTrialsJson,"drift":${j3(drift)},"drift_alert":$driftAlert,"degraded":$degradedCompact,"sf":"$sfDir"}"""
     println(compactLine)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(

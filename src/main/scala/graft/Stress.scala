@@ -47,14 +47,44 @@ object Stress {
     * `t:<name>:<i>` row per trial (Bench folds those into the
     * artifact's `stress_trials` map and the spread guard).
     */
-  private def trialsOf(name: String)(f: => Double): Seq[(String, Double)] = {
-    // EXPLICIT sequential evaluations — Seq.fill(n)(f) would also work
-    // but hides the by-name re-evaluation a refactor could drop
-    val ts = (1 to Trials).map(_ => f)
-    (name -> ts.min) +: ts.zipWithIndex.map { case (v, i) =>
-      s"t:$name:${i + 1}" -> v
-    }
+  private def trialsOf(name: String)(f: => Double): Seq[(String, Double)] =
+    record((1 to Trials).map(_ => f) match {
+      // EXPLICIT sequential evaluations above — Seq.fill(n)(f) would
+      // also work but hides the by-name re-evaluation a refactor could
+      // drop
+      case ts => (name -> ts.min) +: ts.zipWithIndex.map { case (v, i) =>
+        s"t:$name:${i + 1}" -> v
+      }
+    })
+
+  /** Partial-result streaming (r12): r11's driver runs died at the
+    * round time limit with NOTHING recorded, so the child now re-emits
+    * the CUMULATIVE row set (`[stress-json-partial] {...}`) after every
+    * completed family; a parent that has to kill the child at its
+    * wall-clock budget salvages the completed rows from the last
+    * partial line (the cut is named in the artifact's `degraded`
+    * field — no silent truncation). Measurement methodology is
+    * untouched: same families, same order, same min-of-[[Trials]].
+    */
+  @volatile private var emitPartials = false
+  private val partialRows =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+  private[graft] def jsonLine(rows: Seq[(String, Double)]): String = {
+    def j3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    rows.map { case (k, v) => "\"" + k + "\":" + j3(v) }
+      .mkString("{", ",", "}")
   }
+
+  private def record(rows: Seq[(String, Double)]): Seq[(String, Double)] =
+    synchronized {
+      partialRows ++= rows
+      if (emitPartials) {
+        println("[stress-json-partial] " + jsonLine(partialRows.toSeq))
+        System.out.flush()
+      }
+      rows
+    }
 
   /** Synthetic corpus: n docs × 30 tokens drawn from a 10n-token vocab
     * via portable hashing; doc i ≡ 0 (mod 97) copies doc i-1's first 27
@@ -313,6 +343,46 @@ object Stress {
     (probes, hits / 100.0)
   }
 
+  /** a4/a6 recall-at-scale rows (VERDICT r10 #5/#6, r11 #6): quantized
+    * retrieval (a4 int8 scalar quantization, a6 PQ-ADC) is where recall
+    * erodes as the corpus grows — the rank resolution of the compressed
+    * representation degrades with density, which probe-latency rows
+    * cannot see. Measures recall@10 of the two-stage (approx +
+    * exact-refine) paths vs exact brute force over the same clustered
+    * fixture the a3 family uses, at the gate parameters (k=10,
+    * refine=3; PQ m=8/ksub=16, codebook fit on a bounded deterministic
+    * subsample — standard PQ practice; encoding covers the full
+    * corpus). Deterministic per size (seeded fixture, affine/codebook
+    * math), so a single evaluation and no trial rows; the
+    * `x<f>_.._recall` name shape routes these through the inverted
+    * recall guard. Returns (a4 recall, a6 recall).
+    */
+  def quantRecallStress(spark: SparkSession, n: Long): (Double, Double) = {
+    val emb = synthClusteredEmbeddings(spark, n)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = graft.ann.Knn.bruteForceTopK(emb, "vec_id", "embedding",
+      qs, "qid", "qvec", 10).select(col("qid"), col("id")).cache()
+    truth.count()
+    try {
+      val enc = graft.ann.Quantize.encode(emb, "embedding")
+      val a4hits = graft.ann.Quantize.requantizedTopK(enc, "vec_id",
+          "embedding", qs, "qid", "qvec", k = 10, refine = 3)
+        .select(col("qid"), col("id")).join(truth, Seq("qid", "id")).count()
+      val step = math.max(1L, n / 20000L)
+      val cb = graft.ann.Pq.fit(
+        emb.filter(pmod(col("vec_id"), lit(step)) === 0), "embedding", 8, 16)
+      val codes = graft.ann.Pq.encode(
+        emb.select(col("vec_id"), col("embedding")), "embedding", cb)
+        .select(col("vec_id"), col("codes"))
+      val a6hits = graft.ann.Pq.adcTopK(codes,
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        qs, "qid", "qvec", cb, k = 10, refine = 3)
+        .select(col("qid"), col("id")).join(truth, Seq("qid", "id")).count()
+      (a4hits / 100.0, a6hits / 100.0)
+    } finally truth.unpersist(blocking = false)
+  }
+
   /** j11 family: doc sections ↔ code entities via the inverted-index
     * candidate channel + README-dir channel.
     */
@@ -497,7 +567,21 @@ object Stress {
     * unchanged, pure contamination from the 224-gate bench's
     * accumulated heap/GC/codegen state.
     */
-  def forkJson(args: Seq[String]): Either[String, Seq[(String, Double)]] =
+  /** Fork outcome: the parsed rows (or an error) plus an optional
+    * `cut` message when the rows are a budget-killed PARTIAL set —
+    * Bench surfaces the cut in the artifact's `degraded` field.
+    */
+  final case class ForkResult(rows: Either[String, Seq[(String, Double)]],
+      cut: Option[String])
+
+  /** `timeoutS`: wall-clock limit for the child; past it the child is
+    * destroyed and the rows completed so far (streamed as
+    * `[stress-json-partial]` lines) are salvaged, with the cut named
+    * (r12: Bench runs under a wall-clock budget — a slow/hung stress
+    * fork must not swallow the whole artifact the way r11's driver
+    * timeout did). Non-positive = no limit.
+    */
+  def forkJson(args: Seq[String], timeoutS: Double = 0.0): ForkResult =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = new java.io.File(new java.io.File(
@@ -510,20 +594,62 @@ object Stress {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
-      // drain stdout fully BEFORE waitFor (pipe-buffer deadlock)
-      val out = scala.io.Source
-        .fromInputStream(p.getInputStream, "UTF-8").getLines().toList
-      val rc = p.waitFor()
-      out.find(_.startsWith("[stress-json] ")) match {
-        case Some(line) if rc == 0 =>
-          Right("\"([^\"]+)\":(-?[0-9.]+)".r
-            .findAllMatchIn(line.stripPrefix("[stress-json] "))
-            .map(m => m.group(1) -> m.group(2).toDouble).toSeq)
-        case _ => Left(s"stress child rc=$rc, no [stress-json] line")
+      // drain stdout on a thread BEFORE waitFor (pipe-buffer deadlock);
+      // collected lines stay available even when the deadline kills the
+      // child mid-run
+      val outLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val drainer = new Thread(() =>
+        try scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+          .getLines().foreach(outLines.add)
+        catch { case _: Throwable => }, "stress-fork-drain")
+      drainer.setDaemon(true)
+      drainer.start()
+      val finished =
+        if (timeoutS > 0)
+          p.waitFor(math.ceil(timeoutS * 1000).toLong,
+            java.util.concurrent.TimeUnit.MILLISECONDS)
+        else { p.waitFor(); true }
+      def parse(line: String, prefix: String): Seq[(String, Double)] =
+        "\"([^\"]+)\":(-?[0-9.]+)".r
+          .findAllMatchIn(line.stripPrefix(prefix))
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      if (!finished) {
+        p.destroyForcibly()
+        p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+        val cut = "stress child killed at its %.0fs budget"
+          .formatLocal(java.util.Locale.ROOT, timeoutS)
+        // salvage the completed families from the last partial line
+        outLines.asScala.toList.reverse
+          .find(_.startsWith("[stress-json-partial] ")) match {
+          case Some(line) =>
+            val rows = parse(line, "[stress-json-partial] ")
+            ForkResult(Right(rows),
+              Some(s"$cut — partial: ${rows.size} rows kept"))
+          case None => ForkResult(Left(s"$cut — no partial rows"), Some(cut))
+        }
+      } else {
+        drainer.join(5000)
+        val rc = p.exitValue()
+        val out = outLines.asScala.toList
+        out.find(_.startsWith("[stress-json] ")) match {
+          case Some(line) if rc == 0 =>
+            ForkResult(Right(parse(line, "[stress-json] ")), None)
+          case _ =>
+            // a crashed child may still have streamed completed rows
+            out.reverse.find(_.startsWith("[stress-json-partial] ")) match {
+              case Some(line) =>
+                val rows = parse(line, "[stress-json-partial] ")
+                ForkResult(Right(rows),
+                  Some(s"stress child rc=$rc — partial: ${rows.size} rows kept"))
+              case None =>
+                ForkResult(Left(s"stress child rc=$rc, no [stress-json] line"),
+                  None)
+            }
+        }
       }
     } catch { case e: Throwable =>
-      Left(("stress fork failed: " +
-        e.toString.replaceAll("\\s+", " ")).take(160))
+      ForkResult(Left(("stress fork failed: " +
+        e.toString.replaceAll("\\s+", " ")).take(160)), None)
     }
 
   /** Manual runner: `runMain graft.Stress [--json] [factors...]`.
@@ -538,6 +664,7 @@ object Stress {
       return
     }
     val json = args.contains("--json")
+    emitPartials = json // stream cumulative rows for budget-kill salvage
     val factors = args.filterNot(_ == "--json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -546,6 +673,9 @@ object Stress {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // same starved-host hardening as Bench (r11 heartbeat kills)
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val res =
@@ -639,25 +769,34 @@ object Stress {
       val g12 =
         if (only.forall(_.findFirstIn(s"x${f}_g12").isDefined)) {
           val runs = (1 to Trials).map(_ => diffKgStress(spark, 2000L * f))
-          Seq(s"x${f}_g12_full" -> runs.map(_._1).min,
+          record(Seq(s"x${f}_g12_full" -> runs.map(_._1).min,
             s"x${f}_g12_diff" -> runs.map(_._2).min) ++
             runs.zipWithIndex.flatMap { case ((fu, di), i) =>
               Seq(s"t:x${f}_g12_full:${i + 1}" -> fu,
                 s"t:x${f}_g12_diff:${i + 1}" -> di)
-            }
+            })
         } else Seq.empty
       // a3 family emits a probe-latency row AND a recall row per
       // factor (recall is deterministic per size — no trial spread)
       val a3 =
         if (only.forall(_.findFirstIn(s"x${f}_a3ivf").isDefined)) {
           val (probes, recall) = ivfStressTrials(spark, docsN, Trials)
-          Seq(s"x${f}_a3ivf_probe" -> probes.min,
+          record(Seq(s"x${f}_a3ivf_probe" -> probes.min,
             s"x${f}_a3ivf_recall" -> recall) ++
             probes.zipWithIndex.map { case (p, i) =>
               s"t:x${f}_a3ivf_probe:${i + 1}" -> p
-            }
+            })
         } else Seq.empty
-      dedup ++ a3 ++
+      // a4/a6 quality rows: one evaluation per factor (deterministic —
+      // see quantRecallStress), gated on either name matching the
+      // ONLY filter since the pair shares one fixture+truth build
+      val quant =
+        if (only.forall(r => r.findFirstIn(s"x${f}_a4_recall").isDefined ||
+            r.findFirstIn(s"x${f}_a6_recall").isDefined)) {
+          val (a4r, a6r) = quantRecallStress(spark, docsN)
+          record(Seq(s"x${f}_a4_recall" -> a4r, s"x${f}_a6_recall" -> a6r))
+        } else Seq.empty
+      dedup ++ a3 ++ quant ++
         fam(s"x${f}_hb1_batch")(batchSearchStress(spark, docsN)._1) ++
         fam(s"x${f}_j11_doclinks")(docLinksStress(spark, docsN)._1) ++
         fam(s"x${f}_a13_walk")(walkStress(spark, 10000L * f)._1) ++
