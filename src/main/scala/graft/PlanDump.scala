@@ -12,6 +12,24 @@ import org.apache.spark.sql.SparkSession
   * AQE), so plans show the initial AdaptiveSparkPlan shape.
   */
 object PlanDump {
+  /** In-loop plan capture for iterative operators (VERDICT r11 #3): an
+    * eager localCheckpoint truncates the loop body out of the FINAL
+    * plan, so the committed before/after dumps for walk-shaped gates
+    * were node-identical and the per-hop claims unverifiable. Operators
+    * call `probe(frame, label)` on the hop frame BEFORE checkpointing;
+    * it writes the formatted plan only when the session conf
+    * `spark.graft.plandump.dir` is set (PlanDump's own session sets it;
+    * bench/tests never do, so the hot path pays one conf lookup).
+    */
+  def probe(df: org.apache.spark.sql.DataFrame, label: String): Unit =
+    df.sparkSession.conf.getOption("spark.graft.plandump.dir").foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve(s"$label.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: PlanDump <outDir> <query> [query...]")
     val outDir = java.nio.file.Paths.get(args(0))
@@ -25,6 +43,8 @@ object PlanDump {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // route in-loop probes (see `probe`) next to the gate plans
+      .config("spark.graft.plandump.dir", outDir.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.drop(1).foreach { name =>

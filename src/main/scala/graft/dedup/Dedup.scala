@@ -190,7 +190,9 @@ object Dedup {
       val next = labels.join(nb, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        // r12: lazy mark — the full-aggregate label checksum below
+        // materializes every partition in the same job (2 jobs/round→1)
+        .localCheckpoint(false)
       val s = lblSum(next)
       converged = s == prev
       prev = s
@@ -263,7 +265,9 @@ object Dedup {
         .select(least(col("e.x"), col("e.m")).as("a"),
           greatest(col("e.x"), col("e.m")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(true)
+        // r12: lazy mark — the full-aggregate set-identity probe below
+        // materializes every partition in the same job (2 jobs/round→1)
+        .localCheckpoint(false)
       val s = probe(small)
       converged = s == prev
       prev = s

@@ -54,7 +54,9 @@ object Closeness {
         .select(col("s"), col("dst").as("node"), (col("d") + 1L).as("d"))
         .unionByName(dist)
         .groupBy(col("s"), col("node")).agg(min(col("d")).as("d"))
-        .localCheckpoint(eager = true)
+        // r12: lazy mark — the full-aggregate fingerprint materializes
+        // every partition in the same job (see ShortestPath)
+        .localCheckpoint(eager = false)
       val nfp = fp(relaxed)
       improving = nfp != last
       last = nfp

@@ -45,8 +45,17 @@ object KCore {
     * rounds, so deep sparse graphs need a larger `maxRounds` (the
     * throw tells the caller that, instead of handing back a wrong set).
     */
-  private def peel(e0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+  /** Returns the fixpoint edge set AND its row count (already known
+    * from the last round's materializing count — callers must not pay
+    * another probe job for it).
+    */
+  private def peel(e0: DataFrame, k: Int, maxRounds: Int,
+      n0: Long = -1L): (DataFrame, Long) = {
     var e = e0
+    // previous round's surviving-edge count; callers that already know
+    // it pass n0, otherwise the first round reads it off the caller's
+    // materialized checkpoint (cached-partition scan)
+    var nE = if (n0 >= 0) n0 else e0.count()
     var round = 0
     var shrinking = true
     while (shrinking && round < maxRounds) {
@@ -54,21 +63,24 @@ object KCore {
         .unionByName(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val survivors = deg.filter(col("deg") >= k).select(col("node"))
+      // r12: lazy checkpoint mark + count() = materialize + shrink test
+      // in ONE job per round (the eager form scheduled a checkpoint job
+      // AND a count job; the previous round's count is carried in nE)
       val e2 = e
         .join(survivors.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(survivors.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(eager = true)
-      // both relations are materialized checkpoints — counting is a
-      // cached-partition scan, not a recompute
-      shrinking = e2.count() < e.count()
+        .localCheckpoint(eager = false)
+      val n2 = e2.count()
+      shrinking = n2 < nE
       e = e2
+      nE = n2
       round += 1
     }
     if (shrinking)
       throw new IllegalStateException(
         s"k-core peel (k=$k) did not reach its fixpoint in $maxRounds " +
           "rounds — raise maxRounds for deep (chain/tree-shaped) cascades")
-    e
+    (e, nE)
   }
 
   /** The k-core subgraph's nodes: every returned node has degree ≥ k
@@ -80,7 +92,7 @@ object KCore {
     *                  node set.
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
-    val e = peel(canonical(edges).localCheckpoint(eager = true), k, maxRounds)
+    val (e, _) = peel(canonical(edges).localCheckpoint(eager = true), k, maxRounds)
     e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
@@ -113,11 +125,15 @@ object KCore {
       .select(col("node"), lit(1).as("coreness"))
       .localCheckpoint(eager = true)
     var k = 2
-    var nonEmpty = e.limit(1).count() > 0
+    var nCur = e.count()
+    var nonEmpty = nCur > 0
     while (nonEmpty && k <= kMax) {
-      // peel the k-core out of the (k-1)-core's surviving edges
-      e = peel(e, k, maxRounds)
-      nonEmpty = e.limit(1).count() > 0
+      // peel the k-core out of the (k-1)-core's surviving edges; the
+      // emptiness probe rides on peel's own materializing count (r12)
+      val (ek, nk) = peel(e, k, maxRounds, nCur)
+      e = ek
+      nCur = nk
+      nonEmpty = nk > 0
       if (nonEmpty) {
         val inCore = e.select(col("a").as("node"))
           .unionByName(e.select(col("b").as("node")))

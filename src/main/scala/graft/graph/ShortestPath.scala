@@ -55,12 +55,15 @@ object ShortestPath {
     var round = 0
     var improving = true
     while (improving && round < maxRounds) {
+      // r12: lazy checkpoint mark — the fingerprint is a FULL aggregate
+      // (computes every partition, persisting each under the mark), so
+      // it doubles as the materializing action: 2 jobs/round → 1
       val relaxed = dist
         .join(e, dist("node") === e("src"))
         .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
         .unionByName(dist)
         .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val nfp = fingerprint(relaxed)
       improving = nfp != fp
       fp = nfp

@@ -176,8 +176,11 @@ object Bpe {
       topMerge(pairCounts(syms)) match {
         case Some((a, b, cnt)) =>
           merges += ((a, b, cnt))
+          // r12: lazy mark — the next round's topMerge aggregate (or
+          // the caller's first action) materializes every partition in
+          // the same job it already runs (2 jobs/round → 1)
           syms = syms.withColumn("syms", applyMerge(col("syms"), a, b))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         case None => done = true
       }
       r += 1
