@@ -36,6 +36,15 @@ object Bm25 {
     * the same source row (guide §2.4). Row-for-row identical to the
     * groupBy form for unique-id inputs (every corpus table here;
     * Bm25Spec pins the equivalence).
+    *
+    * @note CONTRACT (VERDICT r11 #7): `docs` must be unique per
+    *       `idCol` — each input row IS one document. A caller passing a
+    *       frame with repeated ids gets multiple (id, term, tf) rows per
+    *       key (one per input row), NOT the merged per-id counts the
+    *       pre-r11 `groupBy(id, term)` shape produced; downstream
+    *       doc_stats/idf would silently double-count. All in-repo
+    *       callers (corpus tables, Bm25F fields, SearchEngine, serve
+    *       Tools) satisfy this by construction.
     */
   def postings(docs: DataFrame, idCol: String, toksCol: Column): DataFrame = {
     graft.functions.GraftFunctions.ensure("graft_term_tf",
@@ -56,17 +65,46 @@ object Bm25 {
       count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
 
-  /** term idf table with the BM25Okapi epsilon floor: (term, idf). */
+  /** term idf table with the BM25Okapi epsilon floor: (term, idf).
+    *
+    * r12 (VERDICT r11 #4): ONE vocabulary-scale aggregation per build.
+    * The r11 shape computed per-term df, then a SECOND vocabulary pass
+    * (Σ idf_raw over all terms) for the epsilon-floor average — the df
+    * aggregate re-planned under the scalar's broadcast subtree, so its
+    * final HashAggregate ran twice per build (~6 s of the x100 hb1
+    * row). Now:
+    *  1. dfreq aggregates once behind an explicit repartition on term —
+    *     the exchange is a plan-level materialization point, so both
+    *     consumers re-read the aggregated rows via ReusedExchange
+    *     instead of re-aggregating (guide §2.4 share one exchange);
+    *  2. idf_raw depends only on df, so the floor average folds over
+    *     the df HISTOGRAM (≤ max-df rows, metadata-scale) instead of
+    *     the vocabulary: avg_idf = Σ n_terms(df)·idf_raw(df) / Σ n_terms
+    *     (§2.3 aggregate before you shuffle);
+    *  3. each term's idf comes from a broadcast (df → idf) map — zero
+    *     per-term log().
+    * Equivalence: the average folds the identical multiset of idf_raw
+    * values (grouped multiply vs repeated add — the same parallel-sum
+    * nondeterminism class the old per-term Σ already had), and the
+    * floor expression per df value is unchanged; all BM25-family
+    * oracles stay hash-green (b1/b2/br1/bq1/h1/hb1/a5/…).
+    */
   def termIdf(postings: DataFrame, corpus: DataFrame): DataFrame = {
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val raw = dfreq.crossJoin(broadcast(corpus))
+      .repartition(col("term"))
+    val hist = dfreq.groupBy(col("df")).agg(count(lit(1)).as("n_terms"))
+    val histRaw = hist.crossJoin(broadcast(corpus))
       .withColumn("idf_raw",
         log(col("n") - col("df") + 0.5) - log(col("df") + 0.5))
-    val avg = raw.agg((sum(col("idf_raw")) / count(lit(1))).as("avg_idf"))
-    raw.crossJoin(broadcast(avg))
+    val avg = histRaw.agg(
+      (sum(col("idf_raw") * col("n_terms")) / sum(col("n_terms")))
+        .as("avg_idf"))
+    val dfToIdf = histRaw.crossJoin(broadcast(avg))
       .withColumn("idf",
         when(col("idf_raw") < 0, lit(Epsilon) * col("avg_idf"))
           .otherwise(col("idf_raw")))
+      .select(col("df"), col("idf"))
+    dfreq.join(broadcast(dfToIdf), Seq("df"))
       .select(col("term"), col("idf"))
   }
 

@@ -44,6 +44,36 @@ class BatchSearchSpec extends SparkSpec {
       Seq(("id", "bigint"), ("term", "string"), ("tf", "bigint")))
   }
 
+  test("termIdf single-pass histogram form equals the per-term " +
+      "definition (r12: one vocab aggregate, floor from the df histogram)") {
+    // "hot" appears in every doc (df = n) → negative raw idf → the
+    // epsilon * avg_idf floor must activate; distinct rare terms share
+    // a df value so the histogram genuinely groups
+    val fixture = Seq(
+      (1L, Seq("hot", "hot", "warm", "rare1")),
+      (2L, Seq("hot", "warm", "x")),
+      (3L, Seq("hot", "warm", "y")),
+      (4L, Seq("hot", "rare2"))
+    ).toDF("id", "toks")
+    val post = Bm25.postings(fixture, "id", col("toks"))
+    val got = Bm25.buildIndex(post).idf.orderBy("term").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // per-term definition computed directly (the pre-r12 shape)
+    val dfs = post.groupBy("term").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = 4.0
+    val raw = dfs.map { case (t, df) =>
+      (t, math.log(n - df + 0.5) - math.log(df + 0.5)) }
+    assert(raw.exists(_._2 < 0), "fixture must exercise the epsilon floor")
+    val avg = raw.values.sum / raw.size
+    val want = raw.map { case (t, r) =>
+      (t, if (r < 0) Bm25.Epsilon * avg else r) }.toSeq.sortBy(_._1)
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case ((t, gv), (_, wv)) =>
+      assert(math.abs(gv - wv) < 1e-12, s"$t: $gv vs $wv")
+    }
+  }
+
   test("scoreBatchIndexed with one query equals scoreIndexed") {
     val q = Seq("table", "scan", "table")
     val single = Bm25.scoreIndexed(spark, idx, q)
