@@ -56,7 +56,10 @@ object Ivf {
       fitSampleCap: Long = FitSampleCap): IvfIndex = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val n = base.count()
-    if (n < 4096 && kOverride.isEmpty) {
+    // n in [4096, 8192) makes clusterCount's n/4096 floor return 1 —
+    // KMeans rejects k=1, so that band takes the single-cluster branch
+    // too (r12 crash fix; previously threw IllegalArgumentException)
+    if (kOverride.isEmpty && (n < 4096 || clusterCount(n) < 2)) {
       // below threshold: single cluster (degenerates to brute force)
       val assigned = base.withColumn("cluster_id", lit(0))
       val centroids = base.limit(1)
