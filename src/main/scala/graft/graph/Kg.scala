@@ -215,21 +215,33 @@ object Kg {
     // jobs.
     val deep = maxHops >= 3
     val e0 = edges.select(col(from).as("walk_from"), col(to).as("walk_to"))
-    // Deep walks: pre-partition the static edge relation by its join
-    // key BEFORE checkpointing — LogicalRDD preserves the checkpointed
-    // plan's outputPartitioning, so every hop's equi-join sees the edge
-    // side already hash-partitioned and only the (usually smaller)
-    // frontier side moves (guide §2.4: operations keyed the same way
-    // share one exchange). The r10 shape re-shuffled AND re-sorted the
-    // full edge relation once per hop — 8 hops × |E| rows of exchange
-    // for a relation that never changes.
-    // explicit partition count (the session's shuffle-partition
-    // setting): a count-less repartition is AQE-coalescible, and a
-    // coalesced edge layout would stop matching the hop joins' required
-    // distribution, silently re-introducing the per-hop edge shuffle
+    // Deep walks materialize the static edge relation once. BIG deep
+    // walks (r11, now size-gated in r12) additionally pre-partition it
+    // by the join key before a second checkpoint — LogicalRDD preserves
+    // outputPartitioning, so every hop's equi-join sees the edge side
+    // already hash-partitioned and only the (usually smaller) frontier
+    // side moves (guide §2.4); the explicit partition count pins the
+    // layout against AQE coalescing, which would silently stop matching
+    // the hop joins' required distribution.
+    //
+    // r12 size gate: that pinned layout PAYS at corpus scale (x100:
+    // 2M-edge joins exchange-free every hop) but LOSES at gate scale —
+    // the pinned nShuffle-partition exchanges defeat AQE's small-data
+    // coalescing and schedule ~3 exchanges × nShuffle near-empty tasks
+    // per hop (measured: a13 gate 2× slower than the planner-chosen
+    // shape). The cutover is data-driven — count the already-
+    // materialized checkpoint (a cached-partition scan) and enable the
+    // big-walk layout past spark.graft.walk.shjMinEdges (default 500k;
+    // guide §2: scale-adaptive partitioning, parameterised, with a
+    // local default that keeps small plans AQE-coalescible).
     val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = if (deep) e0.repartition(nShuffle, col("walk_from"))
-      .localCheckpoint(eager = true) else e0
+    val minEdges = edges.sparkSession.conf
+      .getOption("spark.graft.walk.shjMinEdges").map(_.toLong)
+      .getOrElse(500000L)
+    val ecp = if (deep) e0.localCheckpoint(eager = true) else e0
+    val big = deep && ecp.count() >= minEdges
+    val e = if (big) ecp.repartition(nShuffle, col("walk_from"))
+      .localCheckpoint(eager = true) else ecp
     // the seed derivation can itself be a multi-join plan (a13 roots the
     // walk at the EntryPoints detector output): left unmaterialized it is
     // re-derived by EVERY hop's anti-join against acc — checkpoint it once
@@ -241,16 +253,18 @@ object Kg {
     while (growing && hop <= maxHops) {
       // distinct on id ALONE (dist is a per-hop constant — attached
       // after) so the aggregate's output partitioning is hash(id) and
-      // the anti-join's left side needs no further exchange. DEEP walks
-      // additionally hint shuffle_hash: their frontiers grow toward
-      // corpus scale (checkpointed RDDs carry no size stats, so the
-      // planner would fall back to sort-merge and re-sort every hop);
-      // SHALLOW walks stay hint-free — their seed-scale frontiers get
-      // planner-chosen broadcast joins, which the hint would override
-      // with a needless shuffle (g3's plan is the regression witness).
-      val frontierSide = if (deep) frontier.hint("shuffle_hash") else frontier
+      // the anti-join's left side needs no further exchange. BIG deep
+      // walks additionally hint shuffle_hash: their frontiers grow
+      // toward corpus scale (checkpointed RDDs carry no size stats, so
+      // the planner would fall back to sort-merge and re-sort every
+      // hop); small/shallow walks stay hint-free — their seed-scale
+      // frontiers get planner-chosen broadcast joins and AQE-coalesced
+      // exchanges, which the hint would override with pinned-width
+      // shuffles (g3's plan and the r12 a13 gate measurement are the
+      // regression witnesses).
+      val frontierSide = if (big) frontier.hint("shuffle_hash") else frontier
       val accSide =
-        if (deep) acc.select("id").hint("shuffle_hash") else acc.select("id")
+        if (big) acc.select("id").hint("shuffle_hash") else acc.select("id")
       val next = e.join(frontierSide,
           e("walk_from") === frontierSide("id"))
         .select(col("walk_to").as("id"))

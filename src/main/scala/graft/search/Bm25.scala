@@ -67,44 +67,32 @@ object Bm25 {
 
   /** term idf table with the BM25Okapi epsilon floor: (term, idf).
     *
-    * r12 (VERDICT r11 #4): ONE vocabulary-scale aggregation per build.
-    * The r11 shape computed per-term df, then a SECOND vocabulary pass
-    * (Σ idf_raw over all terms) for the epsilon-floor average — the df
-    * aggregate re-planned under the scalar's broadcast subtree, so its
-    * final HashAggregate ran twice per build (~6 s of the x100 hb1
-    * row). Now:
-    *  1. dfreq aggregates once behind an explicit repartition on term —
-    *     the exchange is a plan-level materialization point, so both
-    *     consumers re-read the aggregated rows via ReusedExchange
-    *     instead of re-aggregating (guide §2.4 share one exchange);
-    *  2. idf_raw depends only on df, so the floor average folds over
-    *     the df HISTOGRAM (≤ max-df rows, metadata-scale) instead of
-    *     the vocabulary: avg_idf = Σ n_terms(df)·idf_raw(df) / Σ n_terms
-    *     (§2.3 aggregate before you shuffle);
-    *  3. each term's idf comes from a broadcast (df → idf) map — zero
-    *     per-term log().
-    * Equivalence: the average folds the identical multiset of idf_raw
-    * values (grouped multiply vs repeated add — the same parallel-sum
-    * nondeterminism class the old per-term Σ already had), and the
-    * floor expression per df value is unchanged; all BM25-family
-    * oracles stay hash-green (b1/b2/br1/bq1/h1/hb1/a5/…).
+    * The epsilon-floor average makes the df aggregate re-plan under the
+    * scalar's broadcast subtree, so the vocabulary aggregation runs
+    * TWICE per build. A single-pass restructure (VERDICT r11 #4: df
+    * histogram + broadcast df→idf map behind an explicit
+    * repartition-on-term materialization point) was implemented in r12
+    * and REFUTED by measurement (graft.ProbeTermIdf, x100 fixture,
+    * interleaved A/B in one JVM): AQE does NOT reuse exchange stages
+    * nested inside broadcast-stage subtrees (AQE-final plan:
+    * ReusedQueryStage=0, 8 ShuffleQueryStages), so the histogram shape
+    * ran THREE full dfreq derivations (main + df→idf broadcast + the
+    * avg broadcast nested inside it) instead of this shape's two —
+    * warm 7.0–11.2 s vs 5.3–5.8 s here, with bit-identical sums. In a
+    * fully lazy plan, two vocabulary passes is the floor; the only way
+    * below it is caching/checkpointing dfreq, which would break
+    * buildIndex's no-action contract.
     */
   def termIdf(postings: DataFrame, corpus: DataFrame): DataFrame = {
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .repartition(col("term"))
-    val hist = dfreq.groupBy(col("df")).agg(count(lit(1)).as("n_terms"))
-    val histRaw = hist.crossJoin(broadcast(corpus))
+    val raw = dfreq.crossJoin(broadcast(corpus))
       .withColumn("idf_raw",
         log(col("n") - col("df") + 0.5) - log(col("df") + 0.5))
-    val avg = histRaw.agg(
-      (sum(col("idf_raw") * col("n_terms")) / sum(col("n_terms")))
-        .as("avg_idf"))
-    val dfToIdf = histRaw.crossJoin(broadcast(avg))
+    val avg = raw.agg((sum(col("idf_raw")) / count(lit(1))).as("avg_idf"))
+    raw.crossJoin(broadcast(avg))
       .withColumn("idf",
         when(col("idf_raw") < 0, lit(Epsilon) * col("avg_idf"))
           .otherwise(col("idf_raw")))
-      .select(col("df"), col("idf"))
-    dfreq.join(broadcast(dfToIdf), Seq("df"))
       .select(col("term"), col("idf"))
   }
 
