@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
   * `.explain("formatted")` for named gate queries to files, so plan
   * claims in OPTIMIZATION_r*.md are verifiable without running Spark.
   *
-  * Usage: runMain graft.PlanDump <outDir> <queryName> [queryName...]
+  * Usage: runMain graft.PlanDump <outDir> [--conf k=v ...] <queryName>...
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS.
   * Writes <outDir>/<queryName>.txt. AQE left ON (the bench runs with
   * AQE), so plans show the initial AdaptiveSparkPlan shape.
+  * `--conf k=v` sets a runtime session conf before planning — e.g.
+  * `--conf spark.graft.walk.shjMinEdges=0` forces the big-walk layout
+  * at gate scale so its hop plans can be captured (r12 size gate).
   */
 object PlanDump {
   /** In-loop plan capture for iterative operators (VERDICT r11 #3): an
@@ -47,7 +50,24 @@ object PlanDump {
       .config("spark.graft.plandump.dir", outDir.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.drop(1).foreach { name =>
+    val (confArgs, names) = {
+      val rest = args.drop(1)
+      val confs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val qs = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < rest.length) {
+        if (rest(i) == "--conf" && i + 1 < rest.length) {
+          val Array(k, v) = rest(i + 1).split("=", 2)
+          confs += ((k, v)); i += 2
+        } else { qs += rest(i); i += 1 }
+      }
+      (confs.toSeq, qs.toSeq)
+    }
+    confArgs.foreach { case (k, v) =>
+      spark.conf.set(k, v)
+      println(s"[plandump] conf $k=$v")
+    }
+    names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           val plan = fn(spark, sfDir).queryExecution.explainString(

@@ -34,17 +34,25 @@ object Closeness {
       maxRounds: Int = 32): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(eager = true)
+    // Static relation discipline (r12, see [[WalkLayout]]): materialize
+    // once (lazy mark + count, one job); past the size gate the edge
+    // set gets the hash-partitioned sorted layout so each round's
+    // sort-merge join reads it exchange- and sort-free.
+    val (e0, nE) = WalkLayout.materializeCounted(
+      edges.select(col("src"), col("dst")).distinct())
+    val e =
+      if (nE >= WalkLayout.minRows(edges))
+        WalkLayout.partitionedCheckpoint(e0, "src", sorted = true)
+      else e0
     var dist = seeds.map(s => (s, s, 0L)).toDF("s", "node", "d")
       .localCheckpoint(eager = true)
     // monotone fingerprint: the (seed, node) set only grows and each
     // pair's distance only decreases, so fixpoint ⇔ unchanged
-    // (count, dist-sum)
-    def fp(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // (count, dist-sum) — a single-job RDD aggregate that doubles as
+    // the materializing action for the round's lazy checkpoint mark
+    // (r12, see WalkLayout.materializedCountSum)
+    def fp(df: DataFrame): (Long, Long) =
+      WalkLayout.materializedCountSum(df, "d")
     var last = fp(dist)
     var round = 0
     var improving = true

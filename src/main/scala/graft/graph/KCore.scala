@@ -55,7 +55,7 @@ object KCore {
     // previous round's surviving-edge count; callers that already know
     // it pass n0, otherwise the first round reads it off the caller's
     // materialized checkpoint (cached-partition scan)
-    var nE = if (n0 >= 0) n0 else e0.count()
+    var nE = if (n0 >= 0) n0 else WalkLayout.materializedCount(e0)
     var round = 0
     var shrinking = true
     while (shrinking && round < maxRounds) {
@@ -63,14 +63,15 @@ object KCore {
         .unionByName(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val survivors = deg.filter(col("deg") >= k).select(col("node"))
-      // r12: lazy checkpoint mark + count() = materialize + shrink test
-      // in ONE job per round (the eager form scheduled a checkpoint job
-      // AND a count job; the previous round's count is carried in nE)
+      // r12: lazy checkpoint mark + single-job RDD count = materialize
+      // + shrink test in ONE job per round (the eager form scheduled a
+      // checkpoint job AND count jobs; the previous round's count is
+      // carried in nE; see WalkLayout.materializedCount)
       val e2 = e
         .join(survivors.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(survivors.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .localCheckpoint(eager = false)
-      val n2 = e2.count()
+      val n2 = WalkLayout.materializedCount(e2)
       shrinking = n2 < nE
       e = e2
       nE = n2
@@ -125,7 +126,7 @@ object KCore {
       .select(col("node"), lit(1).as("coreness"))
       .localCheckpoint(eager = true)
     var k = 2
-    var nCur = e.count()
+    var nCur = WalkLayout.materializedCount(e)
     var nonEmpty = nCur > 0
     while (nonEmpty && k <= kMax) {
       // peel the k-core out of the (k-1)-core's surviving edges; the

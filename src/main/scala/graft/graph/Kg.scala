@@ -215,33 +215,24 @@ object Kg {
     // jobs.
     val deep = maxHops >= 3
     val e0 = edges.select(col(from).as("walk_from"), col(to).as("walk_to"))
-    // Deep walks materialize the static edge relation once. BIG deep
-    // walks (r11, now size-gated in r12) additionally pre-partition it
-    // by the join key before a second checkpoint — LogicalRDD preserves
-    // outputPartitioning, so every hop's equi-join sees the edge side
-    // already hash-partitioned and only the (usually smaller) frontier
-    // side moves (guide §2.4); the explicit partition count pins the
-    // layout against AQE coalescing, which would silently stop matching
-    // the hop joins' required distribution.
-    //
-    // r12 size gate: that pinned layout PAYS at corpus scale (x100:
-    // 2M-edge joins exchange-free every hop) but LOSES at gate scale —
-    // the pinned nShuffle-partition exchanges defeat AQE's small-data
-    // coalescing and schedule ~3 exchanges × nShuffle near-empty tasks
-    // per hop (measured: a13 gate 2× slower than the planner-chosen
-    // shape). The cutover is data-driven — count the already-
-    // materialized checkpoint (a cached-partition scan) and enable the
-    // big-walk layout past spark.graft.walk.shjMinEdges (default 500k;
-    // guide §2: scale-adaptive partitioning, parameterised, with a
-    // local default that keeps small plans AQE-coalescible).
-    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val minEdges = edges.sparkSession.conf
-      .getOption("spark.graft.walk.shjMinEdges").map(_.toLong)
-      .getOrElse(500000L)
-    val ecp = if (deep) e0.localCheckpoint(eager = true) else e0
-    val big = deep && ecp.count() >= minEdges
-    val e = if (big) ecp.repartition(nShuffle, col("walk_from"))
-      .localCheckpoint(eager = true) else ecp
+    // Deep walks materialize the static edge relation once (lazy mark
+    // + count in ONE job — the count is also the size-gate input). BIG
+    // deep walks additionally get the AQE-off hash-partitioned
+    // checkpointed layout so every hop's equi-join reads the edge side
+    // exchange-free and only the (smaller) frontier side moves (guide
+    // §2.4) — mechanism, the AQE/UnknownPartitioning gotcha it works
+    // around, and the measured 237.3→49.3 MB per-walk shuffle-write
+    // drop are documented on [[WalkLayout]] (r12; hop-plan evidence in
+    // plans/r12/). The size gate (r12) is because the pinned-width
+    // layout LOSES at gate scale: it defeats AQE's small-data
+    // coalescing and schedules ~3 exchanges × width near-empty tasks
+    // per hop (measured: the r11 a13 gate ran ~2× slower than the
+    // planner-chosen shape).
+    val (ecp, nEdges) =
+      if (deep) WalkLayout.materializeCounted(e0) else (e0, 0L)
+    val big = deep && nEdges >= WalkLayout.minRows(edges)
+    val e = if (big) WalkLayout.partitionedCheckpoint(ecp, "walk_from")
+      else ecp
     // the seed derivation can itself be a multi-join plan (a13 roots the
     // walk at the EntryPoints detector output): left unmaterialized it is
     // re-derived by EVERY hop's anti-join against acc — checkpoint it once
@@ -276,16 +267,17 @@ object Kg {
         // PlanDump session conf is set
         graft.PlanDump.probe(next, s"minDist_hop$hop")
         // r12 (VERDICT r11 #5): mark the checkpoint lazily, then
-        // materialize it WITH the emptiness probe in ONE action —
-        // eager=true ran an internal count job and the old
-        // limit(1).count() then scheduled a SECOND job per hop just to
-        // ask "empty?". count() on the lazily-marked frontier computes
-        // every partition (persisting each under the localCheckpoint
-        // mark — a limit(1) probe alone would leave most partitions
+        // materialize it WITH the emptiness probe in ONE scheduled job
+        // — eager=true ran an internal count job and the old
+        // limit(1).count() then scheduled MORE jobs per hop just to
+        // ask "empty?". The single-job RDD count computes every
+        // partition (persisting each under the localCheckpoint mark —
+        // a limit(1) probe alone would leave most partitions
         // uncomputed, unpersisted, and the lineage re-derivable) and
-        // answers the probe in the same pass: 2 jobs/hop → 1.
+        // answers the probe in the same pass; a SQL count() here would
+        // cost TWO AQE jobs (see WalkLayout.materializedCount).
         val p = next.localCheckpoint(eager = false)
-        growing = p.count() > 0
+        growing = WalkLayout.materializedCount(p) > 0
         frontier = p
       } else frontier = next
       acc = acc.unionByName(frontier)
@@ -317,11 +309,13 @@ object Kg {
           concat(col("path"), array(col("dst"))).as("path"))
         .orderBy(size(col("path")), col("path"))
         .limit(maxPaths)
-      // r12: lazy checkpoint mark + count() folds materialization and
-      // the emptiness probe into ONE job per level (see minDist)
+      // r12: lazy checkpoint mark + single-job RDD count folds
+      // materialization and the emptiness probe into ONE job per level
+      // (see minDist / WalkLayout.materializedCount)
       val checkpointed =
         if (depth >= 3) next.localCheckpoint(eager = false) else next
-      if (depth >= 3) exhausted = checkpointed.count() == 0
+      if (depth >= 3)
+        exhausted = WalkLayout.materializedCount(checkpointed) == 0
       done = done.unionByName(checkpointed)
       paths = checkpointed
       depth += 1
@@ -345,10 +339,11 @@ object Kg {
         .select(col("f.src").as("src"), col("b.dst").as("dst"))
         .distinct()
         .join(acc, Seq("src", "dst"), "left_anti")
-        // r12: lazy checkpoint mark + count() = materialize + probe in
-        // ONE job per hop (see minDist)
+        // r12: lazy checkpoint mark + single-job RDD count =
+        // materialize + probe in ONE job per hop (see minDist /
+        // WalkLayout.materializedCount)
         .localCheckpoint(eager = false)
-      growing = next.count() > 0
+      growing = WalkLayout.materializedCount(next) > 0
       acc = acc.unionByName(next)
       frontier = next
       hop += 1
@@ -633,10 +628,11 @@ object Kg {
         .select(col("parent_hash").as("commit_hash"))
         .distinct()
         .join(acc, Seq("commit_hash"), "left_anti")
-        // r12: lazy checkpoint mark + count() = materialize + probe in
-        // ONE job per hop (see minDist)
+        // r12: lazy checkpoint mark + single-job RDD count =
+        // materialize + probe in ONE job per hop (see minDist /
+        // WalkLayout.materializedCount)
         .localCheckpoint(eager = false)
-      growing = next.count() > 0
+      growing = WalkLayout.materializedCount(next) > 0
       acc = acc.unionByName(next)
       frontier = next
       hop += 1

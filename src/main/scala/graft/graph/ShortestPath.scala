@@ -37,20 +37,27 @@ object ShortestPath {
       maxRounds: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.groupBy(col("src"), col("dst"))
-      .agg(min(col("w")).as("w"))
-      .localCheckpoint(eager = true)
+    // Static relation discipline (r12, see [[WalkLayout]]): materialize
+    // once (lazy mark + count, one job — same cost as the former eager
+    // checkpoint, but the count feeds the size gate); past the gate the
+    // relation gets the hash-partitioned SORTED layout so each round's
+    // sort-merge join reads the edge side exchange- AND sort-free.
+    val (e0, nE) = WalkLayout.materializeCounted(
+      edges.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+    val e =
+      if (nE >= WalkLayout.minRows(edges))
+        WalkLayout.partitionedCheckpoint(e0, "src", sorted = true)
+      else e0
     var dist = Seq((source, 0L)).toDF("node", "cost")
       .localCheckpoint(eager = true)
     // convergence probe without a compare-join: relaxation is monotone
     // (per-node costs only decrease, the reached set only grows), so
-    // fixpoint ⇔ (node count, cost sum) unchanged — one metadata-scale
-    // aggregate per round on the already-materialized checkpoint
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum(col("cost")), lit(0L)))
-        .head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // fixpoint ⇔ (node count, cost sum) unchanged — computed as a
+    // single-job RDD aggregate that doubles as the materializing
+    // action for the round's lazy checkpoint mark (r12, WalkLayout:
+    // the SQL two-stage aggregate scheduled TWO AQE jobs per round)
+    def fingerprint(df: DataFrame): (Long, Long) =
+      WalkLayout.materializedCountSum(df, "cost")
     var fp = fingerprint(dist)
     var round = 0
     var improving = true
