@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   * signature of loop-body changes — e.g. r12's "materialize + probe in
   * one action" claim is exactly a jobs-per-hop drop.
   *
-  * Usage: runMain graft.JobCount <queryName> [queryName...]
+  * Usage: runMain graft.JobCount [--conf k=v ...] <queryName>...
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS.
   * Prints one `[jobcount] <name> warm_jobs=<n> sec=<t>` line per gate.
+  * `--conf k=v` sets a runtime session conf first (e.g. a size-gate
+  * override to A/B a layout at gate scale).
   */
 object JobCount {
   def main(args: Array[String]): Unit = {
@@ -42,7 +44,23 @@ object JobCount {
       while (prev != cur) { Thread.sleep(200); prev = cur; cur = nJobs.get() }
       cur
     }
-    args.foreach { name =>
+    val (confArgs, names) = {
+      val confs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val qs = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < args.length) {
+        if (args(i) == "--conf" && i + 1 < args.length) {
+          val Array(k, v) = args(i + 1).split("=", 2)
+          confs += ((k, v)); i += 2
+        } else { qs += args(i); i += 1 }
+      }
+      (confs.toSeq, qs.toSeq)
+    }
+    confArgs.foreach { case (k, v) =>
+      spark.conf.set(k, v)
+      println(s"[jobcount] conf $k=$v")
+    }
+    names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           fn(spark, sfDir).count() // warm: registries, codegen, caches

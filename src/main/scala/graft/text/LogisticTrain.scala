@@ -70,46 +70,90 @@ object LogisticTrain {
         perDocTok.select(col("doc_id")).distinct()
           .select(col("doc_id"), lit(buckets.toLong).as("b"),
             lit(1L).as("x")))
-    withB.localCheckpoint(true)
+    // r12 static-relation discipline (see graft.graph.WalkLayout):
+    // every epoch aggregates feats by doc_id and joins it back on
+    // doc_id, so past the size gate the materialized relation gets the
+    // hash(doc_id) checkpointed layout and both per-epoch corpus-scale
+    // exchanges disappear (guide §2.4); below the gate (every sf gate:
+    // 5k docs × ≤65 buckets) the layout is the plain materialization
+    // the eager checkpoint produced, in the same one job.
+    val (m, nRows) = graft.graph.WalkLayout.materializeCounted(withB)
+    if (nRows >= graft.graph.WalkLayout.minRows(docs))
+      graft.graph.WalkLayout.partitionedCheckpoint(m, "doc_id")
+    else m
   }
+
+  /** The fast-sigmoid probability expression over an integer margin —
+    * shared by the weight-relation scorer and the training loop so the
+    * two can never drift.
+    */
+  private[text] def pMicro(margin: Column): Column =
+    lit(500000L) + signum(margin).cast("long") *
+      call_function("div",
+        abs(margin) * 500000L, lit(1000000L) + abs(margin))
 
   /** Margins and fast-sigmoid probabilities under a weight relation. */
   def predictMargins(feats: DataFrame, weights: DataFrame): DataFrame =
     feats.join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("x") * col("w_micro")).as("margin_micro"))
-      .withColumn("p_micro",
-        lit(500000L) + signum(col("margin_micro")).cast("long") *
-          expr("(abs(margin_micro) * 500000) div (1000000 + abs(margin_micro))"))
+      .withColumn("p_micro", pMicro(col("margin_micro")))
 
   /** `epochs` rounds of full-batch GD; returns (b, w_micro). Step size
     * is etaNum/(n·etaDen) in micro units — integer throughout (the
     * division is sign-split so Spark's truncating `div` equals DuckDB's
     * flooring `//` on the non-negative magnitude).
+    *
+    * r12 (guide §1.2 job count, §5 driver state): the weight table is
+    * `buckets` longs — metadata-scale BY CONTRACT — so it lives on the
+    * driver. Per epoch the cluster runs ONE gradient pipeline with the
+    * current weights embedded as a literal (b → w_micro) map (zero
+    * broadcast-exchange build, zero weight join, zero per-epoch weight
+    * checkpoint) and the driver collects `buckets` gradient rows and
+    * applies the update step in integer arithmetic IDENTICAL to the
+    * SQL expression it replaces (`Long.signum` = SQL sign CASE;
+    * truncating `/` on the non-negative magnitude = SQL `div` = DuckDB
+    * `//`). The r11 shape scheduled ~9 jobs per epoch (AQE stage jobs
+    * of two aggregations + the broadcast build + the weight-relation
+    * checkpoint); measured at sf0.1 the gate drops 111 → 49 warm jobs
+    * and the per-epoch margin values, weights, and the lr1 oracle hash
+    * are unchanged (LogisticTrainSpec's driver-side exact mirror).
     */
   def train(feats: DataFrame, labels: DataFrame, buckets: Int,
       epochs: Int, etaNum: Long = 1L, etaDen: Long = 1L): DataFrame = {
     val spark = feats.sparkSession
+    import spark.implicits._
     val n = labels.count() // one metadata-scale scalar
-    var w = spark.range(buckets)
-      .select(col("id").as("b"), lit(0L).as("w_micro"))
-      .localCheckpoint(true)
+    val w = Array.fill(buckets)(0L)
     var e = 0
     while (e < epochs) {
-      val preds = predictMargins(feats, w)
-      val g = feats
+      val wCol = typedlit(
+        w.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap)
+      // margins under the literal weight map — the same Σ x·w(b) the
+      // broadcast-join form computed (w covers every b by construction,
+      // so the old inner join never filtered)
+      val preds = feats
+        .withColumn("w_micro", element_at(wCol, col("b")))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("x") * col("w_micro")).as("margin_micro"))
+        .withColumn("p_micro", pMicro(col("margin_micro")))
+      val gFrame = feats
         .join(preds.select(col("doc_id"), col("p_micro")), Seq("doc_id"))
         .join(labels, Seq("doc_id"))
         .withColumn("gc", (col("p_micro") - col("y") * Micro) * col("x"))
         .groupBy(col("b")).agg(sum(col("gc")).as("g"))
-      w = w.join(g, Seq("b"), "left")
-        .na.fill(0L, Seq("g"))
-        .select(col("b"),
-          (col("w_micro") - signum(col("g")).cast("long") *
-            expr(s"(abs(g) * $etaNum) div ${n * etaDen}")).as("w_micro"))
-        .localCheckpoint(true) // `buckets` rows — metadata-scale
+      // loop-body plan evidence, same hook as the graph walks
+      if (e == 0) graft.PlanDump.probe(gFrame, "lrTrain_epoch1_gradient")
+      val g = gFrame.collect() // `buckets` rows — metadata-scale
+      g.foreach { r =>
+        val b = r.getLong(0).toInt
+        val gv = r.getLong(1)
+        w(b) = w(b) -
+          java.lang.Long.signum(gv) * (math.abs(gv) * etaNum / (n * etaDen))
+      }
       e += 1
     }
-    w
+    w.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toSeq
+      .toDF("b", "w_micro")
   }
 }
