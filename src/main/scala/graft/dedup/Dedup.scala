@@ -177,8 +177,14 @@ object Dedup {
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
     val nodes = und.select(col("x").as("id")).distinct()
     var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+    // r12: single-job RDD sum when lbl is a long (every gate caller —
+    // doc ids), materializing the round's lazy mark in the same job;
+    // SQL fallback otherwise (WalkLayout.materializedCountSum notes)
     def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+      if (df.schema("lbl").dataType ==
+          org.apache.spark.sql.types.LongType)
+        graft.graph.WalkLayout.materializedCountSum(df, "lbl")._2
+      else df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var prev = lblSum(labels)
     var round = 0
     var converged = false
@@ -233,14 +239,23 @@ object Dedup {
     // set-identity probe: count + an order-free keyed checksum (a wrong
     // early stop would surface as a wrong component table, so the
     // checksum is over the canonical (a,b) pairs, not just Σ(a+b))
-    def probe(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(col("a") * 1000003L + col("b")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // r12: single-job RDD checksum when the ids are longs (every gate
+    // caller — doc ids), materializing the round's lazy mark in the
+    // same job; SQL fallback for non-long ids. The emptiness test
+    // reuses the probe's count instead of a separate isEmpty job.
+    def probe(e: DataFrame): (Long, Long) =
+      if (e.schema("a").dataType == org.apache.spark.sql.types.LongType &&
+          e.schema("b").dataType == org.apache.spark.sql.types.LongType)
+        graft.graph.WalkLayout.materializedCountChecksum(
+          e, "a", "b", 1000003L)
+      else {
+        val r = e.agg(count(lit(1)),
+          coalesce(sum(col("a") * 1000003L + col("b")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
     var prev = probe(edges)
     var round = 0
-    var converged = edges.isEmpty
+    var converged = prev._1 == 0L
     while (!converged && round < maxRounds) {
       // large-star: per node u over BOTH directions, attach every
       // strictly-larger neighbor to m = min(N(u) ∪ {u})

@@ -73,6 +73,21 @@ object WalkLayout {
       (a, b) => (a._1 + b._1, a._2 + b._2))
   }
 
+  /** (count, Σ (a·mult + b)) keyed checksum in the same single-job
+    * style — the Dedup loops' set-identity probe when both id columns
+    * are LongType (callers type-check and keep the SQL aggregate as
+    * the fallback for non-long ids).
+    */
+  def materializedCountChecksum(df: DataFrame, aCol: String, bCol: String,
+      mult: Long): (Long, Long) = {
+    val ia = df.schema.fieldIndex(aCol)
+    val ib = df.schema.fieldIndex(bCol)
+    df.queryExecution.toRdd.aggregate((0L, 0L))(
+      (acc, row) =>
+        (acc._1 + 1L, acc._2 + row.getLong(ia) * mult + row.getLong(ib)),
+      (x, y) => (x._1 + y._1, x._2 + y._2))
+  }
+
   /** Materialize a static relation once (localCheckpoint mark +
     * [[materializedCount]], one job) and return it with its exact row
     * count.
